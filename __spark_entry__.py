@@ -1,38 +1,285 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2) to (spark, sf_dir) ->
+DataFrame callables; ``oracle_sql()`` gives the equivalent DuckDB SQL
+over the same parquet bytes. The `pages` corpus (BASELINE.json
+input_hint shape) is synthesised deterministically by
+``logzilla_spark.testdata`` and cached under ``.cache/pages/<sf>/``;
+oracle statements read the identical parquet files via read_parquet().
+
+Numeric-sum convention: double sums are computed as exact
+decimal(18,2) sums cast back to double on BOTH engines, so value
+hashes cannot drift on float summation order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logzilla_spark import oracle
+from logzilla_spark.functions.levels import level_sql_case, parse_level_col
+from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
+from logzilla_spark.operators.enrich import enrich_records
+from logzilla_spark.operators.parse import parse_records, text_from_html
+from logzilla_spark.operators.query import (
+    AndNode,
+    ComparisonNode,
+    NotNode,
+    OrNode,
+    Query,
+    SortField,
+    search,
+    search_oracle_sql,
+)
+from logzilla_spark.testdata import dim_parquet, ensure_pages, pages_parquet
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+# The driver's oracle runs at sf0.01; make sure the corpus parquet the
+# oracle SQL points at exists even if no Spark query ran first.
+_D01 = ensure_pages(SF01)
+_P01 = f"{_D01}/pages.parquet"
+
+META_KEYS = ["service", "request_id", "attempt", "ip", "method", "path", "status", "size"]
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(pages_parquet(sf_dir))
+
+
+def _records(spark: SparkSession, sf_dir: str, impl: str = "arrow") -> DataFrame:
+    return parse_records(_pages(spark, sf_dir), impl=impl)
+
+
+def _flat_records(rec: DataFrame) -> DataFrame:
+    """Records with metadata flattened to m_* columns (hash-portable)."""
+    return rec.select(
+        "id", "source", "timestamp", "level", "message", "category", "lang",
+        "parse_ok", "url", "warc_ts",
+        *[F.col("metadata")[k].alias(f"m_{k}") for k in META_KEYS],
+    )
+
+
+def _exact_sum(col: str, alias: str):
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse -> enrich -> windowed aggregate on sf0.001."""
+    d = ensure_pages(SF001)
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    rec = parse_records(pages, impl="arrow")
+    dim_lang = spark.read.parquet(f"{d}/dim_lang.parquet")
+    dim_sev = spark.read.parquet(f"{d}/dim_severity.parquet")
+    enriched = enrich_records(rec, dim_lang, dim_sev)
+    return windowed_counts(enriched, keys=("category", "level", "lang", "lang_family"))
+
+
+# --------------------------------------------------------------------------
+# search queries (O25-O35) over the parsed records relation
+# --------------------------------------------------------------------------
+
+_T0 = datetime(2024, 1, 1)
+_T7 = datetime(2024, 1, 8)
+_SEARCH_COLS = ["id", "source", "timestamp", "level", "message"]
+_SEARCH_COLS_SQL = ["id", "source", '"timestamp"', "level", "message"]
+
+
+def _search_queries() -> dict[str, Query]:
+    return {
+        # eq + eq, narrow enough to never hit the limit (250 rows @ sf0.01)
+        "q_search_level_lang": Query(
+            start=_T0, end=_T7, limit=1000,
+            node=AndNode([
+                ComparisonNode("level", "FATAL", "eq"),
+                ComparisonNode("metadata.service", "svc3", "ne"),
+            ]),
+            sort=[SortField("source"), SortField("level", descending=True)],
+        ),
+        # nested AND(OR, NOT, IN) tree + metadata path (249 rows)
+        "q_search_tree": Query(
+            start=_T0, end=_T7, limit=1000,
+            node=AndNode([
+                OrNode([
+                    ComparisonNode("level", "ERROR", "eq"),
+                    ComparisonNode("level", "FATAL", "eq"),
+                ]),
+                NotNode(ComparisonNode("message", "disk%", "like")),
+                ComparisonNode("metadata.service", ["svc3"], "in"),
+            ]),
+        ),
+        # ilike + in (582 rows)
+        "q_search_ilike": Query(
+            start=_T0, end=_T7, limit=1000,
+            node=AndNode([
+                ComparisonNode("message", "get %", "ilike"),
+                ComparisonNode("metadata.path", "/checkout", "eq"),
+            ]),
+        ),
+        # reversed range -> auto-swap + backward DESC (sqlbuilder.go:89-97)
+        "q_search_backward": Query(
+            start=datetime(2024, 1, 3), end=datetime(2024, 1, 2), limit=1000,
+            node=ComparisonNode("level", "FATAL", "eq"),
+        ),
+    }
+
+
+def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rec = _records(spark, sf_dir)
+        import copy
+
+        qq = copy.deepcopy(q)
+        qq.select_columns = _SEARCH_COLS
+        return search(rec, qq)
+
+    return run
+
+
+def _search_sql(q: Query) -> str:
+    import copy
+
+    qq = copy.deepcopy(q)
+    return (
+        f"WITH {oracle.records_cte(_P01)}\n"
+        + search_oracle_sql(
+            "records", qq, time_column='"timestamp"', select_sql=_SEARCH_COLS_SQL
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- pipeline: parse (G1/O19/O21/O24), both impls ---
+        "q_pipeline_records": lambda s, d: _flat_records(_records(s, d, "arrow")),
+        "q_pipeline_records_native": lambda s, d: _flat_records(_records(s, d, "native")),
+        # --- parse fidelity invariant (north_rule byte-identity) ---
+        "q_parse_fidelity": lambda s, d: _pages(s, d).select(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(
+                F.when(text_from_html("html") == F.col("text"), 1).otherwise(0)
+            ).alias("n_identical"),
+        ),
+        # --- windowed aggregate (G4) + salted two-phase twin (G5) ---
+        "q_pipeline_window_agg": lambda s, d: windowed_counts(_records(s, d)),
+        "q_pipeline_window_agg_salted": lambda s, d: windowed_counts_salted(_records(s, d)),
+        # --- routing counts (G3 set-equality proxy: per-category rows/ids) ---
+        "q_pipeline_route_counts": lambda s, d: _records(s, d)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("id").alias("n_ids"),
+        ),
+        # --- broadcast enrichment joins (G2/O20) ---
+        "q_pipeline_enrich_agg": lambda s, d: enrich_records(
+            _records(s, d),
+            s.read.parquet(dim_parquet(d, "lang")),
+            s.read.parquet(dim_parquet(d, "severity")),
+        )
+        .groupBy("lang", "level", "lang_name", "lang_family", "level_code", "severity_weight")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("severity_weight").alias("weight_sum"),
+        ),
+        # --- events: level normalization (O20) over driver table ---
+        "q_events_level_norm": lambda s, d: s.read.parquet(f"{d}/events.parquet")
+        .groupBy(
+            "event_type", parse_level_col("event_type").alias("level")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum("value", "sum_value")),
+        # --- events: JSON payload extraction (O19 on props) ---
+        "q_events_json_props": lambda s, d: s.read.parquet(f"{d}/events.parquet")
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum("value", "sum_value")),
+        # --- events: tumbling-window aggregate over event time ---
+        "q_events_hourly": lambda s, d: s.read.parquet(f"{d}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        ),
+        # --- general relational coverage: TPC-H Q1-style aggregate ---
+        "q_tpch_q1": lambda s, d: s.read.parquet(f"{d}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= datetime(1998, 9, 2))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _exact_sum("l_quantity", "sum_qty"),
+            _exact_sum("l_extendedprice", "sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        ),
+        # --- broadcast dimension join + aggregate ---
+        "q_join_revenue_by_segment": lambda s, d: s.read.parquet(f"{d}/orders.parquet")
+        .join(
+            F.broadcast(s.read.parquet(f"{d}/customer.parquet")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _exact_sum("o_totalprice", "revenue"),
+        ),
+    }
+    for name, sq in _search_queries().items():
+        q[name] = _mk_search_query(sq)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lvl = level_sql_case("event_type")
+    sql = {
+        "q_pipeline_records": oracle.records_sql(_P01),
+        "q_pipeline_records_native": oracle.records_sql(_P01),
+        "q_parse_fidelity": oracle.fidelity_sql(_P01),
+        "q_pipeline_window_agg": oracle.windowed_counts_sql(_P01),
+        "q_pipeline_window_agg_salted": oracle.windowed_counts_sql(_P01),
+        "q_pipeline_route_counts": oracle.route_counts_sql(_P01),
+        "q_pipeline_enrich_agg": oracle.enrich_sql(
+            _P01, f"{_D01}/dim_lang.parquet", f"{_D01}/dim_severity.parquet"
+        ),
+        "q_events_level_norm": f"""
+SELECT event_type, {lvl} AS level, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "q_events_json_props": """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1""",
+        "q_events_hourly": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3""",
+        "q_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+        "q_join_revenue_by_segment": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
+    }
+    for name, sq in _search_queries().items():
+        sql[name] = _search_sql(sq)
+    return sql

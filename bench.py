@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline parse -> enrich -> route -> aggregate
+pipeline plus each per-operator query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <end-to-end pipeline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+
+``--scaling`` mode: runs the same pipeline at two parallelism levels
+(local[N] and local[4N], the sandbox stand-in for an N- vs
+4N-executor cluster, per BASELINE.md) in fresh subprocesses and writes
+BENCH/BASELINE.md with throughput at both plus scaling efficiency
+(target >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def run_pipeline_once(spark, sf_dir: str, warehouse: str) -> dict:
+    """End-to-end: read pages -> parse(arrow) -> enrich -> route to sinks
+    -> windowed aggregate per sink. Returns stage timings + row counts."""
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.operators.aggregate import windowed_counts
+    from logzilla_spark.operators.enrich import enrich_records
+    from logzilla_spark.operators.parse import parse_records
+    from logzilla_spark.operators.route import route_to_sinks, sink_name
+    from logzilla_spark.schemas import CATEGORIES
+    from logzilla_spark.sources.catalog import LocalCatalog
+    from logzilla_spark.testdata import ensure_pages
+
+    d = ensure_pages(sf_dir)
+    shutil.rmtree(warehouse, ignore_errors=True)
+    cat = LocalCatalog(warehouse)
+
+    t0 = time.perf_counter()
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    n_pages = pages.count()
+    rec = parse_records(pages, impl="arrow", use_html=True)
+    dim_lang = spark.read.parquet(f"{d}/dim_lang.parquet")
+    dim_sev = spark.read.parquet(f"{d}/dim_severity.parquet")
+    enriched = enrich_records(rec, dim_lang, dim_sev)
+    t1 = time.perf_counter()
+    route_to_sinks(enriched, cat, run_id="bench")
+    t2 = time.perf_counter()
+    n_records = 0
+    for c in CATEGORIES:
+        sink = cat.read(spark, sink_name(c))
+        agg = windowed_counts(sink)
+        cat.append(agg.withColumn("sink", F.lit(c)), f"agg_{c}")
+        n_records += sink.count()
+    t3 = time.perf_counter()
+    total = t3 - t0
+    return {
+        "n_pages": n_pages,
+        "n_records": n_records,
+        "parse_route_sec": round(t2 - t0, 3),
+        "aggregate_sec": round(t3 - t2, 3),
+        "total_sec": round(total, 3),
+        "docs_per_sec": round(n_pages / total, 1),
+        "records_per_sec": round(n_records / total, 1),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, fn in sorted(entry.queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return out
+
+
+def main_single(cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
+    from logzilla_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name=f"bench[{cpus}]")
+    wh = os.path.join(REPO, ".cache", f"bench_wh_{cpus}")
+    pipe = run_pipeline_once(spark, sf_dir, wh)
+    queries = bench_queries(spark, sf_dir) if include_queries else {}
+    spark.stop()
+    shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "metric": "parse_route_aggregate_e2e",
+        "value": pipe["total_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "cpus": cpus,
+        **pipe,
+    }
+
+
+def main_scaling(n: int = 8, sf_dir: str = SF_DIR) -> None:
+    """Same job, same input, local[N] vs local[4N]; efficiency >= 0.8."""
+    results = {}
+    for cores in (n, 4 * n):
+        cmd = [
+            sys.executable, __file__, "--single", str(cores), "--no-queries",
+        ]
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    tn, t4n = results[n]["docs_per_sec"], results[4 * n]["docs_per_sec"]
+    eff = (t4n / tn) / 4
+    md = f"""# BENCH/BASELINE.md — measured scaling (N vs 4N)
+
+Sandbox stand-in for two cluster sizes (BASELINE.json north_rule):
+the identical parse->enrich->route->aggregate job on the identical
+input ({results[n]['n_pages']} pages, {results[n]['n_records']} log records,
+sf={results[n]['sf']}), at local[{n}] and local[{4 * n}].
+
+| parallelism | end-to-end sec | docs/sec | records/sec |
+|---|---|---|---|
+| local[{n}] (N) | {results[n]['total_sec']} | {tn} | {results[n]['records_per_sec']} |
+| local[{4 * n}] (4N) | {results[4 * n]['total_sec']} | {t4n} | {results[4 * n]['records_per_sec']} |
+
+**Scaling efficiency (T_4N/T_N)/4 = {eff:.3f}** (target >= 0.8).
+
+Confs: AQE on (coalesce+skewJoin), shuffle.partitions = cores,
+Arrow pandas-UDF parse, broadcast dims, snapshot-committed parquet sinks.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"n": n, "docs_per_sec_n": tn, "docs_per_sec_4n": t4n,
+                      "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        main_scaling()
+    elif "--single" in args:
+        cores = int(args[args.index("--single") + 1])
+        res = main_single(cores, SF_DIR, include_queries="--no-queries" not in args)
+        print(json.dumps(res))
+    else:
+        print(json.dumps(main_single(CPUS, SF_DIR)))

@@ -1,0 +1,350 @@
+"""G1 — vectorized parse stage: pages -> structured log records.
+
+Reimagines the reference's processor stage (the JSON processor,
+reference: processor/json.go:39-80; the planned grok/regex processor,
+reference: README.md:100-107; the error-tolerant chain,
+reference: engine/processor.go:91-107) as a Spark DataFrame stage over
+Common-Crawl-style pages:
+
+    pages(url, warc_ts, html, text, lang)
+      -> explode embedded log lines (JVM-side split/posexplode)
+      -> per-line parse (Arrow pandas UDF, one batch per Arrow chunk)
+      -> records envelope (id, source, timestamp, level, message,
+         metadata, category, lang, parse_ok, url, warc_ts)
+
+Two interchangeable parse implementations, tested equal on the corpus:
+
+- ``impl="arrow"`` (canonical, mandated by the graft): one vectorized
+  pandas UDF; JSON lines via C-json loads with exact leftover-keys
+  semantics, access lines via vectorized ``str.extract`` grok regex.
+- ``impl="native"``: pure built-in functions (``from_json`` /
+  ``regexp_extract`` / ``try_to_timestamp``), whole-stage-codegen'd,
+  zero Python. Used as a differential twin and as the fast path when
+  exact leftover-keys fidelity is not required.
+
+Error tolerance contract (reference: engine/processor.go:99-102 +
+processor/json.go:48-67): a line whose parse fails is NEVER dropped and
+never raises; it flows on unchanged as category='unparsed' with
+level=UNKNOWN, message='' (Go zero value), empty metadata, and
+timestamp = ingest time (warc_ts). Per-record semantics:
+
+- timestamp field must exist, be a JSON string, non-empty, and parse as
+  RFC3339, else the parse fails (processor/json.go:48-57);
+- level field must exist and be a string; normalized via the exact
+  lowercase table (processor/util.go:9-24 — "warning" -> UNKNOWN);
+- message field optional; non-string -> "" (processor/json.go:70-72);
+- all remaining keys -> metadata map<string,string> with nested values
+  JSON-encoded (processor/json.go:74-79; SURVEY.md §1.4).
+
+Scale notes: the explode and envelope assembly are pure JVM expressions
+(codegen). The Arrow UDF is the only Python crossing; it is stateless,
+so 1000 executors run it embarrassingly parallel with no shuffle —
+the stage preserves the input partitioning.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.levels import parse_level_col, parse_level_pd
+from ..schemas import PARSED_LINE_STRUCT
+
+RFC3339_SPARK = "yyyy-MM-dd'T'HH:mm:ssX"
+APACHE_TS_SPARK = "dd/MMM/yyyy:HH:mm:ss Z"
+APACHE_TS_PD = "%d/%b/%Y:%H:%M:%S %z"
+
+# Apache combined-ish access-line grok (reference README.md:100-107 names
+# groups ip/timestamp/method/path/status/size)
+ACCESS_RE = (
+    r'^(?P<ip>\S+) \S+ \S+ \[(?P<ts>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+) (?P<proto>[^"]*)" '
+    r'(?P<status>\d{3}) (?P<size>\d+)$'
+)
+# Same regex, group names stripped (Spark regexp_extract is index-based)
+ACCESS_RE_SPARK = re.sub(r"\?P<[a-z]+>", "", ACCESS_RE)
+# group indexes in ACCESS_RE_SPARK
+_G_IP, _G_TS, _G_METHOD, _G_PATH, _G_PROTO, _G_STATUS, _G_SIZE = 1, 2, 3, 4, 5, 6, 7
+
+ENVELOPE_KEYS = ("timestamp", "level", "message")
+
+
+# --------------------------------------------------------------------------
+# line extraction (JVM-side)
+# --------------------------------------------------------------------------
+
+def text_from_html(col: Column | str = "html") -> Column:
+    """Decode the html binary and extract the <pre> payload.
+
+    This is the byte-identical-extraction path (BASELINE.json north_rule):
+    the result must equal the `text` column byte-for-byte per url.
+    Single pinned decode path: strict UTF-8.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(F.decode(c, "UTF-8"), r"(?s)<pre>(.*)</pre>", 1)
+
+
+def explode_lines(pages: DataFrame, use_html: bool = False) -> DataFrame:
+    """pages -> one row per embedded log line, with position.
+
+    JVM-side only (split + posexplode): no Python, no shuffle.
+    Mirrors the reference's line splitter (source/file.go:101-117) and
+    source tagging (source/file.go:104-107; `source` = url host here).
+    """
+    text = text_from_html("html") if use_html else F.col("text")
+    return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("source"),
+        F.posexplode(F.split(text, r"\n")).alias("pos", "line"),
+    )
+
+
+# --------------------------------------------------------------------------
+# canonical Arrow pandas-UDF parse (impl="arrow")
+# --------------------------------------------------------------------------
+
+def _canon_str(v) -> str:
+    """Canonical string form for metadata values (SURVEY.md §1.4).
+
+    Matches Spark's from_json(map<string,string>) casts and DuckDB's
+    json_extract_string on scalars; nested values minified JSON in
+    document key order (what both other engines produce).
+    """
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+    return json.dumps(v, separators=(",", ":"))
+
+
+_RFC3339_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
+
+
+def _parse_json_line(raw: str):
+    """One JSON line -> (ts_str, level_raw, message, metadata) or None.
+
+    Exact reference contract, processor/json.go:39-80. Called per
+    JSON-candidate line inside an Arrow batch (C-accelerated json);
+    timestamp STRING validation happens here, the actual datetime
+    conversion is vectorized over the whole batch by the caller.
+    """
+    try:
+        data = json.loads(raw)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(data, dict):
+        return None
+    ts_val = data.get("timestamp")
+    if not isinstance(ts_val, str) or ts_val == "" or not _RFC3339_RE.match(ts_val):
+        return None  # json.go:48-57 (time.Parse(RFC3339) strictness)
+    del data["timestamp"]
+    lvl_val = data.get("level")
+    if not isinstance(lvl_val, str):
+        return None  # json.go:61-67
+    del data["level"]
+    msg_val = data.pop("message", None)  # json.go:70-72: non-string -> ""
+    message = msg_val if isinstance(msg_val, str) else ""
+    metadata = {k: _canon_str(v) for k, v in data.items()}
+    return ts_val, lvl_val, message, metadata
+
+
+def _parse_batch(line: pd.Series, warc_ts: pd.Series) -> pd.DataFrame:
+    """Vectorized per-batch parse.
+
+    Hot-path discipline: no per-row pandas indexing — regex extraction,
+    timestamp parsing and level mapping are whole-batch vectorized;
+    the only per-row Python is one C-json loads per JSON candidate,
+    with results scattered via numpy fancy indexing.
+    """
+    n = len(line)
+    line = line.fillna("").reset_index(drop=True)
+    lines_np = line.to_numpy(dtype=object)
+
+    timestamp = warc_ts.reset_index(drop=True).copy()  # fallback: ingest time
+    level = np.full(n, "UNKNOWN", dtype=object)
+    message = np.full(n, "", dtype=object)
+    metadata = np.empty(n, dtype=object)
+    metadata[:] = [{}] * n  # shared empty dict is fine (read-only)
+    category = np.full(n, "unparsed", dtype=object)
+
+    # --- access lines: one vectorized grok regex over the whole batch ---
+    acc = line.str.extract(ACCESS_RE)
+    ts_acc = pd.to_datetime(acc["ts"], format=APACHE_TS_PD, errors="coerce", utc=True)
+    acc_ok = (acc["status"].notna() & ts_acc.notna()).to_numpy()
+    if acc_ok.any():
+        status = acc["status"].to_numpy(dtype="float64", na_value=np.nan)
+        lvl = np.where(status < 400, "INFO", np.where(status < 500, "WARN", "ERROR"))
+        timestamp[acc_ok] = ts_acc.dt.tz_localize(None)[acc_ok]
+        level[acc_ok] = lvl[acc_ok]
+        message[acc_ok] = (acc["method"] + " " + acc["path"]).to_numpy(dtype=object)[acc_ok]
+        idx = np.flatnonzero(acc_ok)
+        sub = acc.iloc[idx]
+        metadata[idx] = [
+            {"ip": r.ip, "method": r.method, "path": r.path,
+             "status": r.status, "size": r.size}
+            for r in sub.itertuples()
+        ]
+        category[acc_ok] = "access"
+
+    # --- JSON lines: one C-json loads per candidate, batch-scattered ---
+    jmask = line.str.match(r"\s*\{").to_numpy() & ~acc_ok
+    if jmask.any():
+        jidx = np.flatnonzero(jmask)
+        parsed = [_parse_json_line(s) for s in lines_np[jidx]]
+        ok = np.fromiter((p is not None for p in parsed), bool, len(parsed))
+        okidx = jidx[ok]
+        if len(okidx):
+            good = [p for p in parsed if p is not None]
+            ts_parsed = pd.to_datetime(
+                pd.Series([p[0] for p in good]),
+                format="ISO8601", errors="coerce", utc=True,
+            ).dt.tz_localize(None)
+            timestamp[okidx] = ts_parsed.to_numpy()
+            level[okidx] = parse_level_pd(
+                pd.Series([p[1] for p in good], dtype=object)
+            ).to_numpy(dtype=object)
+            message[okidx] = np.array([p[2] for p in good], dtype=object)
+            metadata[okidx] = np.array([p[3] for p in good], dtype=object)
+            category[okidx] = "json"
+
+    return pd.DataFrame(
+        {
+            "timestamp": pd.to_datetime(timestamp),
+            "level": level,
+            "message": message,
+            "metadata": metadata,
+            "category": category,
+            "parse_ok": category != "unparsed",
+        }
+    )
+
+
+_parse_line_udf = F.pandas_udf(_parse_batch, PARSED_LINE_STRUCT)
+
+
+# --------------------------------------------------------------------------
+# built-in-functions twin (impl="native") — zero Python, fully codegen'd
+# --------------------------------------------------------------------------
+
+def _native_parsed_struct() -> Column:
+    line = F.col("line")
+    m = F.from_json(line, "map<string,string>")
+    ts_json = F.try_to_timestamp(m["timestamp"], F.lit(RFC3339_SPARK))
+    # level must be present as a JSON *string* (json.go:61-67); from_json
+    # stringifies scalars, so check the raw text for a quoted value.
+    level_is_str = line.rlike(r'"level"\s*:\s*"')
+    ts_is_str = line.rlike(r'"timestamp"\s*:\s*"')
+    json_ok = m.isNotNull() & ts_json.isNotNull() & ts_is_str & level_is_str
+
+    acc_ts = F.try_to_timestamp(
+        F.regexp_extract(line, ACCESS_RE_SPARK, _G_TS), F.lit(APACHE_TS_SPARK)
+    )
+    acc_match = line.rlike(ACCESS_RE_SPARK)
+    acc_ok = acc_match & acc_ts.isNotNull()
+    status = F.regexp_extract(line, ACCESS_RE_SPARK, _G_STATUS).cast("int")
+
+    category = (
+        F.when(json_ok, "json").when(acc_ok, "access").otherwise("unparsed")
+    )
+    timestamp = (
+        F.when(json_ok, ts_json).when(acc_ok, acc_ts).otherwise(F.col("warc_ts"))
+    )
+    level = (
+        F.when(json_ok, parse_level_col(m["level"]))
+        .when(
+            acc_ok,
+            F.when(status < 400, "INFO").when(status < 500, "WARN").otherwise("ERROR"),
+        )
+        .otherwise("UNKNOWN")
+    )
+    # message must be a JSON string, else '' (json.go:70-72); from_json
+    # stringifies scalars, so gate on the raw text like level above
+    msg_is_str = line.rlike(r'"message"\s*:\s*"')
+    message = (
+        F.when(json_ok, F.when(msg_is_str, F.coalesce(m["message"], F.lit(""))).otherwise(F.lit("")))
+        .when(
+            acc_ok,
+            F.concat_ws(
+                " ",
+                F.regexp_extract(line, ACCESS_RE_SPARK, _G_METHOD),
+                F.regexp_extract(line, ACCESS_RE_SPARK, _G_PATH),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    metadata = (
+        F.when(
+            json_ok,
+            F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+        )
+        .when(
+            acc_ok,
+            F.create_map(
+                F.lit("ip"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_IP),
+                F.lit("method"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_METHOD),
+                F.lit("path"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_PATH),
+                F.lit("status"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_STATUS),
+                F.lit("size"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_SIZE),
+            ),
+        )
+        .otherwise(empty_map)
+    )
+    return F.struct(
+        timestamp.alias("timestamp"),
+        level.alias("level"),
+        message.alias("message"),
+        metadata.alias("metadata"),
+        category.alias("category"),
+        (category != "unparsed").alias("parse_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+def parse_records(
+    pages: DataFrame, impl: str = "arrow", use_html: bool = False
+) -> DataFrame:
+    """Full parse stage: pages -> records envelope (RECORDS_SCHEMA).
+
+    ``impl``: "arrow" (canonical pandas UDF) or "native" (built-ins twin).
+    ``use_html``: parse lines extracted from the html binary instead of
+    the text column (fidelity invariant makes them identical).
+    """
+    lines = explode_lines(pages, use_html=use_html)
+    if impl == "arrow":
+        parsed = _parse_line_udf(F.col("line"), F.col("warc_ts"))
+    elif impl == "native":
+        parsed = _native_parsed_struct()
+    else:
+        raise ValueError(f"unknown parse impl: {impl!r}")
+    return lines.select(
+        F.concat(F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 4, "0")).alias("id"),
+        F.col("source"),
+        parsed["timestamp"].alias("timestamp"),
+        parsed["level"].alias("level"),
+        parsed["message"].alias("message"),
+        parsed["metadata"].alias("metadata"),
+        parsed["category"].alias("category"),
+        F.col("lang"),
+        parsed["parse_ok"].alias("parse_ok"),
+        F.col("url"),
+        F.col("warc_ts"),
+    )

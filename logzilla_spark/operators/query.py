@@ -1,0 +1,329 @@
+"""Search query layer: filter trees compiled to Catalyst Column expressions.
+
+Reimplements the reference's query path (reference: querier/querier.go,
+querier/node.go, querier/sqlbuilder.go) where a ``QueryNode`` tree plus
+time-range/sort/limit params compile to a single SQL statement pushed to
+ClickHouse. Here the tree compiles directly to a ``pyspark.sql.Column``
+predicate and the chain ``filter -> orderBy -> limit -> select`` —
+Catalyst plans it (ORDER BY+LIMIT becomes TakeOrderedAndProject, i.e.
+true distributed top-k; filters and projection push down to the scan).
+
+Reference quirks preserved (each tested):
+- start/end auto-swap when reversed (querier/sqlbuilder.go:89-97);
+- End < Start requested => backward chronology => timestamp DESC
+  (querier/querier.go:69-74, sqlbuilder.go:122-125);
+- timestamp appended as sort tie-breaker when absent
+  (querier/sqlbuilder.go:153-161);
+- limit clamped to [1, 1000] (querier/querier.go:76-87);
+- sort fields validated against a whitelist (sqlbuilder.go:127-131,
+  default ["source","level","timestamp"], configured
+  storage/clickhouse.go:36);
+- filter fields validated against the field whitelist pattern including
+  ``metadata.key`` paths (storage/clickhouse.go:16);
+- empty AND/OR nodes collapse to no-op (sqlbuilder.go:220-228);
+- the Column API is parameterized by construction — no string SQL, no
+  injection surface (sqlbuilder.go's `?` placeholders, :247-274).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as pyop
+import re
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference: storage/clickhouse.go:16
+FIELD_PATTERN = re.compile(
+    r'^(id|level|timestamp|message|source|metadata(\.("[^"]+"|[a-zA-Z0-9_]+))?)$'
+)
+# reference: storage/clickhouse.go:35-36
+DEFAULT_SELECT_COLUMNS = ["id", "source", "timestamp", "level", "message", "metadata"]
+DEFAULT_SORT_WHITELIST = ["source", "level", "timestamp"]
+
+MAX_LIMIT = 1000  # querier/querier.go:79
+DEFAULT_LIMIT = 100
+
+
+class QueryValidationError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# node tree (reference: querier/node.go:6-77)
+# --------------------------------------------------------------------------
+
+
+class QueryNode:
+    """Sealed filter-tree node (sum type in the reference)."""
+
+    def to_column(self, field_resolver) -> Column | None:
+        raise NotImplementedError
+
+    def to_sql(self, field_sql) -> str | None:
+        """ANSI SQL rendering for the DuckDB oracle (test-only)."""
+        raise NotImplementedError
+
+
+def _compose(children: Sequence[QueryNode], fn, op_sql: str, field_resolver, field_sql, sql: bool):
+    rendered = []
+    for ch in children:
+        r = ch.to_sql(field_sql) if sql else ch.to_column(field_resolver)
+        if r is not None:
+            rendered.append(r)
+    if not rendered:  # empty node collapses (sqlbuilder.go:220-228)
+        return None
+    if sql:
+        return "(" + f" {op_sql} ".join(rendered) + ")"
+    return functools.reduce(fn, rendered)
+
+
+@dataclass
+class AndNode(QueryNode):
+    children: list[QueryNode] = field(default_factory=list)
+
+    def to_column(self, field_resolver):
+        return _compose(self.children, pyop.and_, "AND", field_resolver, None, False)
+
+    def to_sql(self, field_sql):
+        return _compose(self.children, None, "AND", None, field_sql, True)
+
+
+@dataclass
+class OrNode(QueryNode):
+    children: list[QueryNode] = field(default_factory=list)
+
+    def to_column(self, field_resolver):
+        return _compose(self.children, pyop.or_, "OR", field_resolver, None, False)
+
+    def to_sql(self, field_sql):
+        return _compose(self.children, None, "OR", None, field_sql, True)
+
+
+@dataclass
+class NotNode(QueryNode):
+    child: QueryNode
+
+    def to_column(self, field_resolver):
+        c = self.child.to_column(field_resolver)
+        return None if c is None else ~c
+
+    def to_sql(self, field_sql):
+        s = self.child.to_sql(field_sql)
+        return None if s is None else f"NOT ({s})"
+
+
+# the 9 comparison operators (querier/node.go:40-59)
+OPS = ("eq", "ne", "gt", "lt", "gte", "lte", "like", "ilike", "in")
+_OP_SQL = {
+    "eq": "=", "ne": "!=", "gt": ">", "lt": "<", "gte": ">=", "lte": "<=",
+    "like": "LIKE", "ilike": "ILIKE", "in": "IN",
+}
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if v is None:
+        raise QueryValidationError("nil comparison value")  # sqlbuilder.go:238
+    return str(v)
+
+
+@dataclass
+class ComparisonNode(QueryNode):
+    field_name: str
+    value: object
+    op: str  # one of OPS
+
+    def _check(self):
+        if self.op not in OPS:
+            raise QueryValidationError(f"unknown operator {self.op!r}")
+        if not self.field_name:
+            raise QueryValidationError("empty field name")  # sqlbuilder.go:239
+        if self.value is None:
+            raise QueryValidationError("nil value")  # sqlbuilder.go:238
+        if not FIELD_PATTERN.match(self.field_name):
+            raise QueryValidationError(f"field not allowed: {self.field_name!r}")
+
+    def to_column(self, field_resolver):
+        self._check()
+        col = field_resolver(self.field_name)
+        v = self.value
+        if self.op == "eq":
+            return col == v
+        if self.op == "ne":
+            return col != v
+        if self.op == "gt":
+            return col > v
+        if self.op == "lt":
+            return col < v
+        if self.op == "gte":
+            return col >= v
+        if self.op == "lte":
+            return col <= v
+        if self.op == "like":
+            return col.like(v)
+        if self.op == "ilike":
+            return col.ilike(v)
+        if self.op == "in":
+            if not isinstance(v, (list, tuple)):
+                raise QueryValidationError("IN requires a list value")
+            return col.isin(*v)
+        raise AssertionError
+
+    def to_sql(self, field_sql):
+        self._check()
+        lhs = field_sql(self.field_name)
+        if self.op == "in":
+            vals = ", ".join(_sql_lit(x) for x in self.value)
+            return f"{lhs} IN ({vals})"
+        return f"{lhs} {_OP_SQL[self.op]} {_sql_lit(self.value)}"
+
+
+# --------------------------------------------------------------------------
+# Query params (reference: querier/querier.go:34-94)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SortField:
+    name: str
+    descending: bool = False
+
+
+@dataclass
+class Query:
+    start: datetime  # mandatory (querier/querier.go:89-91)
+    end: datetime | None = None
+    node: QueryNode | None = None
+    sort: list[SortField] = field(default_factory=list)
+    limit: int = DEFAULT_LIMIT
+    select_columns: list[str] | None = None
+
+    def validate(self, sort_whitelist: Sequence[str] = DEFAULT_SORT_WHITELIST) -> None:
+        # reference Query.Validate (querier/querier.go:76-94) — the Go API
+        # handler forgets to call it (api/handler.go:9-41); we always do.
+        if self.start is None:
+            raise QueryValidationError("start is required")
+        if not (1 <= self.limit <= MAX_LIMIT):
+            raise QueryValidationError(f"limit must be in [1, {MAX_LIMIT}]")
+        for s in self.sort:
+            if s.name not in sort_whitelist:
+                raise QueryValidationError(f"sort field not allowed: {s.name!r}")
+
+
+def default_field_resolver(name: str) -> Column:
+    """Resolve a whitelisted field path to a Column.
+
+    ``metadata.key`` / ``metadata."key"`` -> map access (the reference's
+    ClickHouse JSON path, storage/clickhouse.go:16 + node.go:65-67).
+    """
+    if name.startswith("metadata."):
+        key = name[len("metadata."):].strip('"')
+        return F.col("metadata")[key]
+    return F.col(name)
+
+
+def default_field_sql(name: str) -> str:
+    if name.startswith("metadata."):
+        key = name[len("metadata."):].strip('"')
+        return f"m_{key}"  # oracle records relation flattens metadata to m_*
+    return name
+
+
+def search(
+    df: DataFrame,
+    query: Query,
+    time_column: str = "timestamp",
+    sort_whitelist: Sequence[str] = DEFAULT_SORT_WHITELIST,
+    field_resolver=default_field_resolver,
+) -> DataFrame:
+    """Execute a search query: filter -> orderBy -> limit -> select.
+
+    Plan shape: one scan with pushed filters; TakeOrderedAndProject for
+    the top-k (no global sort); at 100 TB the mandatory time predicate
+    prunes Iceberg partitions (months(warc_ts)) before any I/O.
+    """
+    query.validate(sort_whitelist)
+    start, end = query.start, query.end
+    backward = False
+    if end is not None and end < start:
+        # auto-swap + backward chronology (sqlbuilder.go:89-97,122-125)
+        start, end = end, start
+        backward = True
+
+    tc = F.col(time_column)
+    pred = tc >= start  # mandatory (sqlbuilder.go:100-101)
+    if end is not None:
+        pred = pred & (tc <= end)
+    if query.node is not None:
+        user = query.node.to_column(field_resolver)
+        if user is not None:
+            pred = pred & user
+
+    out = df.filter(pred)
+
+    order: list[Column] = []
+    has_ts = False
+    for s in query.sort:
+        c = F.col(s.name)
+        order.append(c.desc() if s.descending else c.asc())
+        if s.name == time_column:
+            has_ts = True
+    if not has_ts:
+        # implicit tie-breaker (sqlbuilder.go:153-161), direction follows
+        # backward flag (querier/querier.go:69-74)
+        order.append(tc.desc() if backward else tc.asc())
+    out = out.orderBy(*order).limit(query.limit)
+    return out.select(*(query.select_columns or DEFAULT_SELECT_COLUMNS))
+
+
+def search_oracle_sql(
+    relation: str,
+    query: Query,
+    time_column: str = "timestamp",
+    field_sql=default_field_sql,
+    select_sql: Sequence[str] | None = None,
+) -> str:
+    """Render the equivalent ANSI SQL (DuckDB oracle) for a Query.
+
+    Mirrors the reference SQL builder's assembly (sqlbuilder.go:52-80):
+    mirrors exactly the semantics applied by :func:`search`.
+    """
+    query.validate()
+    start, end = query.start, query.end
+    backward = False
+    if end is not None and end < start:
+        start, end = end, start
+        backward = True
+    where = [f"{time_column} >= {_sql_lit(start)}"]
+    if end is not None:
+        where.append(f"{time_column} <= {_sql_lit(end)}")
+    if query.node is not None:
+        s = query.node.to_sql(field_sql)
+        if s is not None:
+            where.append(s)
+    order = []
+    has_ts = False
+    for srt in query.sort:
+        order.append(f"{srt.name} {'DESC' if srt.descending else 'ASC'}")
+        if srt.name == time_column:
+            has_ts = True
+    if not has_ts:
+        order.append(f"{time_column} {'DESC' if backward else 'ASC'}")
+    cols = ", ".join(select_sql or query.select_columns or DEFAULT_SELECT_COLUMNS)
+    return (
+        f"SELECT {cols} FROM {relation} WHERE "
+        + " AND ".join(where)
+        + " ORDER BY "
+        + ", ".join(order)
+        + f" LIMIT {query.limit}"
+    )

@@ -1,0 +1,73 @@
+"""G3 — routing fan-out: parsed records -> per-category sink tables.
+
+The reference routes each raw record to a processor chain keyed by its
+source tag (reference: engine/processor.go:84-95) and lands everything
+in one table; the graft extends this to fan parsed rows out to one sink
+table per parsed ``category`` (SURVEY.md §2.5 G3) with two invariants
+(BASELINE.json north_rule):
+
+- set equality: union of all sinks == the parsed record set;
+- disjointness: sinks are pairwise disjoint on ``id``.
+
+Single-pass guarantee: the parsed DataFrame is materialized exactly once
+(``persist``), then each sink write is a filter over the cached data —
+upstream parse/enrich run once no matter how many categories exist.
+At cluster scale the same shape holds (cache in memory/disk, or write a
+single category-partitioned staging table and copy per-partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..schemas import CATEGORIES
+from ..sources.catalog import LocalCatalog
+
+
+def sink_name(category: str) -> str:
+    return f"sink_{category}"
+
+
+def route_to_sinks(
+    records: DataFrame,
+    catalog: LocalCatalog,
+    categories: list[str] | None = None,
+    run_id: str | None = None,
+) -> dict[str, int]:
+    """Fan records out to per-category sinks; returns snapshot id per sink.
+
+    One upstream materialization; per-category writes are cached-filter
+    scans. Unknown categories (not in ``categories``) would be silently
+    dropped — callers pass the closed routing domain (CATEGORIES).
+    """
+    categories = categories or CATEGORIES
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        records.count()  # materialize once
+        snaps: dict[str, int] = {}
+        for cat in categories:
+            part = records.filter(F.col("category") == cat)
+            snaps[cat] = catalog.append(
+                part, sink_name(cat), summary={"run_id": run_id, "category": cat}
+            )
+        return snaps
+    finally:
+        records.unpersist()
+
+
+def read_all_sinks(
+    spark: SparkSession, catalog: LocalCatalog, categories: list[str] | None = None
+) -> DataFrame:
+    """Union of every sink table (for the set-equality invariant)."""
+    categories = categories or CATEGORIES
+    dfs = [
+        catalog.read(spark, sink_name(c)) for c in categories if catalog.exists(sink_name(c))
+    ]
+    if not dfs:
+        raise ValueError("no sinks committed")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

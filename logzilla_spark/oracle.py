@@ -1,0 +1,154 @@
+"""DuckDB oracle SQL for the pipeline (differential-test support).
+
+The reference has no test suite (SURVEY.md §5), so correctness is
+anchored by reproducing every pipeline stage in an independent engine:
+DuckDB SQL over the *same* parquet bytes. These strings are consumed by
+``__spark_entry__.oracle_sql()`` (the driver's correctness gate) and by
+the local pytest differential tests.
+
+The parse reproduction mirrors the reference contracts exactly:
+- JSON flavor: `timestamp` must be a JSON string in RFC3339 Z-form and
+  parse; `level` must be a JSON string (processor/json.go:48-67);
+  non-string `message` -> '' (processor/json.go:70-72);
+- access flavor: the apache-combined grok regex (README.md:100-107),
+  level derived from status class;
+- anything else: category 'unparsed', level UNKNOWN, message '',
+  timestamp = ingest time (engine/processor.go:99-102 tolerance).
+
+Metadata is compared via flattened per-key columns (m_*) because map
+column hashing is not portable across engines; full-map equality is
+covered by the pytest arrow-vs-native differential tests instead.
+"""
+
+from __future__ import annotations
+
+# Apache access regex — single-quoted SQL-safe (no quotes inside except
+# the double quotes, which are fine inside single-quoted SQL strings)
+ACCESS_RE_SQL = (
+    r'^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+)$'
+)
+_RFC3339_Z = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$"
+
+_LEVEL_CASE = (
+    "CASE lower({v}) WHEN 'debug' THEN 'DEBUG' WHEN 'info' THEN 'INFO' "
+    "WHEN 'warn' THEN 'WARN' WHEN 'error' THEN 'ERROR' WHEN 'fatal' THEN 'FATAL' "
+    "ELSE 'UNKNOWN' END"
+)
+
+
+def records_cte(pages_path: str) -> str:
+    """WITH-clause body computing the records relation from pages parquet.
+
+    Exposes relation ``records`` with columns: id, source, "timestamp",
+    level, message, category, lang, parse_ok, url, warc_ts, and
+    flattened metadata m_service, m_request_id, m_attempt, m_ip,
+    m_method, m_path, m_status, m_size.
+    """
+    acc = ACCESS_RE_SQL.replace("'", "''")
+    jlvl = "json_extract_string(line, '$.level')"
+    jts = "json_extract_string(line, '$.timestamp')"
+    jts_cast = f"try_cast(replace(replace({jts}, 'T', ' '), 'Z', '') AS TIMESTAMP)"
+    ats = f"try_strptime(regexp_extract(regexp_extract(line, '{acc}', 2), '^([^ ]+)', 1), '%d/%b/%Y:%H:%M:%S')"
+    return f"""
+pages AS (
+  SELECT * FROM read_parquet('{pages_path}')
+),
+lines AS (
+  SELECT url, warc_ts, lang, source, u.pos AS pos, u.line AS line FROM (
+    SELECT url, warc_ts, lang,
+           regexp_extract(url, '^https?://([^/]+)/', 1) AS source,
+           unnest([{{'pos': i - 1, 'line': sp[i]}} for i in generate_series(1, len(sp))]) AS u
+    FROM (SELECT *, string_split(text, chr(10)) AS sp FROM pages)
+  )
+),
+classified AS (
+  -- CASE wrappers: DuckDB does not short-circuit AND, and json_* functions
+  -- raise on malformed JSON, so every json_* call is guarded.
+  SELECT *,
+    coalesce(CASE WHEN json_valid(line) THEN
+      json_type(line, '$.timestamp') = 'VARCHAR'
+      AND regexp_matches({jts}, '{_RFC3339_Z}')
+      AND {jts_cast} IS NOT NULL
+      AND json_type(line, '$.level') = 'VARCHAR'
+    END, FALSE) AS json_ok,
+    (regexp_matches(line, '{acc}') AND {ats} IS NOT NULL) AS acc_ok
+  FROM lines
+),
+records AS (
+  SELECT
+    url || '#' || lpad(CAST(pos AS VARCHAR), 4, '0') AS id,
+    source,
+    CASE WHEN json_ok THEN {jts_cast}
+         WHEN acc_ok THEN {ats}
+         ELSE warc_ts END AS "timestamp",
+    CASE WHEN json_ok THEN {_LEVEL_CASE.format(v=jlvl)}
+         WHEN acc_ok THEN (
+           CASE WHEN CAST(regexp_extract(line, '{acc}', 6) AS INT) < 400 THEN 'INFO'
+                WHEN CAST(regexp_extract(line, '{acc}', 6) AS INT) < 500 THEN 'WARN'
+                ELSE 'ERROR' END)
+         ELSE 'UNKNOWN' END AS level,
+    CASE WHEN json_ok THEN coalesce(
+           CASE WHEN json_type(line, '$.message') = 'VARCHAR'
+                THEN json_extract_string(line, '$.message') END, '')
+         WHEN acc_ok THEN regexp_extract(line, '{acc}', 3) || ' ' || regexp_extract(line, '{acc}', 4)
+         ELSE '' END AS message,
+    CASE WHEN json_ok THEN 'json' WHEN acc_ok THEN 'access' ELSE 'unparsed' END AS category,
+    lang,
+    (json_ok OR acc_ok) AS parse_ok,
+    url,
+    warc_ts,
+    CASE WHEN json_ok THEN json_extract_string(line, '$.service') END AS m_service,
+    CASE WHEN json_ok THEN json_extract_string(line, '$.request_id') END AS m_request_id,
+    CASE WHEN json_ok THEN json_extract_string(line, '$.attempt') END AS m_attempt,
+    CASE WHEN acc_ok THEN regexp_extract(line, '{acc}', 1) END AS m_ip,
+    CASE WHEN acc_ok THEN regexp_extract(line, '{acc}', 3) END AS m_method,
+    CASE WHEN acc_ok THEN regexp_extract(line, '{acc}', 4) END AS m_path,
+    CASE WHEN acc_ok THEN regexp_extract(line, '{acc}', 6) END AS m_status,
+    CASE WHEN acc_ok THEN regexp_extract(line, '{acc}', 7) END AS m_size
+  FROM classified
+)"""
+
+
+RECORDS_SELECT = (
+    'SELECT id, source, "timestamp", level, message, category, lang, parse_ok, '
+    "url, warc_ts, m_service, m_request_id, m_attempt, m_ip, m_method, m_path, "
+    "m_status, m_size FROM records"
+)
+
+
+def records_sql(pages_path: str) -> str:
+    return f"WITH {records_cte(pages_path)}\n{RECORDS_SELECT}"
+
+
+def windowed_counts_sql(pages_path: str) -> str:
+    return f"""WITH {records_cte(pages_path)}
+SELECT time_bucket(INTERVAL '1 hour', warc_ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', warc_ts) + INTERVAL '1 hour' AS window_end,
+       category, level, lang, CAST(count(*) AS BIGINT) AS n
+FROM records GROUP BY 1, 2, 3, 4, 5"""
+
+
+def route_counts_sql(pages_path: str) -> str:
+    return f"""WITH {records_cte(pages_path)}
+SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_ids
+FROM records GROUP BY 1"""
+
+
+def enrich_sql(pages_path: str, dim_lang_path: str, dim_severity_path: str) -> str:
+    return f"""WITH {records_cte(pages_path)}
+SELECT r.lang, r.level, d.lang_name, d.lang_family, s.level_code, s.severity_weight,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(s.severity_weight) AS BIGINT) AS weight_sum
+FROM records r
+LEFT JOIN read_parquet('{dim_lang_path}') d ON r.lang = d.lang
+LEFT JOIN read_parquet('{dim_severity_path}') s ON r.level = s.level
+GROUP BY 1, 2, 3, 4, 5, 6"""
+
+
+def fidelity_sql(pages_path: str) -> str:
+    """Byte-identical html-extract vs text, per url (north_rule invariant)."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN regexp_extract(decode(html), '(?s)<pre>(.*)</pre>', 1) = text
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+FROM read_parquet('{pages_path}')"""

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+The reference tunes a worker pool + channel buffers
+(reference: engine/orchestrator.go:18-22, README.md:158-167); here the
+equivalent knobs are partition counts and AQE, set once at session build.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on (runtime coalesce + skew-join splitting) so the same code runs
+  unchanged from local[8] to a large cluster.
+- `spark.sql.shuffle.partitions` defaults to the local core count here;
+  on a real cluster you set it to ~2-3x total cores (or rely on AQE
+  coalescing from a high initial number).
+- Arrow enabled: the only Python<->JVM crossings in the pipeline are
+  Arrow record batches inside pandas UDFs.
+- Session timezone pinned to UTC so results are byte-comparable with the
+  DuckDB oracle and stable across machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "logzilla_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession with engine defaults.
+
+    ``cores`` sets local parallelism (``local[cores]``); it is the
+    sandbox stand-in for executor count, used by the N-vs-4N scaling
+    benchmark (BASELINE.md target: efficiency >= 0.8).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,208 @@
+"""Snapshot-committed table catalog (Iceberg-semantics over parquet).
+
+The reference auto-creates two ClickHouse MergeTree tables and appends
+micro-batches to them (reference: storage/clickhouse.go:46-81 DDL,
+:157-184 batch insert). The graft mandates Iceberg tables; this
+environment has no Iceberg runtime jar, so this module provides a
+minimal transactional table format with the Iceberg properties the
+pipeline depends on, over plain parquet:
+
+- **atomic commits**: a writer stages parquet files into a private
+  directory, then publishes a JSON snapshot manifest via atomic
+  ``os.rename``; readers only ever see fully-committed snapshots
+  (crash mid-write leaves the table at the previous snapshot);
+- **snapshot ids + time travel**: monotonically increasing snapshot
+  ids; ``read(..., snapshot_id=k)`` reads table state as of k;
+- **incremental reads**: ``read_incremental(after_snapshot_id)``
+  returns only rows appended after a snapshot — the checkpoint-resume
+  primitive (SURVEY.md §2.5 G7);
+- **append / overwrite** operations with per-snapshot summaries.
+
+On a real cluster, swap ``LocalCatalog`` for a Spark Iceberg catalog;
+``iceberg_ddl()`` emits the equivalent CREATE TABLE statements
+(partitioned by months(warc_ts), matching the reference's
+``PARTITION BY toYYYYMM(timestamp)``, storage/clickhouse.go:59,78).
+Every engine call site goes through this interface only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+class LocalCatalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def _tbl(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self._tbl(name), "snapshots")
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self._tbl(name), "data")
+
+    # -- snapshot bookkeeping -------------------------------------------
+    def snapshot_ids(self, name: str) -> list[int]:
+        d = self._snap_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[5:-5]) for f in os.listdir(d) if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def last_snapshot_id(self, name: str) -> int | None:
+        ids = self.snapshot_ids(name)
+        return ids[-1] if ids else None
+
+    def _load_snapshot(self, name: str, snapshot_id: int) -> dict:
+        path = os.path.join(self._snap_dir(name), f"snap-{snapshot_id:08d}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, files: list[str], operation: str, summary: dict) -> int:
+        snap_dir = self._snap_dir(name)
+        os.makedirs(snap_dir, exist_ok=True)
+        new_id = (self.last_snapshot_id(name) or 0) + 1
+        manifest = {
+            "snapshot_id": new_id,
+            "operation": operation,
+            "files": files,
+            "summary": summary,
+        }
+        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(snap_dir, f"snap-{new_id:08d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)  # atomic publish
+        return new_id
+
+    def _stage_write(self, df: DataFrame, name: str, partition_by: list[str] | None) -> list[str]:
+        commit_dir = os.path.join(self._data_dir(name), uuid.uuid4().hex)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(commit_dir)
+        files = []
+        for root, _dirs, fnames in os.walk(commit_dir):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    files.append(os.path.join(root, fn))
+        return sorted(files)
+
+    # -- operations -----------------------------------------------------
+    def append(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Stage parquet then atomically publish a new snapshot."""
+        new_files = self._stage_write(df, name, partition_by)
+        prev = self.last_snapshot_id(name)
+        prev_files = self._load_snapshot(name, prev)["files"] if prev else []
+        return self._commit(name, prev_files + new_files, "append", summary or {})
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        new_files = self._stage_write(df, name, partition_by)
+        return self._commit(name, new_files, "overwrite", summary or {})
+
+    def exists(self, name: str) -> bool:
+        return self.last_snapshot_id(name) is not None
+
+    def snapshot_summary(self, name: str, snapshot_id: int) -> dict:
+        return self._load_snapshot(name, snapshot_id).get("summary", {})
+
+    def rollback(self, name: str, to_snapshot_id: int) -> int:
+        """Publish a new snapshot whose state equals ``to_snapshot_id``
+        (Iceberg rollback analog). Used by checkpoint-resume to drop
+        commits from a run that died before its checkpoint was written."""
+        target = self._load_snapshot(name, to_snapshot_id)
+        return self._commit(
+            name, target["files"], "rollback", {"rolled_back_to": to_snapshot_id}
+        )
+
+    # -- reads ----------------------------------------------------------
+    def read(self, spark: SparkSession, name: str, snapshot_id: int | None = None) -> DataFrame:
+        sid = snapshot_id if snapshot_id is not None else self.last_snapshot_id(name)
+        if sid is None:
+            raise SnapshotError(f"table {name!r} has no committed snapshot")
+        files = self._load_snapshot(name, sid)["files"]
+        if not files:
+            raise SnapshotError(f"table {name!r} snapshot {sid} is empty")
+        return spark.read.option("basePath", self._data_dir(name)).parquet(*files)
+
+    def read_incremental(
+        self, spark: SparkSession, name: str, after_snapshot_id: int | None
+    ) -> DataFrame | None:
+        """Rows committed after ``after_snapshot_id`` (None = everything).
+
+        The checkpoint-resume primitive: a resumed run reads only
+        not-yet-processed appends (Iceberg incremental scan analog).
+        Returns None when there is nothing new.
+        """
+        head = self.last_snapshot_id(name)
+        if head is None or head == after_snapshot_id:
+            return None
+        head_files = set(self._load_snapshot(name, head)["files"])
+        if after_snapshot_id:
+            head_files -= set(self._load_snapshot(name, after_snapshot_id)["files"])
+        if not head_files:
+            return None
+        return spark.read.option("basePath", self._data_dir(name)).parquet(*sorted(head_files))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tbl(name), ignore_errors=True)
+
+
+def iceberg_ddl(catalog: str = "local", db: str = "logzilla") -> dict[str, str]:
+    """Equivalent real-Iceberg DDL for a cluster deployment.
+
+    Partition/sort choices mirror the reference MergeTree layout
+    (storage/clickhouse.go:57-59,76-78): month partitioning on event
+    time, clustering by (source, timestamp).
+    """
+    fq = f"{catalog}.{db}"
+    records_cols = (
+        "id string, source string, timestamp timestamp, level string, "
+        "message string, metadata map<string,string>, category string, "
+        "lang string, parse_ok boolean, url string, warc_ts timestamp"
+    )
+    ddl = {
+        "pages": (
+            f"CREATE TABLE IF NOT EXISTS {fq}.pages (url string, warc_ts timestamp, "
+            f"html binary, text string, lang string) USING iceberg "
+            f"PARTITIONED BY (months(warc_ts))"
+        ),
+        "metrics": (
+            f"CREATE TABLE IF NOT EXISTS {fq}.metrics (run_id string, stage string, "
+            f"partition_id int, rows_in bigint, rows_out bigint, "
+            f"input_snapshot_id bigint, committed_at timestamp) USING iceberg"
+        ),
+    }
+    for cat in ("json", "access", "unparsed"):
+        ddl[f"sink_{cat}"] = (
+            f"CREATE TABLE IF NOT EXISTS {fq}.sink_{cat} ({records_cols}) USING iceberg "
+            f"PARTITIONED BY (months(warc_ts)) "
+            f"TBLPROPERTIES ('write.sort-order'='source ASC, timestamp ASC')"
+        )
+    return ddl

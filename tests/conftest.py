@@ -1,0 +1,43 @@
+import duckdb
+import pytest
+
+from logzilla_spark.session import get_spark
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=8, shuffle_partitions=8, app_name="logzilla_tests")
+    yield s
+    s.stop()
+
+
+def duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the driver's pre-registered views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck01():
+    return duck(SF01)
+
+
+def canon_rows(pdf):
+    """Driver-style canonicalization: sort columns by name, stringify."""
+    from collections import Counter
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        pdf[c] = pdf[c].map(lambda v: repr(v) if isinstance(v, float) else str(v))
+    return Counter(map(tuple, pdf.values.tolist()))

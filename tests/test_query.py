@@ -1,0 +1,127 @@
+"""Query-layer semantics (O25-O35) incl. the reference's quirks."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.operators.query import (
+    AndNode,
+    ComparisonNode,
+    NotNode,
+    OrNode,
+    Query,
+    QueryValidationError,
+    SortField,
+    search,
+)
+
+T = datetime
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        # id, source, timestamp, level, message, metadata
+        ("a", "s1", T(2024, 1, 1, 10), "ERROR", "disk full", {"svc": "api"}),
+        ("b", "s1", T(2024, 1, 2, 10), "INFO", "user login", {"svc": "web"}),
+        ("c", "s2", T(2024, 1, 3, 10), "WARN", "Disk almost full", {"svc": "api"}),
+        ("d", "s2", T(2024, 1, 4, 10), "FATAL", "crash", {}),
+        ("e", "s3", T(2024, 1, 4, 11), "ERROR", "disk error", {"svc": "db"}),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, source string, timestamp timestamp, level string, "
+        "message string, metadata map<string,string>",
+    )
+
+
+def ids(out):
+    return [r.id for r in out.select("id").collect()]
+
+
+def test_mandatory_start_and_range(df):
+    q = Query(start=T(2024, 1, 2), end=T(2024, 1, 4, 12), select_columns=["id"])
+    assert ids(search(df, q)) == ["b", "c", "d", "e"]
+
+
+def test_auto_swap_and_backward_desc(df):
+    # reversed bounds -> swap + DESC chronology (sqlbuilder.go:89-97,122-125)
+    q = Query(start=T(2024, 1, 4, 12), end=T(2024, 1, 2), select_columns=["id"])
+    assert ids(search(df, q)) == ["e", "d", "c", "b"]  # DESC chronology
+
+
+def test_timestamp_tiebreaker_appended(df):
+    # sort on source only; timestamp ASC is implicitly appended
+    q = Query(
+        start=T(2024, 1, 1), sort=[SortField("source")], select_columns=["id"]
+    )
+    assert ids(search(df, q)) == ["a", "b", "c", "d", "e"]
+
+
+def test_operators_matrix(df):
+    base = dict(start=T(2024, 1, 1), select_columns=["id"], limit=1000)
+    cases = [
+        (ComparisonNode("level", "ERROR", "eq"), {"a", "e"}),
+        (ComparisonNode("level", "ERROR", "ne"), {"b", "c", "d"}),
+        (ComparisonNode("timestamp", T(2024, 1, 3), "gt"), {"c", "d", "e"}),
+        (ComparisonNode("timestamp", T(2024, 1, 3), "lt"), {"a", "b"}),
+        (ComparisonNode("timestamp", T(2024, 1, 3, 10), "gte"), {"c", "d", "e"}),
+        (ComparisonNode("timestamp", T(2024, 1, 1, 10), "lte"), {"a"}),
+        (ComparisonNode("message", "disk%", "like"), {"a", "e"}),
+        (ComparisonNode("message", "disk%", "ilike"), {"a", "c", "e"}),
+        (ComparisonNode("level", ["WARN", "FATAL"], "in"), {"c", "d"}),
+        (ComparisonNode("metadata.svc", "api", "eq"), {"a", "c"}),
+    ]
+    for node, want in cases:
+        q = Query(node=node, **base)
+        assert set(ids(search(df, q))) == want, node
+
+
+def test_tree_composition_and_empty_collapse(df):
+    q = Query(
+        start=T(2024, 1, 1),
+        select_columns=["id"],
+        node=AndNode(
+            [
+                OrNode([]),  # collapses to no-op (sqlbuilder.go:220-228)
+                NotNode(ComparisonNode("level", "INFO", "eq")),
+                OrNode(
+                    [
+                        ComparisonNode("message", "disk%", "ilike"),
+                        ComparisonNode("level", "FATAL", "eq"),
+                    ]
+                ),
+            ]
+        ),
+    )
+    assert set(ids(search(df, q))) == {"a", "c", "d", "e"}
+    # fully-empty tree == time-range only
+    q2 = Query(start=T(2024, 1, 1), node=AndNode([]), select_columns=["id"])
+    assert len(ids(search(df, q2))) == 5
+
+
+def test_limit_bounds(df):
+    with pytest.raises(QueryValidationError):
+        search(df, Query(start=T(2024, 1, 1), limit=0))
+    with pytest.raises(QueryValidationError):
+        search(df, Query(start=T(2024, 1, 1), limit=1001))
+    q = Query(start=T(2024, 1, 1), limit=2, select_columns=["id"])
+    assert len(ids(search(df, q))) == 2
+
+
+def test_field_whitelist(df):
+    for bad in ["drop table", "metadata.", 'metadata."a"b', "lang; --"]:
+        with pytest.raises(QueryValidationError):
+            search(df, Query(start=T(2024, 1, 1), node=ComparisonNode(bad, "x", "eq")))
+    with pytest.raises(QueryValidationError):
+        search(df, Query(start=T(2024, 1, 1), sort=[SortField("message")]))
+    with pytest.raises(QueryValidationError):
+        search(df, Query(start=T(2024, 1, 1), node=ComparisonNode("level", None, "eq")))
+
+
+def test_topk_plan_no_global_sort(df):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (true top-k)."""
+    q = Query(start=T(2024, 1, 1), limit=2, select_columns=["id"])
+    plan = search(df, q)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
