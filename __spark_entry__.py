@@ -20,8 +20,9 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logzilla_spark import oracle
+from logzilla_spark import oracle, oracle_dataops
 from logzilla_spark.functions.levels import level_sql_case, parse_level_col
+from logzilla_spark.operators import dedup, multimodal, similarity, textstats
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.parse import parse_records, text_from_html
@@ -35,7 +36,7 @@ from logzilla_spark.operators.query import (
     search,
     search_oracle_sql,
 )
-from logzilla_spark.testdata import dim_parquet, ensure_pages, pages_parquet
+from logzilla_spark.testdata import dim_parquet, ensure_media, ensure_pages, pages_parquet
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -44,6 +45,7 @@ SF01 = "/root/testdata/sf0.01"
 # oracle SQL points at exists even if no Spark query ran first.
 _D01 = ensure_pages(SF01)
 _P01 = f"{_D01}/pages.parquet"
+_MEDIA01 = ensure_media(SF01)
 
 META_KEYS = ["service", "request_id", "attempt", "ip", "method", "path", "status", "size"]
 
@@ -154,6 +156,101 @@ def _search_sql(q: Query) -> str:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / textstats / media)
+# --------------------------------------------------------------------------
+
+PROBE_MOD = 100  # every 100th vec_id is an ANN probe
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_media(sf_dir))
+
+
+def _minhash_sig_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "id",
+        *[
+            F.element_at("sig", j + 1).alias(f"s{j:02d}")
+            for j in range(dedup.N_MINHASH)
+        ],
+    )
+
+
+def _probes(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % PROBE_MOD == 0)
+
+
+def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # --- dedup family (documents table) ---
+        "q_dedup_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
+        "q_dedup_minhash_sig": _minhash_sig_flat,
+        "q_dedup_minhash_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "q_dedup_simhash": lambda s, d: dedup.simhash_fingerprints(_docs(s, d)),
+        "q_dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "q_dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "q_dedup_embedding_cosine": lambda s, d: dedup.embedding_neardup_pairs(
+            _emb(s, d)
+        ),
+        "q_dedup_embedding_lsh": lambda s, d: similarity.embedding_neardup_lsh(
+            _emb(s, d)
+        ),
+        # --- similarity search (embeddings table) ---
+        "q_sim_topk_bruteforce": lambda s, d: similarity.cosine_topk(
+            _emb(s, d), _probes(_emb(s, d))
+        ),
+        "q_sim_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(
+            _emb(s, d), _probes(_emb(s, d))
+        ),
+        # --- text analysis (documents table) ---
+        "q_text_langid": lambda s, d: textstats.language_id(_docs(s, d)),
+        "q_text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "q_text_tokens": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "q_text_fingerprint": lambda s, d: textstats.fingerprints(_docs(s, d)),
+        # --- multimodal plumbing (synthetic media table) ---
+        "q_media_stats": lambda s, d: multimodal.media_stats(_media(s, d)),
+        "q_media_image_features": lambda s, d: multimodal.decode_image_features(
+            _media(s, d)
+        ),
+        "q_media_audio_frames": lambda s, d: multimodal.audio_frame_sample(
+            _media(s, d)
+        ),
+    }
+
+
+def _dataops_oracle_sql() -> dict[str, str]:
+    docs, emb = "documents", "embeddings"
+    return {
+        "q_dedup_exact": oracle_dataops.exact_dedup_sql(docs),
+        "q_dedup_minhash_sig": oracle_dataops.minhash_signatures_sql(docs),
+        "q_dedup_minhash_pairs": oracle_dataops.minhash_lsh_pairs_sql(docs),
+        "q_dedup_simhash": oracle_dataops.simhash_fingerprints_sql(docs),
+        "q_dedup_simhash_pairs": oracle_dataops.simhash_pairs_sql(docs),
+        "q_dedup_ngram_jaccard": oracle_dataops.ngram_jaccard_pairs_sql(docs),
+        "q_dedup_embedding_cosine": oracle_dataops.embedding_neardup_sql(emb),
+        "q_dedup_embedding_lsh": oracle_dataops.embedding_neardup_lsh_sql(emb),
+        "q_sim_topk_bruteforce": oracle_dataops.cosine_topk_sql(emb, probe_mod=PROBE_MOD),
+        "q_sim_topk_lsh": oracle_dataops.cosine_topk_lsh_sql(emb, probe_mod=PROBE_MOD),
+        "q_text_langid": oracle_dataops.language_id_sql(docs),
+        "q_text_quality": oracle_dataops.quality_score_sql(docs),
+        "q_text_tokens": oracle_dataops.token_counts_sql(docs),
+        "q_text_fingerprint": oracle_dataops.fingerprints_sql(docs),
+        "q_media_stats": oracle_dataops.media_stats_sql(_MEDIA01),
+        "q_media_image_features": oracle_dataops.image_features_sql(_MEDIA01),
+        "q_media_audio_frames": oracle_dataops.audio_frames_sql(_MEDIA01),
+    }
+
+
+# --------------------------------------------------------------------------
 # queries + oracles
 # --------------------------------------------------------------------------
 
@@ -237,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, sq in _search_queries().items():
         q[name] = _mk_search_query(sq)
+    q.update(_dataops_queries())
     return q
 
 
@@ -282,4 +380,5 @@ GROUP BY 1""",
     }
     for name, sq in _search_queries().items():
         sql[name] = _search_sql(sq)
+    sql.update(_dataops_oracle_sql())
     return sql

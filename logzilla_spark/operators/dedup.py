@@ -1,0 +1,403 @@
+"""Document deduplication operators (training-data pipeline layer).
+
+The reference stops at parse->store (SURVEY.md §2.4 — no joins, no
+aggregation), but a web-scale corpus engine needs dedup as a
+first-class stage. Five strategies, all expressed as JVM-side Catalyst
+expressions (higher-order functions, no Python UDFs in the hot path —
+same rule as the parse stage, BASELINE.json input_hint):
+
+- exact dedup            : content-hash groupBy
+- MinHash + LSH          : char-shingle -> universal-hash signatures ->
+                           banded bucket self-join -> est + exact verify
+- SimHash                : token-hash bit voting -> fingerprint ->
+                           byte-block candidate join -> hamming filter
+- n-gram Jaccard         : word-3-gram inverted-index set-similarity join
+- embedding cosine       : exact all-pairs baseline (the LSH scale path
+                           lives in operators/similarity.py)
+
+Every operator has a bit-identical DuckDB twin in
+``logzilla_spark.oracle_dataops`` (shared constants live HERE) — the
+differential oracle is the correctness anchor (SURVEY.md §5).
+
+Scale notes (100 TB / 1000 executors):
+- Signatures/fingerprints are one narrow projection per doc — no
+  shuffle; cost is a single pass over text bytes (md5 per shingle,
+  then cheap modular arithmetic for all K hash functions).
+- The LSH candidate join shuffles on (band_id, band_hash) — a
+  high-cardinality, well-distributed key (hash output), so no skew by
+  construction; hot buckets (boilerplate pages) are bounded by
+  ``max_bucket`` (drop pathological buckets, the standard
+  production guard).
+- The exact-verify stage runs only on candidates (est_sim prefilter
+  first — the cheap signature check gates the expensive shingle
+  intersection), the classic filter-verify funnel.
+- n-gram join: ``max_df`` drops stop-grams (document frequency cap),
+  the prefix-filtering analog that keeps the inverted index from
+  exploding on boilerplate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logzilla_spark.functions.hashing import (
+    P31,
+    md5_long,
+    md5_long_expr,
+    minhash_coeffs,
+)
+
+# Shared constants — the oracle twins import these; change here only.
+N_MINHASH = 16
+LSH_BANDS = 8
+LSH_ROWS = 2  # N_MINHASH == LSH_BANDS * LSH_ROWS
+SHINGLE_N = 5
+WORDGRAM_N = 3
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4  # 8-bit blocks for candidate blocking
+MIN_EST_SIM = 0.25  # signature-level prefilter (multiples of 1/16)
+MIN_JACCARD = 0.20  # exact-verify output threshold
+MIN_WORDGRAM_JACCARD = 0.05
+MAX_SIMHASH_HAMMING = 8
+COSINE_THRESHOLD = 0.35
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, whitespace collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def _shingles_expr(norm_col: str, n: int = SHINGLE_N) -> str:
+    """Distinct character n-grams of an already-normalized column."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({norm_col}) - {n - 1}, 1)), "
+        f"i -> substring({norm_col}, i, {n})))"
+    )
+
+
+def _wordgrams_expr(tokens_col: str, n: int = WORDGRAM_N) -> str:
+    """Distinct word n-grams from a token-array column."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i, {n}))))"
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group documents by content hash of normalized text.
+
+    Returns (content_hash, keeper_id, n_copies): ``keeper_id`` is the
+    deterministic survivor (min id); dropping all rows whose id !=
+    keeper_id is the dedup. One shuffle on the hash (uniform key — no
+    skew possible); partial aggregation (min/count) is map-side.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .groupBy(F.md5("_n").alias("content_hash"))
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Surviving rows only (first id per content hash), original schema."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash signatures + LSH candidate pairs
+# --------------------------------------------------------------------------
+
+
+def _ab_literal(n_hashes: int = N_MINHASH) -> str:
+    a, b = minhash_coeffs(n_hashes)
+    structs = ", ".join(
+        f"named_struct('a', {aj}L, 'b', {bj}L)" for aj, bj in zip(a, b)
+    )
+    return f"array({structs})"
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig array<long> of length n_hashes.
+
+    One md5 per distinct shingle, then the whole K-function family via
+    cheap (a*h+b) mod p arithmetic — single projection, no shuffle.
+    """
+    sig = F.expr(
+        f"transform({_ab_literal(n_hashes)}, "
+        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("_sh", F.expr(_shingles_expr("_n")))
+        .withColumn("_hs", F.expr(f"transform(_sh, s -> pmod({md5_long_expr('s')}, {P31}))"))
+        .select("id", sig.alias("sig"))
+    )
+
+
+def minhash_band_hashes(sig_df: DataFrame) -> DataFrame:
+    """Explode signatures into (id, band_id, band_hash) LSH bucket keys."""
+    bands = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            md5_long(
+                F.concat_ws(
+                    "|", *[F.element_at("sig", k * LSH_ROWS + r + 1) for r in range(LSH_ROWS)]
+                )
+            ).alias("band_hash"),
+        )
+        for k in range(LSH_BANDS)
+    ]
+    return sig_df.select(
+        "id", F.explode(F.array(*bands)).alias("b")
+    ).select("id", "b.band_id", "b.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est: float = MIN_EST_SIM,
+    min_jaccard: float = MIN_JACCARD,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Pipeline: signature -> band bucket self-join (shuffle key =
+    (band_id, band_hash), uniform) -> distinct pairs -> signature
+    est_sim prefilter -> exact shingle-Jaccard verify.
+
+    Returns (doc_a, doc_b, est_sim, inter_n, union_n, jaccard) with
+    jaccard >= min_jaccard. est_sim is an exact multiple of
+    1/n_hashes and jaccard an exact int/int division — both
+    bit-portable to the DuckDB oracle.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = minhash_band_hashes(sig)
+    if max_bucket is not None:
+        # Drop pathological buckets (boilerplate) — bounded join fan-out.
+        sizes = bands.groupBy("band_id", "band_hash").count()
+        bands = bands.join(
+            sizes.filter(F.col("count") <= max_bucket).drop("count"),
+            ["band_id", "band_hash"],
+        )
+    la = bands.select(
+        F.col("id").alias("doc_a"), "band_id", "band_hash"
+    )
+    lb = bands.select(
+        F.col("id").alias("doc_b"), "band_id", "band_hash"
+    )
+    cand = (
+        la.join(lb, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("_sb"))
+    est = F.expr(
+        "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
+        f"/ {N_MINHASH}.0"
+    )
+    cand = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= min_est)
+        .select("doc_a", "doc_b", "est_sim")
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+    ).select("id", F.expr(_shingles_expr("_n")).alias("_sh"))
+    ga = sh.select(F.col("id").alias("doc_a"), F.col("_sh").alias("_ga"))
+    gb = sh.select(F.col("id").alias("doc_b"), F.col("_sh").alias("_gb"))
+    out = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter_n", F.expr("size(array_intersect(_ga, _gb))"))
+        .withColumn("union_n", F.expr("size(_ga) + size(_gb) - inter_n"))
+        .withColumn(
+            "jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "est_sim", "inter_n", "union_n", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc 32-bit SimHash over whitespace tokens (term frequency
+    weighted — duplicate tokens vote once each, Charikar '02)."""
+    fp = F.expr(
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, i) -> acc + "
+        "IF(aggregate(_th, 0L, (s, h) -> s + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0, "
+        "shiftleft(1L, i), 0L))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("_th", F.expr(f"transform(split(_n, ' '), t -> {md5_long_expr('t')})"))
+        .select("id", fp.alias("fingerprint"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = MAX_SIMHASH_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 8-bit fingerprint chunks
+    (pigeonhole candidate generation), verify hamming distance.
+
+    With 4 blocks, any pair with hamming <= 3 *provably* shares a
+    block; larger max_hamming values are best-effort recall (standard
+    simhash practice). Shuffle key = (block_id, block_val): 4*256
+    buckets — at corpus scale use 64-bit fingerprints and 6 blocks.
+    """
+    fps = simhash_fingerprints(df, id_col, text_col)
+    blocks = [
+        F.struct(
+            F.lit(b).alias("block_id"),
+            F.expr(f"shiftright(fingerprint, {8 * b}) & 255").alias("block_val"),
+        )
+        for b in range(SIMHASH_BLOCKS)
+    ]
+    ex = fps.select(
+        "id", "fingerprint", F.explode(F.array(*blocks)).alias("b")
+    ).select("id", "fingerprint", "b.block_id", "b.block_val")
+    a = ex.select(
+        F.col("id").alias("doc_a"), F.col("fingerprint").alias("_fa"),
+        "block_id", "block_val",
+    )
+    b = ex.select(
+        F.col("id").alias("doc_b"), F.col("fingerprint").alias("_fb"),
+        "block_id", "block_val",
+    )
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(_fa ^ _fb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. n-gram Jaccard set-similarity join
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = WORDGRAM_N,
+    min_jaccard: float = MIN_WORDGRAM_JACCARD,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard via inverted-index join.
+
+    ``max_df`` drops grams appearing in more than max_df docs
+    (stop-gram guard — bounds the per-gram join fan-out, the scale
+    lever for boilerplate-heavy corpora).
+    """
+    grams = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("_t", F.split("_n", " "))
+        .select("id", F.expr(_wordgrams_expr("_t", n)).alias("_g"))
+    )
+    sizes = grams.select("id", F.size("_g").alias("sz"))
+    ex = grams.select("id", F.explode("_g").alias("gram"))
+    if max_df is not None:
+        freq = ex.groupBy("gram").count()
+        ex = ex.join(freq.filter(F.col("count") <= max_df).drop("count"), "gram")
+    a = ex.select(F.col("id").alias("doc_a"), "gram")
+    b = ex.select(F.col("id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("_za")), "doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("_zb")), "doc_b")
+        .withColumn("union_n", F.col("_za") + F.col("_zb") - F.col("inter_n"))
+        .withColumn(
+            "jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "inter_n", "union_n", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup (exact all-pairs baseline)
+# --------------------------------------------------------------------------
+
+
+def cosine_expr(a_col: str, b_col: str) -> str:
+    """Sequential-fold cosine similarity — bit-identical in DuckDB.
+
+    zip_with multiplies pairwise (after exact float->double casts),
+    then a left-to-right aggregate sums: IEEE-754 evaluation order is
+    pinned, so Spark and the oracle produce the same double bits.
+    """
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * cast(q as double)), "
+            "cast(0 as double), (acc, v) -> acc + v)"
+        )
+
+    return (
+        f"{dot(a_col, b_col)} / sqrt({dot(a_col, a_col)} * {dot(b_col, b_col)})"
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_THRESHOLD,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the small-scale baseline.
+
+    O(n^2): correct at CI scale, the oracle for the LSH scale path
+    (operators/similarity.py::embedding_neardup_lsh). At 100 TB use
+    the LSH variant; this one exists to measure its recall.
+    """
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_ea"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(cosine_expr("_ea", "_eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (training-data pipeline).
+
+Approximate-nearest-neighbor over ``array<float>`` embeddings:
+
+- ``cosine_topk``            : brute-force exact top-k (baseline + recall
+                               oracle for the LSH path)
+- ``signlsh_buckets``        : deterministic random-hyperplane sign
+                               buckets (Charikar '02)
+- ``cosine_topk_lsh``        : bucketed ANN with hamming-1 multiprobe
+- ``embedding_neardup_lsh``  : near-dup pairs restricted to shared
+                               buckets (the scale path for
+                               dedup.embedding_neardup_pairs)
+
+All cosine math uses the sequential-fold expression from
+``operators.dedup.cosine_expr`` so the DuckDB oracle reproduces the
+exact double bits (no float-ordering drift — see that docstring).
+Hyperplanes come from ``functions.hashing.hyperplanes`` — md5-derived
+±1 literals inlined into BOTH engines' plans, one source of truth.
+
+Scale notes (100 TB / 1000 executors):
+- Brute force is O(probes × corpus) — fine only when the probe side is
+  small enough to broadcast (we broadcast it explicitly). The corpus
+  side streams: no shuffle of the big table at all.
+- The LSH path shuffles the corpus ONCE on bucket id (uniform by
+  construction — sign bits of random projections), then joins the
+  (tiny, broadcast) probe multiprobe set against it. Per-bucket
+  candidate lists are bounded; raise ``n_planes`` as the corpus grows
+  (buckets ~ corpus/2^planes).
+- Top-k per probe is a window over candidates only, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from logzilla_spark.functions.hashing import hyperplanes
+from logzilla_spark.operators.dedup import COSINE_THRESHOLD, cosine_expr
+
+N_PLANES = 8
+EMB_DIM = 64
+DEFAULT_K = 5
+
+
+def _plane_literal(plane: list[int]) -> str:
+    return "array(" + ", ".join(str(v) for v in plane) + ")"
+
+
+def bucket_expr(vec_col: str, n_planes: int = N_PLANES, dim: int = EMB_DIM) -> str:
+    """Sign-LSH bucket id: bit j set iff dot(vec, hyperplane_j) >= 0."""
+    hps = hyperplanes(n_planes, dim)
+    terms = []
+    for j, hp in enumerate(hps):
+        dot = (
+            f"aggregate(zip_with({vec_col}, {_plane_literal(hp)}, "
+            "(p, q) -> cast(p as double) * cast(q as double)), "
+            "cast(0 as double), (acc, v) -> acc + v)"
+        )
+        terms.append(f"IF({dot} >= 0, {1 << j}L, 0L)")
+    return " + ".join(terms)
+
+
+def signlsh_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(id, embedding, bucket) — one narrow projection, no shuffle."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        F.expr(bucket_expr(vec_col, n_planes, dim)).alias("bucket"),
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per probe: cosine desc, id asc tiebreak."""
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each probe.
+
+    The probe side is broadcast; the corpus side is scanned once with
+    no shuffle. Self-matches (same id) are excluded.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ce")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .select("probe_id", "neighbor_id", "cosine")
+    )
+    return _topk(scored, k)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows whose sign-LSH bucket
+    is within hamming distance 1 of the probe's bucket (multiprobe).
+
+    The corpus is bucketed once (no shuffle — projection only); the
+    probe×(1+n_planes) multiprobe key set is broadcast and hash-joined
+    against it. Exact cosine is computed for candidates only.
+    """
+    cb = signlsh_buckets(emb, id_col, vec_col, n_planes, dim).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("embedding").alias("_ce"),
+        "bucket",
+    )
+    pb = signlsh_buckets(probes, id_col, vec_col, n_planes, dim).select(
+        F.col("id").alias("probe_id"),
+        F.col("embedding").alias("_pe"),
+        F.col("bucket").alias("_pbucket"),
+    )
+    flips = "array(" + ", ".join(
+        ["_pbucket"] + [f"_pbucket ^ {1 << j}L" for j in range(n_planes)]
+    ) + ")"
+    probe_keys = pb.select(
+        "probe_id", "_pe", F.explode(F.expr(flips)).alias("bucket")
+    )
+    scored = (
+        cb.join(F.broadcast(probe_keys), "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .select("probe_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    return _topk(scored, k)
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_THRESHOLD,
+    n_planes: int = N_PLANES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Near-dup pairs restricted to same-bucket candidates — the scale
+    path for ``dedup.embedding_neardup_pairs`` (which is its recall
+    oracle at CI scale). One shuffle on bucket id, exact cosine verify
+    inside buckets only."""
+    b = signlsh_buckets(emb, id_col, vec_col, n_planes, dim)
+    a = b.select(F.col("id").alias("vec_a"), F.col("embedding").alias("_ea"), "bucket")
+    c = b.select(F.col("id").alias("vec_b"), F.col("embedding").alias("_eb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(cosine_expr("_ea", "_eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data curation.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(rolling polynomial hash + md5). All pure Catalyst expressions — no
+Python in the hot path; each has a bit-identical DuckDB twin in
+``logzilla_spark.oracle_dataops`` (constants shared from HERE).
+
+Float portability: every double in the outputs is either an exact
+int/int division or a fixed-order sum of such terms, so the
+differential oracle compares exact bits (see dedup.cosine_expr note).
+
+Scale: all four are single narrow projections over the text column —
+no shuffle, fully pipelined with the parquet scan, column-pruned to
+(id, text). At 100 TB this is the ideal operator shape: scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logzilla_spark.functions.hashing import P31, md5_long, md5_long_expr
+from logzilla_spark.operators.dedup import normalize_text
+
+# Stopword lists for the language-ID heuristic. Deterministic, tiny —
+# broadcast as expression literals into both engines.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "del"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _hits_expr(tokens_col: str, words: list[str]) -> str:
+    lit = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return f"size(filter({tokens_col}, t -> array_contains({lit}, t)))"
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-hit language classifier (n-gram heuristic).
+
+    Counts per-language stopword hits over whitespace tokens; predicts
+    the max-hit language with a fixed priority tie-break. Returns
+    (id, hits_<lang>..., pred_lang).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+    ).withColumn("_t", F.split("_n", " "))
+    for lang in LANG_PRIORITY:
+        base = base.withColumn(
+            f"hits_{lang}", F.expr(_hits_expr("_t", STOPWORDS[lang]))
+        )
+    # CASE chain in priority order — ties go to the earlier language.
+    pred = F.when(
+        (F.col("hits_en") >= F.col("hits_es"))
+        & (F.col("hits_en") >= F.col("hits_de"))
+        & (F.col("hits_en") >= F.col("hits_fr")),
+        F.lit("en"),
+    ).when(
+        (F.col("hits_es") >= F.col("hits_de")) & (F.col("hits_es") >= F.col("hits_fr")),
+        F.lit("es"),
+    ).when(F.col("hits_de") >= F.col("hits_fr"), F.lit("de")).otherwise(F.lit("fr"))
+    return base.select(
+        "id", *[f"hits_{lang}" for lang in LANG_PRIORITY], pred.alias("pred_lang")
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: length, word-shape, stopword and
+    digit ratios folded into one [0,1]-ish score.
+
+    score = 0.5*min(words,100)/100 + 0.3*stop_ratio + 0.2*(1-digit_ratio)
+
+    All terms are exact int/int divisions combined in a fixed order —
+    bit-portable to the oracle.
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("_t", F.split("_n", " "))
+        .withColumn("n_chars", F.length("_n"))
+        .withColumn("n_words", F.size("_t"))
+        .withColumn(
+            "avg_word_len",
+            (F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words").cast("double"),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.expr(_hits_expr("_t", STOPWORDS["en"])).cast("double")
+            / F.col("n_words").cast("double"),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.expr(f"size(regexp_extract_all(_n, '[0-9]', 0))").cast("double")
+            / F.col("n_chars").cast("double"),
+        )
+    )
+    score = (
+        F.least(F.col("n_words"), F.lit(100)).cast("double") / F.lit(100.0) * F.lit(0.5)
+        + F.col("stop_ratio") * F.lit(0.3)
+        + (F.lit(1.0) - F.col("digit_ratio")) * F.lit(0.2)
+    )
+    banded = base.withColumn("quality", score).withColumn(
+        "quality_band",
+        F.when(F.col("quality") >= 0.6, "high")
+        .when(F.col("quality") >= 0.4, "medium")
+        .otherwise("low"),
+    )
+    return banded.select(
+        "id", "n_chars", "n_words", "avg_word_len",
+        "stop_ratio", "digit_ratio", "quality", "quality_band",
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + chars-per-token."""
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("ws_tokens", F.size(F.split("_n", " ")))
+        .withColumn(
+            "bpe_tokens", F.expr(f"size(regexp_extract_all(_n, '{BPE_RE}', 0))")
+        )
+        .withColumn("n_chars", F.length("_n"))
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"),
+        )
+        .select("id", "ws_tokens", "bpe_tokens", "n_chars", "chars_per_token")
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprints: 60-bit md5 prefix + 31-bit rolling
+    polynomial hash (h = (h*31 + code) mod 2^31-1 over code points).
+
+    The rolling hash is the incremental-update primitive (winnowing /
+    Rabin-Karp family); ASCII-safe — code points via ascii(). The md5
+    fingerprint is the collision-resistant one.
+    """
+    roll = F.expr(
+        "aggregate(transform(sequence(1, greatest(length(_n), 1)), "
+        "i -> ascii(substring(_n, i, 1))), 0L, "
+        f"(acc, c) -> pmod(acc * 31 + c, {P31}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .select(
+            "id",
+            md5_long(F.col("_n")).alias("fp_md5"),
+            roll.alias("fp_roll"),
+        )
+    )

@@ -1,0 +1,433 @@
+"""DuckDB oracle twins for the training-data operators.
+
+Each builder reproduces, bit-for-bit, the output of one operator in
+``operators/{dedup,similarity,textstats,multimodal}.py`` over the same
+parquet bytes. Constants (hash coefficients, band layout, thresholds,
+stopword lists) are imported from the operator modules — one source of
+truth; only the SQL dialect differs here (1-based list indexing,
+list_* functions, explicit 'g' regexp flag).
+
+Float determinism: every double is produced by the same fixed-order
+IEEE-754 operations as the Spark side (sequential folds seeded with
+0 via list_prepend; identical literal constants), so value hashes
+match exactly — no tolerance needed.
+"""
+
+from __future__ import annotations
+
+from logzilla_spark.functions.hashing import P31, hyperplanes, md5_long_sql, minhash_coeffs
+from logzilla_spark.operators import similarity
+from logzilla_spark.operators.dedup import (
+    COSINE_THRESHOLD,
+    LSH_BANDS,
+    LSH_ROWS,
+    MAX_SIMHASH_HAMMING,
+    MIN_EST_SIM,
+    MIN_JACCARD,
+    MIN_WORDGRAM_JACCARD,
+    N_MINHASH,
+    SHINGLE_N,
+    SIMHASH_BITS,
+    SIMHASH_BLOCKS,
+    WORDGRAM_N,
+)
+from logzilla_spark.operators.textstats import BPE_RE, LANG_PRIORITY, STOPWORDS
+
+
+def _rel(src: str) -> str:
+    """Parquet path -> read_parquet(...); bare name -> pre-registered view."""
+    return f"read_parquet('{src}')" if src.endswith(".parquet") else src
+
+
+def _norm(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _shingles(n: str, k: int = SHINGLE_N) -> str:
+    return (
+        f"list_distinct([substring({n}, i, {k}) "
+        f"FOR i IN range(1, greatest(length({n}) - {k - 1}, 1) + 1)])"
+    )
+
+
+def _docs_cte(docs_path: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return (
+        f"docs AS (SELECT {id_col} AS id, {_norm(text_col)} AS n "
+        f"FROM {_rel(docs_path)})"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup twins
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_sql(docs_path: str) -> str:
+    return f"""WITH {_docs_cte(docs_path)}
+SELECT md5(n) AS content_hash, CAST(min(id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM docs GROUP BY 1"""
+
+
+def _sig_cte(docs_path: str) -> str:
+    a, b = minhash_coeffs(N_MINHASH)
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a[j]} * h + {b[j]}) % {P31}), 'min')"
+        for j in range(N_MINHASH)
+    )
+    return f"""{_docs_cte(docs_path)},
+hashed AS (
+  SELECT id, list_transform({_shingles('n')}, s -> {md5_long_sql('s')} % {P31}) AS hs
+  FROM docs
+),
+sigs AS (SELECT id, [{sig_items}] AS sig FROM hashed)"""
+
+
+def minhash_signatures_sql(docs_path: str) -> str:
+    cols = ", ".join(
+        f"CAST(sig[{j + 1}] AS BIGINT) AS s{j:02d}" for j in range(N_MINHASH)
+    )
+    return f"WITH {_sig_cte(docs_path)}\nSELECT id, {cols} FROM sigs"
+
+
+def _bands_cte() -> str:
+    bands = ", ".join(
+        "{'band_id': %d, 'band_hash': %s}"
+        % (
+            k,
+            md5_long_sql(
+                "concat_ws('|', "
+                + ", ".join(f"sig[{k * LSH_ROWS + r + 1}]" for r in range(LSH_ROWS))
+                + ")"
+            ),
+        )
+        for k in range(LSH_BANDS)
+    )
+    return f"""bands AS (
+  SELECT id, u.band_id AS band_id, u.band_hash AS band_hash
+  FROM (SELECT id, unnest([{bands}]) AS u FROM sigs)
+)"""
+
+
+def minhash_lsh_pairs_sql(docs_path: str) -> str:
+    est = (
+        f"len(list_filter(list_transform(range(1, {N_MINHASH + 1}), "
+        f"j -> sa.sig[j] = sb.sig[j]), x -> x)) / {N_MINHASH}.0"
+    )
+    return f"""WITH {_sig_cte(docs_path)},
+{_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+est AS (
+  SELECT doc_a, doc_b, {est} AS est_sim
+  FROM cand JOIN sigs sa ON cand.doc_a = sa.id JOIN sigs sb ON cand.doc_b = sb.id
+),
+sh AS (SELECT id, {_shingles('n')} AS g FROM docs),
+verified AS (
+  SELECT doc_a, doc_b, est_sim,
+         len(list_intersect(ga.g, gb.g)) AS inter_n,
+         len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS union_n
+  FROM est JOIN sh ga ON est.doc_a = ga.id JOIN sh gb ON est.doc_b = gb.id
+  WHERE est_sim >= {MIN_EST_SIM}
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, est_sim,
+       CAST(inter_n AS INT) AS inter_n, CAST(union_n AS INT) AS union_n,
+       CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) >= {MIN_JACCARD}"""
+
+
+def _fps_cte(docs_path: str) -> str:
+    inner = (
+        "list_sum(list_transform(ths, h -> "
+        "CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    fp = (
+        f"CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i -> "
+        f"CASE WHEN {inner} > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+    return f"""{_docs_cte(docs_path)},
+toks AS (
+  SELECT id, list_transform(string_split(n, ' '), t -> {md5_long_sql('t')}) AS ths
+  FROM docs
+),
+fps AS (SELECT id, {fp} AS fingerprint FROM toks)"""
+
+
+def simhash_fingerprints_sql(docs_path: str) -> str:
+    return f"WITH {_fps_cte(docs_path)}\nSELECT id, fingerprint FROM fps"
+
+
+def simhash_pairs_sql(docs_path: str) -> str:
+    blocks = ", ".join(
+        f"{{'block_id': {b}, 'block_val': (fingerprint >> {8 * b}) & 255}}"
+        for b in range(SIMHASH_BLOCKS)
+    )
+    return f"""WITH {_fps_cte(docs_path)},
+blocks AS (
+  SELECT id, fingerprint, u.block_id AS block_id, u.block_val AS block_val
+  FROM (SELECT id, fingerprint, unnest([{blocks}]) AS u FROM fps)
+)
+SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.id < b.id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {MAX_SIMHASH_HAMMING}"""
+
+
+def ngram_jaccard_pairs_sql(docs_path: str) -> str:
+    n = WORDGRAM_N
+    grams = (
+        f"list_distinct([array_to_string(t[i:i + {n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(t) - {n - 1}, 1) + 1)])"
+    )
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, string_split(n, ' ') AS t FROM docs),
+grams AS (SELECT id, {grams} AS g FROM toks),
+sizes AS (SELECT id, len(g) AS sz FROM grams),
+ex AS (SELECT id, unnest(g) AS gram FROM grams),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS inter_n
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_n,
+       CAST(za.sz + zb.sz - inter_n AS BIGINT) AS union_n,
+       CAST(inter_n AS DOUBLE) / CAST(za.sz + zb.sz - inter_n AS DOUBLE) AS jaccard
+FROM inter JOIN sizes za ON inter.doc_a = za.id JOIN sizes zb ON inter.doc_b = zb.id
+WHERE CAST(inter_n AS DOUBLE) / CAST(za.sz + zb.sz - inter_n AS DOUBLE)
+      >= {MIN_WORDGRAM_JACCARD}"""
+
+
+# --------------------------------------------------------------------------
+# embedding twins
+# --------------------------------------------------------------------------
+
+
+def _dot_sql(x: str, y: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"{_dot_sql(a, b, dim)} / "
+        f"sqrt({_dot_sql(a, a, dim)} * {_dot_sql(b, b, dim)})"
+    )
+
+
+def embedding_neardup_sql(emb_path: str, dim: int = similarity.EMB_DIM) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""WITH e AS (SELECT vec_id, embedding FROM {_rel(emb_path)})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {COSINE_THRESHOLD}"""
+
+
+def _bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    hps = hyperplanes(n_planes, dim)
+    terms = []
+    for j, hp in enumerate(hps):
+        lit = "[" + ", ".join(str(v) for v in hp) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_sql(vec, lit, dim)} >= 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        )
+    return " + ".join(terms)
+
+
+def embedding_neardup_lsh_sql(
+    emb_path: str,
+    dim: int = similarity.EMB_DIM,
+    n_planes: int = similarity.N_PLANES,
+) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""WITH e AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes, dim)} AS bucket
+  FROM {_rel(emb_path)}
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {COSINE_THRESHOLD}"""
+
+
+def cosine_topk_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+) -> str:
+    cos = _cosine_sql("p.embedding", "c.embedding", dim)
+    return f"""WITH e AS (SELECT vec_id, embedding FROM {_rel(emb_path)}),
+p AS (SELECT * FROM e WHERE vec_id % {probe_mod} = 0)
+SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, {cos} AS cosine,
+       CAST(row_number() OVER (PARTITION BY p.vec_id
+                               ORDER BY {cos} DESC, c.vec_id) AS INT) AS rank
+FROM p JOIN e c ON p.vec_id != c.vec_id
+QUALIFY rank <= {k}"""
+
+
+def cosine_topk_lsh_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+    n_planes: int = similarity.N_PLANES,
+) -> str:
+    cos = _cosine_sql("p.embedding", "c.embedding", dim)
+    flips = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j}::BIGINT)" for j in range(n_planes)]
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes, dim)} AS bucket
+  FROM {_rel(emb_path)}
+),
+p AS (
+  SELECT vec_id, embedding, unnest([{flips}]) AS probe_bucket
+  FROM e WHERE vec_id % {probe_mod} = 0
+),
+scored AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM p JOIN e c ON p.probe_bucket = c.bucket AND p.vec_id != c.vec_id
+)
+SELECT probe_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}"""
+
+
+# --------------------------------------------------------------------------
+# textstats twins
+# --------------------------------------------------------------------------
+
+
+def _hits(words: list[str]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(t, x -> list_contains({lit}, x)))"
+
+
+def language_id_sql(docs_path: str) -> str:
+    hit_cols = ", ".join(
+        f"CAST({_hits(STOPWORDS[lang])} AS INT) AS hits_{lang}" for lang in LANG_PRIORITY
+    )
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, string_split(n, ' ') AS t FROM docs),
+hits AS (SELECT id, {hit_cols} FROM toks)
+SELECT id, hits_en, hits_es, hits_de, hits_fr,
+       CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+            WHEN hits_de >= hits_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM hits"""
+
+
+def quality_score_sql(docs_path: str) -> str:
+    return f"""WITH {_docs_cte(docs_path)},
+base AS (
+  SELECT id, n, string_split(n, ' ') AS t,
+         CAST(length(n) AS INT) AS n_chars,
+         CAST(len(string_split(n, ' ')) AS INT) AS n_words
+  FROM docs
+),
+ratios AS (
+  SELECT id, n_chars, n_words,
+         CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)
+           AS avg_word_len,
+         CAST({_hits(STOPWORDS['en'])} AS DOUBLE) / CAST(n_words AS DOUBLE)
+           AS stop_ratio,
+         CAST(len(regexp_extract_all(n, '[0-9]')) AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS digit_ratio
+  FROM base
+)
+SELECT id, n_chars, n_words, avg_word_len, stop_ratio, digit_ratio,
+       CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5
+         + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2 AS quality,
+       CASE WHEN CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5
+                 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2 >= 0.6 THEN 'high'
+            WHEN CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5
+                 + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2 >= 0.4 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM ratios"""
+
+
+def token_counts_sql(docs_path: str) -> str:
+    return f"""WITH {_docs_cte(docs_path)}
+SELECT id, CAST(len(string_split(n, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(n, '{BPE_RE}')) AS INT) AS bpe_tokens,
+       CAST(length(n) AS INT) AS n_chars,
+       CAST(length(n) AS DOUBLE)
+         / CAST(len(regexp_extract_all(n, '{BPE_RE}')) AS DOUBLE) AS chars_per_token
+FROM docs"""
+
+
+def fingerprints_sql(docs_path: str) -> str:
+    roll = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "[CAST(ascii(substring(n, i, 1)) AS BIGINT) "
+        "FOR i IN range(1, greatest(length(n), 1) + 1)]), "
+        f"(acc, c) -> (acc * 31 + c) % {P31})"
+    )
+    return f"""WITH {_docs_cte(docs_path)}
+SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
+FROM docs"""
+
+
+# --------------------------------------------------------------------------
+# multimodal twins
+# --------------------------------------------------------------------------
+
+
+def _ascii_sum(expr: str) -> str:
+    return (
+        f"CAST(list_sum([CAST(ascii(substring({expr}, i, 1)) AS BIGINT) "
+        f"FOR i IN range(1, greatest(length({expr}), 1) + 1)]) % {P31} AS BIGINT)"
+    )
+
+
+def media_stats_sql(media_path: str) -> str:
+    return f"""WITH m AS (
+  SELECT media_id, kind, decode(payload) AS d, octet_length(payload) AS blen
+  FROM {_rel(media_path)}
+)
+SELECT media_id, kind, substring(d, 1, 4) AS header,
+       CAST(blen AS BIGINT) AS byte_len,
+       {_ascii_sum('d')} AS checksum,
+       {_ascii_sum("substring(d, 5)")} AS body_checksum
+FROM m"""
+
+
+def image_features_sql(media_path: str) -> str:
+    """Twin of the STUB decode path (operators/multimodal.py)."""
+    total = (
+        "list_sum([CAST(ascii(substring(d, i, 1)) AS BIGINT) "
+        "FOR i IN range(1, length(d) + 1)])"
+    )
+    return f"""WITH m AS (
+  SELECT media_id, meta.width AS width, meta.height AS height,
+         decode(payload) AS d, octet_length(payload) AS blen
+  FROM {_rel(media_path)} WHERE kind = 'image'
+)
+SELECT media_id, width, height, CAST(blen AS BIGINT) AS byte_len,
+       CAST(({total} * 1000) // blen AS BIGINT) AS mean_byte_milli,
+       'stub-deterministic' AS decoder
+FROM m"""
+
+
+def audio_frames_sql(media_path: str, frame_ms: int = 250) -> str:
+    return f"""WITH m AS (
+  SELECT media_id, meta.sample_rate AS sample_rate,
+         meta.duration_ms AS duration_ms, decode(payload) AS d
+  FROM {_rel(media_path)} WHERE kind = 'audio'
+)
+SELECT media_id, sample_rate, duration_ms,
+       CAST(duration_ms // {frame_ms} AS BIGINT) AS n_frames,
+       {_ascii_sum("substring(d, 5, 64)")} AS frame0_checksum
+FROM m"""

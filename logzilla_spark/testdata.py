@@ -205,3 +205,88 @@ def pages_parquet(sf_dir: str) -> str:
 
 def dim_parquet(sf_dir: str, which: str) -> str:
     return os.path.join(ensure_pages(sf_dir), f"dim_{which}.parquet")
+
+
+# --------------------------------------------------------------------------
+# media fixture (multimodal plumbing — operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+N_MEDIA_BY_SF = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 4000}
+SAMPLE_RATES = [8000, 16000, 44100]
+
+
+def generate_media_pdf(n_media: int) -> pd.DataFrame:
+    """Deterministic media assets: opaque binary payload + typed meta.
+
+    Payload bytes are a 4-byte ascii header ('IMG0'/'AUD0') followed by
+    a repeated md5-hex chain — deterministic from media_id, and kept in
+    the ASCII range so the DuckDB oracle can recompute byte checksums
+    via decode()+ascii() (operators/multimodal.py module doc).
+    """
+    import hashlib
+
+    rows = []
+    for i in range(n_media):
+        kind = "image" if i % 3 < 2 else "audio"
+        body_len = 256 + (i * 37) % 1731
+        chain = hashlib.md5(f"media-{i}".encode()).hexdigest()
+        body = (chain * (body_len // 32 + 1))[:body_len]
+        header = "IMG0" if kind == "image" else "AUD0"
+        if kind == "image":
+            meta = {
+                "width": 16 * ((i % 40) + 1),
+                "height": 16 * ((i % 25) + 1),
+                "sample_rate": None,
+                "duration_ms": None,
+            }
+        else:
+            meta = {
+                "width": None,
+                "height": None,
+                "sample_rate": SAMPLE_RATES[i % 3],
+                "duration_ms": 500 + (i * 97) % 9500,
+            }
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "name": f"media/{i}.bin",
+                "payload": (header + body).encode("ascii"),
+                "meta": meta,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _media_arrow_schema() -> pa.Schema:
+    meta_t = pa.struct(
+        [
+            pa.field("width", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("sample_rate", pa.int32()),
+            pa.field("duration_ms", pa.int32()),
+        ]
+    )
+    return pa.schema(
+        [
+            pa.field("media_id", pa.int64(), nullable=False),
+            pa.field("kind", pa.string(), nullable=False),
+            pa.field("name", pa.string(), nullable=False),
+            pa.field("payload", pa.binary(), nullable=False),
+            pa.field("meta", meta_t),
+        ]
+    )
+
+
+def ensure_media(sf_dir: str, force: bool = False) -> str:
+    """Generate (once) and return the media parquet path for sf_dir."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, name)
+    path = os.path.join(out_dir, "media.parquet")
+    if os.path.exists(path) and not force:
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = generate_media_pdf(N_MEDIA_BY_SF.get(name, 100))
+    table = pa.Table.from_pandas(pdf, schema=_media_arrow_schema(), preserve_index=False)
+    pq.write_table(table, path)
+    return path

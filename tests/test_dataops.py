@@ -1,0 +1,156 @@
+"""Unit tests for the training-data operators: planted near-duplicates
+(recall), hash parity with pure Python, multimodal batch plumbing.
+
+The oracle-parity suite (test_oracle_parity.py) checks cross-engine
+bit-equality on the real corpus; these tests check *semantics* on
+hand-built fixtures where ground truth is known.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from logzilla_spark.functions.hashing import P31, md5_long, minhash_coeffs
+from logzilla_spark.operators import dedup, multimodal, similarity, textstats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the rain falls softly on the roof"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("rain", "snow")),  # near-dup of 1
+        (3, BASE),  # exact dup of 1
+        (4, "completely different text about spark shuffle partitions and joins"),
+        (5, "another unrelated document mentioning parquet column pruning only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_md5_long_matches_python(spark):
+    df = spark.createDataFrame([("hello",), ("wörld",)], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_long("s").alias("h")).collect()}
+    for s, h in got.items():
+        assert h == int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def test_minhash_coeffs_deterministic():
+    a1, b1 = minhash_coeffs(16)
+    a2, b2 = minhash_coeffs(16)
+    assert (a1, b1) == (a2, b2)
+    assert all(0 < x < P31 for x in a1) and all(0 <= x < P31 for x in b1)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    groups = dedup.exact_dedup_groups(_docs(spark)).collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in groups}
+    assert by_keeper[1] == 2  # docs 1 and 3 collapse
+    assert by_keeper[4] == 1 and by_keeper[5] == 1
+    surv = dedup.exact_dedup(_docs(spark)).select("doc_id").collect()
+    assert sorted(r.doc_id for r in surv) == [1, 2, 4, 5]
+
+
+def test_minhash_finds_planted_neardup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.minhash_lsh_pairs(_docs(spark)).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)].jaccard == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)].jaccard > 0.8
+    assert (4, 5) not in pairs
+
+
+def test_simhash_planted_neardup(spark):
+    fps = {r.id: r.fingerprint for r in dedup.simhash_fingerprints(_docs(spark)).collect()}
+    assert fps[1] == fps[3]  # identical docs -> identical fingerprints
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham12 < ham14  # near-dup closer than unrelated
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(_docs(spark)).collect()}
+    assert pairs.get((1, 3)) == 0
+
+
+def test_ngram_jaccard_planted(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(_docs(spark)).collect()
+    }
+    assert pairs.get((1, 3)) == 1.0
+    assert pairs.get((1, 2), 0) > 0.5
+    assert (4, 5) not in pairs
+
+
+def _emb(spark):
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.98] + [0.01] * (dim - 1)  # near-dup of e1
+    e3 = [0.0, 1.0] + [0.0] * (dim - 2)
+    e4 = [0.0] * (dim - 1) + [1.0]
+    rows = [(0, e1), (1, e2), (2, e3), (3, e4)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup_exact_and_lsh(spark):
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(_emb(spark), threshold=0.9).collect()
+    }
+    assert list(exact) == [(0, 1)] and exact[(0, 1)] > 0.95
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_neardup_lsh(_emb(spark), threshold=0.9).collect()
+    }
+    # sign-LSH must keep the colinear pair in one bucket
+    assert (0, 1) in lsh
+
+
+def test_cosine_topk_orders_neighbors(spark):
+    emb = _emb(spark)
+    probes = emb.filter("vec_id = 0")
+    got = similarity.cosine_topk(emb, probes, k=3).collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3] or [r.neighbor_id for r in got][0] == 1
+    assert got[0].rank == 1 and got[0].cosine > 0.95
+    # lsh top-k returns a subset of brute-force candidates, same ordering rule
+    lsh = similarity.cosine_topk_lsh(emb, probes, k=3).collect()
+    assert all(r.probe_id == 0 for r in lsh)
+    assert [r.rank for r in lsh] == list(range(1, len(lsh) + 1))
+
+
+def test_textstats_hand_row(spark):
+    df = spark.createDataFrame([(7, "The cat  and THE dog 42")], "doc_id long, text string")
+    tok = textstats.token_counts(df).collect()[0]
+    # normalized: "the cat and the dog 42" -> 6 ws tokens; bpe: 5 words + 1 number
+    assert tok.ws_tokens == 6 and tok.bpe_tokens == 6
+    assert tok.n_chars == len("the cat and the dog 42")
+    lid = textstats.language_id(df).collect()[0]
+    assert lid.hits_en == 3 and lid.pred_lang == "en"
+    fp = textstats.fingerprints(df).collect()[0]
+    h = 0
+    for ch in "the cat and the dog 42":
+        h = (h * 31 + ord(ch)) % P31
+    assert fp.fp_roll == h
+
+
+def test_media_stats_and_stubs(spark):
+    from logzilla_spark.testdata import generate_media_pdf
+
+    pdf = generate_media_pdf(30)
+    sdf = spark.createDataFrame(pdf)
+    stats = multimodal.media_stats(sdf).collect()
+    assert len(stats) == 30
+    by_id = {r.media_id: r for r in stats}
+    for i in (0, 2, 5):
+        raw = pdf.loc[pdf.media_id == i, "payload"].iloc[0]
+        assert by_id[i].byte_len == len(raw)
+        assert by_id[i].checksum == sum(raw) % P31
+        assert by_id[i].header in ("IMG0", "AUD0")
+    imgs = multimodal.decode_image_features(sdf).collect()
+    assert all(r.decoder == "stub-deterministic" for r in imgs)
+    assert all(r.width % 16 == 0 and r.height % 16 == 0 for r in imgs)
+    auds = multimodal.audio_frame_sample(sdf).collect()
+    assert len(imgs) + len(auds) == 30
+    for r in auds:
+        assert r.n_frames == r.duration_ms // multimodal.AUDIO_FRAME_MS
