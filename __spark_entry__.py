@@ -33,6 +33,8 @@ from logzilla_spark.operators.query import (
     OrNode,
     Query,
     SortField,
+    encode_cursor,
+    next_cursor,
     search,
     search_oracle_sql,
 )
@@ -141,6 +143,40 @@ def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
         return search(rec, qq)
 
     return run
+
+
+_CURSOR_PAGE = 50
+# sentinel cursor ordered before every row: forces the (ts, id) keyset
+# total order on page 1 so page boundaries are deterministic
+_CURSOR_ZERO = encode_cursor(datetime(1970, 1, 1), "")
+
+
+def _cursor_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O33 keyset pagination: collect page 1, continue from its cursor.
+
+    Oracle-checked against OFFSET/LIMIT over the same (ts, id) total
+    order — identical results, but the keyset plan's pushed predicate
+    never re-reads earlier pages (OFFSET at 100 TB would).
+    """
+    rec = _records(spark, sf_dir)
+    node = ComparisonNode("level", "FATAL", "eq")
+    q1 = Query(start=_T0, end=_T7, limit=_CURSOR_PAGE, node=node,
+               select_columns=_SEARCH_COLS, cursor=_CURSOR_ZERO)
+    page1 = search(rec, q1).collect()
+    q2 = Query(start=_T0, end=_T7, limit=_CURSOR_PAGE, node=node,
+               select_columns=_SEARCH_COLS, cursor=next_cursor(page1))
+    return search(rec, q2)
+
+
+def _cursor_page2_sql() -> str:
+    return (
+        f"WITH {oracle.records_cte(_P01)}\n"
+        f"SELECT {', '.join(_SEARCH_COLS_SQL)} FROM records\n"
+        f"WHERE \"timestamp\" >= TIMESTAMP '2024-01-01 00:00:00'\n"
+        f"  AND \"timestamp\" <= TIMESTAMP '2024-01-08 00:00:00'\n"
+        f"  AND level = 'FATAL'\n"
+        f"ORDER BY \"timestamp\", id LIMIT {_CURSOR_PAGE} OFFSET {_CURSOR_PAGE}"
+    )
 
 
 def _search_sql(q: Query) -> str:
@@ -334,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, sq in _search_queries().items():
         q[name] = _mk_search_query(sq)
+    q["q_search_cursor_page2"] = _cursor_page2  # O33 keyset pagination
     q.update(_dataops_queries())
     return q
 
@@ -380,5 +417,6 @@ GROUP BY 1""",
     }
     for name, sq in _search_queries().items():
         sql[name] = _search_sql(sq)
+    sql["q_search_cursor_page2"] = _cursor_page2_sql()
     sql.update(_dataops_oracle_sql())
     return sql

@@ -199,6 +199,48 @@ class SortField:
     descending: bool = False
 
 
+# --------------------------------------------------------------------------
+# O33 — keyset cursor pagination. The reference declares a response
+# cursor but never implements it (storage/clickhouse.go:211 TODO,
+# unused skipID sqlbuilder.go:53). Implemented here as strict keyset
+# pagination over the total order (timestamp, id): O(page) work per
+# page at any depth — no OFFSET scan, which at 100 TB is the only
+# viable pagination (OFFSET re-reads every earlier row).
+# --------------------------------------------------------------------------
+
+
+def encode_cursor(ts: datetime, row_id: str) -> str:
+    """Opaque continuation token from the last row of a page."""
+    import base64
+    import json as _json
+
+    return base64.urlsafe_b64encode(
+        _json.dumps({"ts": ts.isoformat(), "id": row_id}).encode()
+    ).decode()
+
+
+def decode_cursor(cursor: str) -> tuple[datetime, str]:
+    import base64
+    import json as _json
+
+    try:
+        obj = _json.loads(base64.urlsafe_b64decode(cursor.encode()))
+        return datetime.fromisoformat(obj["ts"]), obj["id"]
+    except Exception as e:  # noqa: BLE001
+        raise QueryValidationError(f"malformed cursor: {e}") from e
+
+
+def next_cursor(rows, time_column: str = "timestamp") -> str | None:
+    """Continuation token for the page after ``rows`` (collected Rows).
+
+    Returns None when the page was empty (end of results).
+    """
+    if not rows:
+        return None
+    last = rows[-1]
+    return encode_cursor(last[time_column], last["id"])
+
+
 @dataclass
 class Query:
     start: datetime  # mandatory (querier/querier.go:89-91)
@@ -207,6 +249,10 @@ class Query:
     sort: list[SortField] = field(default_factory=list)
     limit: int = DEFAULT_LIMIT
     select_columns: list[str] | None = None
+    # O33 keyset cursor: opaque token from ``next_cursor``. When set,
+    # the custom sort is ignored — keyset pagination requires the total
+    # (timestamp, id) order to be stable across pages.
+    cursor: str | None = None
 
     def validate(self, sort_whitelist: Sequence[str] = DEFAULT_SORT_WHITELIST) -> None:
         # reference Query.Validate (querier/querier.go:76-94) — the Go API
@@ -269,19 +315,37 @@ def search(
         if user is not None:
             pred = pred & user
 
+    if query.cursor is not None:
+        # O33 keyset: rows strictly after the cursor in (ts, id) order.
+        # The predicate pushes to the scan like any other filter, so a
+        # deep page never re-reads earlier pages (unlike OFFSET).
+        cts, cid = decode_cursor(query.cursor)
+        idc = F.col("id")
+        if backward:
+            pred = pred & ((tc < cts) | ((tc == cts) & (idc < cid)))
+        else:
+            pred = pred & ((tc > cts) | ((tc == cts) & (idc > cid)))
+
     out = df.filter(pred)
 
     order: list[Column] = []
-    has_ts = False
-    for s in query.sort:
-        c = F.col(s.name)
-        order.append(c.desc() if s.descending else c.asc())
-        if s.name == time_column:
-            has_ts = True
-    if not has_ts:
-        # implicit tie-breaker (sqlbuilder.go:153-161), direction follows
-        # backward flag (querier/querier.go:69-74)
-        order.append(tc.desc() if backward else tc.asc())
+    if query.cursor is not None:
+        order = (
+            [tc.desc(), F.col("id").desc()]
+            if backward
+            else [tc.asc(), F.col("id").asc()]
+        )
+    else:
+        has_ts = False
+        for s in query.sort:
+            c = F.col(s.name)
+            order.append(c.desc() if s.descending else c.asc())
+            if s.name == time_column:
+                has_ts = True
+        if not has_ts:
+            # implicit tie-breaker (sqlbuilder.go:153-161), direction follows
+            # backward flag (querier/querier.go:69-74)
+            order.append(tc.desc() if backward else tc.asc())
     out = out.orderBy(*order).limit(query.limit)
     return out.select(*(query.select_columns or DEFAULT_SELECT_COLUMNS))
 
@@ -312,13 +376,22 @@ def search_oracle_sql(
         if s is not None:
             where.append(s)
     order = []
-    has_ts = False
-    for srt in query.sort:
-        order.append(f"{srt.name} {'DESC' if srt.descending else 'ASC'}")
-        if srt.name == time_column:
-            has_ts = True
-    if not has_ts:
-        order.append(f"{time_column} {'DESC' if backward else 'ASC'}")
+    if query.cursor is not None:
+        cts, cid = decode_cursor(query.cursor)
+        d, op = ("DESC", "<") if backward else ("ASC", ">")
+        where.append(
+            f"({time_column} {op} {_sql_lit(cts)} OR "
+            f"({time_column} = {_sql_lit(cts)} AND id {op} {_sql_lit(cid)}))"
+        )
+        order = [f"{time_column} {d}", f"id {d}"]
+    else:
+        has_ts = False
+        for srt in query.sort:
+            order.append(f"{srt.name} {'DESC' if srt.descending else 'ASC'}")
+            if srt.name == time_column:
+                has_ts = True
+        if not has_ts:
+            order.append(f"{time_column} {'DESC' if backward else 'ASC'}")
     cols = ", ".join(select_sql or query.select_columns or DEFAULT_SELECT_COLUMNS)
     return (
         f"SELECT {cols} FROM {relation} WHERE "

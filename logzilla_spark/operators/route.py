@@ -35,17 +35,23 @@ def route_to_sinks(
     catalog: LocalCatalog,
     categories: list[str] | None = None,
     run_id: str | None = None,
+    materialized: bool = False,
 ) -> dict[str, int]:
     """Fan records out to per-category sinks; returns snapshot id per sink.
 
     One upstream materialization; per-category writes are cached-filter
     scans. Unknown categories (not in ``categories``) would be silently
     dropped — callers pass the closed routing domain (CATEGORIES).
+
+    ``materialized=True``: caller already persisted+materialized the
+    frame (and owns its unpersist) — skips the extra count action.
     """
     categories = categories or CATEGORIES
-    records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    if not materialized:
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        records.count()  # materialize once
+        if not materialized:
+            records.count()  # materialize once
         snaps: dict[str, int] = {}
         for cat in categories:
             part = records.filter(F.col("category") == cat)
@@ -54,17 +60,61 @@ def route_to_sinks(
             )
         return snaps
     finally:
-        records.unpersist()
+        if not materialized:
+            records.unpersist()
+
+
+def route_to_sinks_single_pass(
+    records: DataFrame,
+    catalog: LocalCatalog,
+    categories: list[str] | None = None,
+    run_id: str | None = None,
+    summary_extra: dict | None = None,
+) -> dict[str, int]:
+    """True single-pass fan-out: ONE ``partitionBy(category)`` write.
+
+    The upstream (parse -> enrich) executes exactly once; the writer
+    splits rows into ``category=<c>/`` directories as a side effect of
+    the single write, and each sink then commits its directory's files
+    metadata-only (Iceberg ``add_files`` analog) — no cache build, no
+    per-category re-scan, no second data pass. This is the plan that
+    survives 100 TB: N sinks cost one shuffle-free write, not N.
+
+    Returns {category: snapshot_id}. Categories absent from the data
+    still get a (file-less) snapshot so the sink exists.
+    """
+    import glob
+    import os
+    import uuid as _uuid
+
+    categories = categories or CATEGORIES
+    staging = os.path.join(catalog.warehouse, "_routed", _uuid.uuid4().hex)
+    records.write.partitionBy("category").parquet(staging)
+    snaps: dict[str, int] = {}
+    for cat in categories:
+        files = sorted(glob.glob(os.path.join(staging, f"category={cat}", "*.parquet")))
+        summary = {"run_id": run_id, "category": cat, **(summary_extra or {})}
+        snaps[cat] = catalog.append_external(
+            sink_name(cat), files, base_path=staging, summary=summary
+        )
+    return snaps
 
 
 def read_all_sinks(
     spark: SparkSession, catalog: LocalCatalog, categories: list[str] | None = None
 ) -> DataFrame:
     """Union of every sink table (for the set-equality invariant)."""
+    from ..sources.catalog import SnapshotError
+
     categories = categories or CATEGORIES
-    dfs = [
-        catalog.read(spark, sink_name(c)) for c in categories if catalog.exists(sink_name(c))
-    ]
+    dfs = []
+    for c in categories:
+        if not catalog.exists(sink_name(c)):
+            continue
+        try:
+            dfs.append(catalog.read(spark, sink_name(c)))
+        except SnapshotError:
+            continue  # committed but empty (category saw no rows)
     if not dfs:
         raise ValueError("no sinks committed")
     out = dfs[0]

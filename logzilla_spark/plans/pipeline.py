@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 
@@ -38,7 +39,7 @@ from pyspark.sql import functions as F
 from ..operators.aggregate import windowed_counts
 from ..operators.enrich import enrich_records
 from ..operators.parse import parse_records
-from ..operators.route import sink_name
+from ..operators.route import route_to_sinks_single_pass, sink_name
 from ..schemas import CATEGORIES
 from ..sources.catalog import LocalCatalog
 
@@ -78,22 +79,35 @@ class RunReport:
     resumed_rollbacks: int
 
 
-def _lineage_counts(df: DataFrame, run_id: str, stage: str, snap: int) -> DataFrame:
-    """Per-partition lineage counters for the metrics table (G6)."""
-    return (
-        df.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
-        .agg(F.count(F.lit(1)).alias("rows_out"))
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.lit(stage).alias("stage"),
-            F.col("partition_id").cast("int"),
-            F.lit(None).cast("long").alias("rows_in"),
-            F.col("rows_out").cast("long"),
-            F.lit(snap).cast("long").alias("input_snapshot_id"),
-            F.current_timestamp().alias("committed_at"),
-        )
-    )
+_PART_RE = re.compile(r"part-(\d+)")
+
+
+def _routed_lineage_rows(
+    cat: LocalCatalog, snaps: dict[str, int], run_id: str, snap: int
+) -> tuple[list[tuple], dict[str, int]]:
+    """Lineage counters derived from the routed files' parquet footers.
+
+    The single-pass partitionBy write produces one file per (write
+    task, category), so footer row-counts ARE the per-partition,
+    per-sink lineage — zero extra Spark jobs. Returns (metric rows,
+    rows routed per category).
+    """
+    import pyarrow.parquet as pq
+
+    rows: list[tuple] = []
+    routed: dict[str, int] = {}
+    for c, sid in snaps.items():
+        groups = cat._groups(sink_name(c), sid)
+        new = groups[-1]  # the group this run appended
+        total = 0
+        for f in new["files"]:
+            n = pq.ParquetFile(f).metadata.num_rows
+            m = _PART_RE.search(os.path.basename(f))
+            pid = int(m.group(1)) if m else -1
+            rows.append((run_id, f"route_{c}", pid, None, n, snap))
+            total += n
+        routed[c] = total
+    return rows, routed
 
 
 def _rollback_beyond(cat: LocalCatalog, table: str, ckpt: int | None) -> int:
@@ -169,39 +183,40 @@ class Pipeline:
                 self.cat.read(self.spark, "dim_lang"),
                 self.cat.read(self.spark, "dim_severity"),
             )
-        records = records.persist()
+        # single pass: parse+enrich execute exactly once inside the
+        # partitionBy(category) routing write; no cache, no re-scan
+        snaps = route_to_sinks_single_pass(
+            records, self.cat, run_id=run_id,
+            summary_extra={"input_snapshot_id": head},
+        )
+        lineage_rows, routed = _routed_lineage_rows(self.cat, snaps, run_id, head)
         rows_in = delta.count()
-        routed: dict[str, int] = {}
-        metrics_parts = [_lineage_counts(records, run_id, "parse", head)]
-        for c in CATEGORIES:
-            part = records.filter(F.col("category") == c)
-            self.cat.append(part, sink_name(c), summary=dict(tag, category=c))
-            routed[c] = part.count()
-            metrics_parts.append(
-                _lineage_counts(part, run_id, f"route_{c}", head)
-            )
         if fail_after_stage == "route":
-            records.unpersist()
             raise RuntimeError("injected failure after route")
 
         # aggregates reflect TOTAL sink state -> overwrite (idempotent)
+        from ..sources.catalog import SnapshotError
+
         for c in CATEGORIES:
-            sink = self.cat.read(self.spark, sink_name(c))
+            try:
+                sink = self.cat.read(self.spark, sink_name(c))
+            except SnapshotError:
+                continue  # category saw no rows yet
             agg = windowed_counts(sink)
             self.cat.overwrite(agg, f"agg_{c}", summary=dict(tag))
         if fail_after_stage == "aggregate":
-            records.unpersist()
             raise RuntimeError("injected failure after aggregate")
 
-        metrics = metrics_parts[0]
-        for m in metrics_parts[1:]:
-            metrics = metrics.unionByName(m)
+        lineage_rows.append((run_id, "parse", -1, rows_in, sum(routed.values()), head))
+        metrics = self.spark.createDataFrame(
+            [r + (None,) for r in lineage_rows],
+            schema="run_id string, stage string, partition_id int, rows_in bigint, "
+                   "rows_out bigint, input_snapshot_id bigint, committed_at timestamp",
+        ).withColumn("committed_at", F.current_timestamp())
         self.cat.append(metrics, METRICS_TABLE, summary=dict(tag))
         if fail_after_stage == "metrics":
-            records.unpersist()
             raise RuntimeError("injected failure after metrics")
 
         # the commit point: everything above becomes durable at once
         self.ckpts.commit(head, run_id)
-        records.unpersist()
         return RunReport(run_id, head, rows_in, routed, rolled)

@@ -72,14 +72,18 @@ class LocalCatalog:
         with open(path) as f:
             return json.load(f)
 
-    def _commit(self, name: str, files: list[str], operation: str, summary: dict) -> int:
+    def _commit(self, name: str, groups: list[dict], operation: str, summary: dict) -> int:
+        """Publish a snapshot. ``groups`` = [{"base": dir, "files": [...]}]:
+        each group is read with its own basePath, so a snapshot can mix
+        normal appends with externally-staged partitioned directories
+        (the single-pass routing fan-out)."""
         snap_dir = self._snap_dir(name)
         os.makedirs(snap_dir, exist_ok=True)
         new_id = (self.last_snapshot_id(name) or 0) + 1
         manifest = {
             "snapshot_id": new_id,
             "operation": operation,
-            "files": files,
+            "groups": groups,
             "summary": summary,
         }
         tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -88,6 +92,13 @@ class LocalCatalog:
             json.dump(manifest, f)
         os.rename(tmp, final)  # atomic publish
         return new_id
+
+    def _groups(self, name: str, snapshot_id: int) -> list[dict]:
+        m = self._load_snapshot(name, snapshot_id)
+        if "groups" in m:
+            return m["groups"]
+        # legacy manifests: flat file list rooted at the table data dir
+        return [{"base": self._data_dir(name), "files": m["files"]}]
 
     def _stage_write(self, df: DataFrame, name: str, partition_by: list[str] | None) -> list[str]:
         commit_dir = os.path.join(self._data_dir(name), uuid.uuid4().hex)
@@ -113,8 +124,26 @@ class LocalCatalog:
         """Stage parquet then atomically publish a new snapshot."""
         new_files = self._stage_write(df, name, partition_by)
         prev = self.last_snapshot_id(name)
-        prev_files = self._load_snapshot(name, prev)["files"] if prev else []
-        return self._commit(name, prev_files + new_files, "append", summary or {})
+        prev_groups = self._groups(name, prev) if prev else []
+        groups = prev_groups + [{"base": self._data_dir(name), "files": new_files}]
+        return self._commit(name, groups, "append", summary or {})
+
+    def append_external(
+        self,
+        name: str,
+        files: list[str],
+        base_path: str,
+        summary: dict | None = None,
+    ) -> int:
+        """Append already-written parquet files (e.g. one category's
+        directory out of a single ``partitionBy`` staging write) without
+        rewriting them — the Iceberg add_files / metadata-only append.
+        ``base_path`` is the staging root, so partition-dir columns
+        (``category=<c>``) are recovered at read time."""
+        prev = self.last_snapshot_id(name)
+        prev_groups = self._groups(name, prev) if prev else []
+        groups = prev_groups + [{"base": base_path, "files": sorted(files)}]
+        return self._commit(name, groups, "append", summary or {})
 
     def overwrite(
         self,
@@ -124,7 +153,8 @@ class LocalCatalog:
         summary: dict | None = None,
     ) -> int:
         new_files = self._stage_write(df, name, partition_by)
-        return self._commit(name, new_files, "overwrite", summary or {})
+        groups = [{"base": self._data_dir(name), "files": new_files}]
+        return self._commit(name, groups, "overwrite", summary or {})
 
     def exists(self, name: str) -> bool:
         return self.last_snapshot_id(name) is not None
@@ -136,20 +166,33 @@ class LocalCatalog:
         """Publish a new snapshot whose state equals ``to_snapshot_id``
         (Iceberg rollback analog). Used by checkpoint-resume to drop
         commits from a run that died before its checkpoint was written."""
-        target = self._load_snapshot(name, to_snapshot_id)
         return self._commit(
-            name, target["files"], "rollback", {"rolled_back_to": to_snapshot_id}
+            name,
+            self._groups(name, to_snapshot_id),
+            "rollback",
+            {"rolled_back_to": to_snapshot_id},
         )
 
     # -- reads ----------------------------------------------------------
+    def _read_groups(self, spark: SparkSession, groups: list[dict]) -> DataFrame:
+        # one read per basePath group (partition-dir columns recovered
+        # relative to that base), then union — schemas are identical
+        # after recovery, column order may differ
+        out = None
+        for g in groups:
+            if not g["files"]:
+                continue
+            df = spark.read.option("basePath", g["base"]).parquet(*g["files"])
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            raise SnapshotError("snapshot has no data files")
+        return out
+
     def read(self, spark: SparkSession, name: str, snapshot_id: int | None = None) -> DataFrame:
         sid = snapshot_id if snapshot_id is not None else self.last_snapshot_id(name)
         if sid is None:
             raise SnapshotError(f"table {name!r} has no committed snapshot")
-        files = self._load_snapshot(name, sid)["files"]
-        if not files:
-            raise SnapshotError(f"table {name!r} snapshot {sid} is empty")
-        return spark.read.option("basePath", self._data_dir(name)).parquet(*files)
+        return self._read_groups(spark, self._groups(name, sid))
 
     def read_incremental(
         self, spark: SparkSession, name: str, after_snapshot_id: int | None
@@ -163,12 +206,17 @@ class LocalCatalog:
         head = self.last_snapshot_id(name)
         if head is None or head == after_snapshot_id:
             return None
-        head_files = set(self._load_snapshot(name, head)["files"])
+        seen: set[str] = set()
         if after_snapshot_id:
-            head_files -= set(self._load_snapshot(name, after_snapshot_id)["files"])
-        if not head_files:
+            for g in self._groups(name, after_snapshot_id):
+                seen.update(g["files"])
+        new_groups = [
+            {"base": g["base"], "files": [f for f in g["files"] if f not in seen]}
+            for g in self._groups(name, head)
+        ]
+        if not any(g["files"] for g in new_groups):
             return None
-        return spark.read.option("basePath", self._data_dir(name)).parquet(*sorted(head_files))
+        return self._read_groups(spark, new_groups)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tbl(name), ignore_errors=True)

@@ -1,0 +1,15 @@
+from .stream_pipeline import (
+    route_batch,
+    start_agg_stream,
+    start_routing_stream,
+    stream_pages,
+    streaming_windowed_counts,
+)
+
+__all__ = [
+    "stream_pages",
+    "streaming_windowed_counts",
+    "start_routing_stream",
+    "start_agg_stream",
+    "route_batch",
+]

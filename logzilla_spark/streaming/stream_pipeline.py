@@ -1,0 +1,204 @@
+"""Structured Streaming pipeline: the reference's live ingest loop.
+
+The reference tails a file with fsnotify and pushes each appended line
+through channels into a buffered batch sink (reference:
+source/file.go:52-126 tail loop, engine/orchestrator.go:70-131 engine
+loop, engine/storage.go:49-125 size/interval flush). This module is the
+Spark-native equivalent:
+
+- ``stream_pages``: a checkpointed file-stream source over the pages
+  directory. New parquet files appearing in the directory play the role
+  of appended lines; Spark's checkpointed file offsets ARE the
+  seek-to-end semantics (source/file.go:59-64) — a restarted query
+  ingests only not-yet-seen files, exactly like the reference's
+  start-at-EOF but without the rotation bug (source/file.go:88-98).
+- the parse/enrich stages are the SAME operators as the batch path
+  (stateless narrow transforms work unchanged on streaming frames);
+- ``start_routing_stream``: micro-batch fan-out to per-category sinks
+  via foreachBatch. Each (query_id, batch_id) commit is recorded in the
+  sink's snapshot summary, so a replayed epoch after a crash is
+  detected and skipped — upgrading the reference's at-most-once buffer
+  flush (a failed insert drops the batch, engine/storage.go:95-98) to
+  exactly-once.
+- ``streaming_windowed_counts`` / ``start_agg_stream``: event-time
+  tumbling-window counts with a watermark — the late-data handling the
+  reference lacks entirely (SURVEY.md §2.4). Update-mode upserts keep
+  the agg table correct as late rows arrive within the watermark.
+
+The flush knobs map 1:1: raw/processed buffer sizes (README.md:161-167)
+-> ``maxFilesPerTrigger``; ``storage_flush_interval: 1s`` ->
+``trigger(processingTime=...)``; one Iceberg/snapshot commit per flush
+either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.aggregate import DEFAULT_WINDOW
+from ..operators.parse import parse_records
+from ..schemas import CATEGORIES, PAGES_SCHEMA
+from ..sources.catalog import LocalCatalog
+
+AGG_KEYS = ["window_start", "window_end", "category", "level"]
+
+
+def stream_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Checkpointed streaming source over a directory of pages parquet.
+
+    ``max_files_per_trigger`` is the ingest-buffer knob (the analog of
+    raw_logs_buffer_size, README.md:162-163): it bounds micro-batch
+    size so one flush never exceeds executor memory at scale.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir)
+
+
+def streaming_windowed_counts(
+    records: DataFrame, watermark: str = "10 minutes", window: str = DEFAULT_WINDOW
+) -> DataFrame:
+    """Watermarked event-time tumbling-window counts.
+
+    Same result columns as the batch ``windowed_counts`` so the two
+    paths are differentially testable. The watermark bounds state:
+    windows older than (max event time - watermark) are finalized and
+    their state evicted — mandatory at 10^12-document scale.
+    """
+    return (
+        records.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("w"), "category", "level")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "category",
+            "level",
+            "n",
+        )
+    )
+
+
+def _already_committed(cat: LocalCatalog, table: str, query_id: str, batch_id: int) -> bool:
+    sid = cat.last_snapshot_id(table)
+    while sid is not None and sid >= 1:
+        s = cat.snapshot_summary(table, sid)
+        if s.get("query_id") == query_id and s.get("batch_id") is not None:
+            return int(s["batch_id"]) >= batch_id
+        sid -= 1
+    return False
+
+
+def route_batch(
+    batch: DataFrame, cat: LocalCatalog, query_id: str, batch_id: int
+) -> dict[str, int]:
+    """Fan one micro-batch of records out to the per-category sinks.
+
+    Exactly-once: skips categories whose sink already has a commit for
+    this (query_id, batch_id) — foreachBatch replays an epoch after a
+    crash, and blind re-append would double rows (the failure mode the
+    reference accepts at engine/storage.go:95-98).
+
+    Single pass upstream: the batch is persisted once, then filtered
+    per sink (SURVEY.md O14 routing).
+    """
+    batch = batch.persist()
+    routed: dict[str, int] = {}
+    try:
+        for c in CATEGORIES:
+            table = f"sink_{c}"
+            if _already_committed(cat, table, query_id, batch_id):
+                routed[c] = -1  # replayed epoch, skipped
+                continue
+            part = batch.filter(F.col("category") == c)
+            cat.append(
+                part, table, summary={"query_id": query_id, "batch_id": batch_id}
+            )
+            routed[c] = part.count()
+    finally:
+        batch.unpersist()
+    return routed
+
+
+def start_routing_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    parse_impl: str = "arrow",
+    use_html: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """pages stream -> parse -> route to per-category sinks.
+
+    ``available_now=True`` drains everything currently in the directory
+    then stops (incremental batch cadence); ``False`` runs continuously
+    (the reference's live-tail mode).
+    """
+    cat = LocalCatalog(warehouse)
+    pages = stream_pages(spark, pages_dir, max_files_per_trigger)
+    records = parse_records(pages, impl=parse_impl, use_html=use_html)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        route_batch(batch, cat, query_id="route", batch_id=batch_id)
+
+    writer = records.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_agg_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    parse_impl: str = "arrow",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """pages stream -> parse -> watermarked windowed counts, upserted.
+
+    Update output mode: each epoch emits only windows whose counts
+    changed; the sink upserts them into the ``stream_agg`` table by
+    (window, category, level) key. Late rows within the watermark
+    revise their window; rows later than the watermark are dropped —
+    defined semantics where the reference has none.
+    """
+    cat = LocalCatalog(warehouse)
+    pages = stream_pages(spark, pages_dir)
+    records = parse_records(pages, impl=parse_impl)
+    agg = streaming_windowed_counts(records, watermark=watermark)
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        if _already_committed(cat, "stream_agg", "agg", batch_id):
+            return
+        if cat.exists("stream_agg"):
+            old = cat.read(spark, "stream_agg")
+            merged = old.join(
+                batch.select(*AGG_KEYS), AGG_KEYS, "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        cat.overwrite(
+            merged, "stream_agg", summary={"query_id": "agg", "batch_id": batch_id}
+        )
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -64,7 +64,13 @@ METHODS = ["GET", "POST", "PUT"]
 PATHS = ["/index.html", "/api/v1/items", "/static/app.js", "/checkout", "/search"]
 STATUSES = [200, 200, 301, 404, 500, 503]
 
-N_PAGES_BY_SF = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+N_PAGES_BY_SF = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000, "sf1": 500000}
+
+# Row-group size for the pages parquet: Spark's scan parallelism over a
+# single file is bounded by row-group boundaries, so the fixture writes
+# many small row groups (a 100 TB corpus would naturally arrive as many
+# files; this keeps local[N] scaling behavior representative).
+PAGES_ROW_GROUP = 2000
 
 HTML_PREFIX = "<html><body><pre>"
 HTML_SUFFIX = "</pre></body></html>"
@@ -179,13 +185,15 @@ def ensure_pages(sf_dir: str, force: bool = False) -> str:
     """
     name = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(CACHE_ROOT, name)
-    marker = os.path.join(out_dir, "_SUCCESS")
+    marker = os.path.join(out_dir, "_SUCCESS_v2")
     if os.path.exists(marker) and not force:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     pdf = generate_pages_pdf(n_pages_for(sf_dir))
     table = pa.Table.from_pandas(pdf, schema=_pages_arrow_schema(), preserve_index=False)
-    pq.write_table(table, os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(
+        table, os.path.join(out_dir, "pages.parquet"), row_group_size=PAGES_ROW_GROUP
+    )
     pq.write_table(
         pa.Table.from_pandas(dim_lang_pdf(), preserve_index=False),
         os.path.join(out_dir, "dim_lang.parquet"),

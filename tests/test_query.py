@@ -125,3 +125,45 @@ def test_topk_plan_no_global_sort(df):
     q = Query(start=T(2024, 1, 1), limit=2, select_columns=["id"])
     plan = search(df, q)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# O33 — keyset cursor pagination (unbuilt TODO in the reference,
+# storage/clickhouse.go:211; implemented here as strict keyset)
+# --------------------------------------------------------------------------
+
+
+def test_cursor_pagination_walks_all_rows(df):
+    from logzilla_spark.operators.query import next_cursor
+
+    base = dict(start=T(2024, 1, 1), end=T(2024, 1, 5), limit=2,
+                select_columns=["id", "timestamp"])
+    seen = []
+    cur = None
+    for _ in range(5):
+        rows = search(df, Query(**base, cursor=cur)).collect()
+        if not rows:
+            break
+        seen += [r.id for r in rows]
+        cur = next_cursor(rows)
+    assert seen == ["a", "b", "c", "d", "e"]  # no dup, no loss, in order
+    # pages are disjoint and exhaustive even with shared timestamps
+
+
+def test_cursor_backward_direction(df):
+    from logzilla_spark.operators.query import next_cursor
+
+    base = dict(start=T(2024, 1, 5), end=T(2024, 1, 1), limit=2,
+                select_columns=["id", "timestamp"])  # reversed => backward
+    rows1 = search(df, Query(**base)).collect()
+    assert [r.id for r in rows1] == ["e", "d"]
+    # continue backward from the last row of page 1 via cursor
+    rows2 = search(df, Query(**base, cursor=next_cursor(rows1))).collect()
+    assert [r.id for r in rows2] == ["c", "b"]
+
+
+def test_cursor_rejects_garbage(df):
+    q = Query(start=T(2024, 1, 1), limit=2, cursor="not-a-cursor",
+              select_columns=["id"])
+    with pytest.raises(QueryValidationError):
+        search(df, q).collect()

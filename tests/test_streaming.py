@@ -1,0 +1,160 @@
+"""Structured Streaming pipeline tests.
+
+Differential contract: the streaming path (file-source micro-batches ->
+parse -> foreachBatch route / watermarked windowed agg) must land the
+exact same rows as the batch path over the same pages — the streaming
+twin of the reference's tail-follow loop (reference: source/file.go:52-126,
+engine/orchestrator.go:70-131).
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.operators.aggregate import windowed_counts
+from logzilla_spark.operators.parse import parse_records
+from logzilla_spark.operators.route import sink_name
+from logzilla_spark.schemas import CATEGORIES, PAGES_SCHEMA
+from logzilla_spark.sources.catalog import LocalCatalog
+from logzilla_spark.streaming import (
+    route_batch,
+    start_agg_stream,
+    start_routing_stream,
+)
+from logzilla_spark.testdata import ensure_pages
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged_pages(spark, tmp_path_factory):
+    """Pages split into 3 parquet files dropped into a watched dir —
+    the streaming analog of lines being appended to a tailed file."""
+    d = ensure_pages(SF001)
+    base = tmp_path_factory.mktemp("stream")
+    in_dir = os.path.join(base, "pages_in")
+    os.makedirs(in_dir)
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    # deterministic 3-way split by url hash, one file each
+    for i in range(3):
+        part = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i)
+        part.coalesce(1).write.parquet(os.path.join(base, f"tmp{i}"))
+        src = [
+            f for f in os.listdir(os.path.join(base, f"tmp{i}")) if f.endswith(".parquet")
+        ][0]
+        shutil.move(
+            os.path.join(base, f"tmp{i}", src), os.path.join(in_dir, f"batch{i}.parquet")
+        )
+    return str(base), in_dir
+
+
+def test_streaming_route_matches_batch(spark, staged_pages):
+    base, in_dir = staged_pages
+    wh = os.path.join(base, "wh_route")
+    q = start_routing_stream(
+        spark, in_dir, wh, os.path.join(base, "ckpt_route"),
+        max_files_per_trigger=1,  # 3 micro-batches, like 3 buffer flushes
+    )
+    q.awaitTermination(timeout=300)
+
+    cat = LocalCatalog(wh)
+    batch_records = parse_records(
+        spark.read.schema(PAGES_SCHEMA).parquet(in_dir), impl="arrow"
+    )
+    expect = {
+        r["category"]: r["n"]
+        for r in batch_records.groupBy("category").agg(F.count("*").alias("n")).collect()
+    }
+    got_ids = set()
+    total = 0
+    for c in CATEGORIES:
+        sink = cat.read(spark, sink_name(c))
+        rows = sink.select("id", "category").collect()
+        assert all(r["category"] == c for r in rows)
+        assert expect.get(c, 0) == len(rows)
+        ids = {r["id"] for r in rows}
+        assert not (ids & got_ids), "sinks must be pairwise disjoint"
+        got_ids |= ids
+        total += len(rows)
+    # set equality: union of sinks == parsed set
+    assert total == batch_records.count()
+    assert got_ids == {r["id"] for r in batch_records.select("id").collect()}
+    # multiple micro-batch commits actually happened
+    assert cat.last_snapshot_id(sink_name("json")) >= 2
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, staged_pages):
+    """Re-delivering an already-committed epoch must not double rows."""
+    base, in_dir = staged_pages
+    wh = os.path.join(base, "wh_replay")
+    cat = LocalCatalog(wh)
+    batch = parse_records(
+        spark.read.schema(PAGES_SCHEMA).parquet(in_dir), impl="arrow"
+    )
+    route_batch(batch, cat, query_id="q", batch_id=0)
+    n1 = {c: cat.read(spark, sink_name(c)).count() for c in CATEGORIES}
+    routed = route_batch(batch, cat, query_id="q", batch_id=0)  # replay
+    assert all(v == -1 for v in routed.values()), routed
+    n2 = {c: cat.read(spark, sink_name(c)).count() for c in CATEGORIES}
+    assert n1 == n2
+
+
+def test_streaming_agg_matches_batch(spark, staged_pages):
+    base, in_dir = staged_pages
+    wh = os.path.join(base, "wh_agg")
+    q = start_agg_stream(
+        spark, in_dir, wh, os.path.join(base, "ckpt_agg"), watermark="10 minutes"
+    )
+    q.awaitTermination(timeout=300)
+
+    cat = LocalCatalog(wh)
+    got = {
+        (r["window_start"], r["window_end"], r["category"], r["level"]): r["n"]
+        for r in cat.read(spark, "stream_agg").collect()
+    }
+    batch_records = parse_records(
+        spark.read.schema(PAGES_SCHEMA).parquet(in_dir), impl="arrow"
+    )
+    expect_df = windowed_counts(
+        batch_records, time_col="timestamp", keys=("category", "level")
+    )
+    expect = {
+        (r["window_start"], r["window_end"], r["category"], r["level"]): r["n"]
+        for r in expect_df.collect()
+    }
+    assert got == expect
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, staged_pages):
+    """Checkpointed offsets = the reference's seek-to-end semantics
+    (source/file.go:59-64): a restarted query must not re-ingest files
+    it already processed, and must pick up files added while down."""
+    base, in_dir = staged_pages
+    # stage 1: only two of the three files visible
+    in2 = os.path.join(base, "pages_in2")
+    os.makedirs(in2)
+    shutil.copy(os.path.join(in_dir, "batch0.parquet"), in2)
+    shutil.copy(os.path.join(in_dir, "batch1.parquet"), in2)
+    wh = os.path.join(base, "wh_resume")
+    ckpt = os.path.join(base, "ckpt_resume")
+
+    q = start_routing_stream(spark, in2, wh, ckpt)
+    q.awaitTermination(timeout=300)
+    cat = LocalCatalog(wh)
+    snap_after_first = {c: cat.last_snapshot_id(sink_name(c)) for c in CATEGORIES}
+
+    # "append" arrives while the query is down; restart from checkpoint
+    shutil.copy(os.path.join(in_dir, "batch2.parquet"), in2)
+    q = start_routing_stream(spark, in2, wh, ckpt)
+    q.awaitTermination(timeout=300)
+
+    batch_records = parse_records(
+        spark.read.schema(PAGES_SCHEMA).parquet(in_dir), impl="arrow"
+    )
+    total = sum(cat.read(spark, sink_name(c)).count() for c in CATEGORIES)
+    assert total == batch_records.count()  # no re-ingest, no loss
+    # each sink advanced exactly one commit in the second run
+    for c in CATEGORIES:
+        assert cat.last_snapshot_id(sink_name(c)) == snap_after_first[c] + 1
