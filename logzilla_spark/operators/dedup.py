@@ -69,6 +69,21 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The per-doc stages below (md5 per shingle, K minhash functions,
+    bit voting) cost ~ms per document — orders more than scanning it.
+    When the input arrives as one or two splits (a single parquet file
+    at CI scale; a small dimension-ish table generally), that compute
+    would serialize onto as many tasks. One narrow shuffle of the raw
+    docs is noise by comparison and restores full parallelism; at
+    100 TB the input already has thousands of splits and this exchange
+    is a per-partition no-op coalesce.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingles_expr(norm_col: str, n: int = SHINGLE_N) -> str:
     """Distinct character n-grams of an already-normalized column."""
     return (
@@ -147,7 +162,8 @@ def minhash_signatures(
         f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
     )
     return (
-        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .withColumn("_sh", F.expr(_shingles_expr("_n")))
         .withColumn("_hs", F.expr(f"transform(_sh, s -> pmod({md5_long_expr('s')}, {P31}))"))
         .select("id", sig.alias("sig"))
@@ -200,6 +216,13 @@ def minhash_lsh_pairs(
             sizes.filter(F.col("count") <= max_bucket).drop("count"),
             ["band_id", "band_hash"],
         )
+    # Hash-partition on the bucket key BEFORE the self-join: the join
+    # then runs co-located with no extra exchange, and — critically —
+    # the pair EXPLOSION (output rows quadratic in bucket size) is
+    # spread across tasks by bucket instead of riding the input file's
+    # partitioning (a single-file dim table would otherwise put every
+    # K^2 expansion on one task).
+    bands = bands.repartition(F.col("band_id"), F.col("band_hash"))
     la = bands.select(
         F.col("id").alias("doc_a"), "band_id", "band_hash"
     )
@@ -212,8 +235,10 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa"))
-    sb = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("_sb"))
+    # signatures are n_docs x 16 longs — always broadcast (the
+    # candidate side is the big one)
+    sa = F.broadcast(sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa")))
+    sb = F.broadcast(sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("_sb")))
     est = F.expr(
         "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
         f"/ {N_MINHASH}.0"
@@ -225,11 +250,14 @@ def minhash_lsh_pairs(
         .filter(F.col("est_sim") >= min_est)
         .select("doc_a", "doc_b", "est_sim")
     )
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
     ).select("id", F.expr(_shingles_expr("_n")).alias("_sh"))
-    ga = sh.select(F.col("id").alias("doc_a"), F.col("_sh").alias("_ga"))
-    gb = sh.select(F.col("id").alias("doc_b"), F.col("_sh").alias("_gb"))
+    # shingle arrays are ~KBs per doc: broadcast them to the candidate
+    # pairs rather than shuffling candidates twice through sort-merge
+    # joins that would sort/serialize the array payloads
+    ga = F.broadcast(sh.select(F.col("id").alias("doc_a"), F.col("_sh").alias("_ga")))
+    gb = F.broadcast(sh.select(F.col("id").alias("doc_b"), F.col("_sh").alias("_gb")))
     out = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
@@ -260,7 +288,8 @@ def simhash_fingerprints(
         "shiftleft(1L, i), 0L))"
     )
     return (
-        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .withColumn("_th", F.expr(f"transform(split(_n, ' '), t -> {md5_long_expr('t')})"))
         .select("id", fp.alias("fingerprint"))
     )
@@ -291,6 +320,9 @@ def simhash_pairs(
     ex = fps.select(
         "id", "fingerprint", F.explode(F.array(*blocks)).alias("b")
     ).select("id", "fingerprint", "b.block_id", "b.block_val")
+    # co-partition by block before the self-join (see minhash_lsh_pairs:
+    # spreads the quadratic per-bucket pair expansion across tasks)
+    ex = ex.repartition(F.col("block_id"), F.col("block_val"))
     a = ex.select(
         F.col("id").alias("doc_a"), F.col("fingerprint").alias("_fa"),
         "block_id", "block_val",
@@ -328,7 +360,8 @@ def ngram_jaccard_pairs(
     lever for boilerplate-heavy corpora).
     """
     grams = (
-        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .withColumn("_t", F.split("_n", " "))
         .select("id", F.expr(_wordgrams_expr("_t", n)).alias("_g"))
     )
@@ -337,6 +370,9 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         freq = ex.groupBy("gram").count()
         ex = ex.join(freq.filter(F.col("count") <= max_df).drop("count"), "gram")
+    # co-partition the inverted index by gram: colocated self-join,
+    # per-gram pair expansion spread across tasks
+    ex = ex.repartition(F.col("gram"))
     a = ex.select(F.col("id").alias("doc_a"), "gram")
     b = ex.select(F.col("id").alias("doc_b"), "gram")
     inter = (
@@ -393,11 +429,29 @@ def embedding_neardup_pairs(
     (operators/similarity.py::embedding_neardup_lsh). At 100 TB use
     the LSH variant; this one exists to measure its recall.
     """
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_eb"))
+    # Hoist the per-vector self-dot out of the pair loop (computed once
+    # per row instead of once per pair — identical expression tree, so
+    # identical IEEE-754 bits vs the unhoisted form) and spread the
+    # O(n^2) nested-loop join across tasks: a single-file embeddings
+    # table would otherwise evaluate every pair in ONE task.
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    dot_self = f"aggregate(zip_with(_e, _e, (p, q) -> cast(p as double) * cast(q as double)), cast(0 as double), (acc, v) -> acc + v)"
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("_e")
+    ).withColumn("_d2", F.expr(dot_self))
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("_e").alias("_ea"), F.col("_d2").alias("_da")
+    ).repartition(n_parts)
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("_e").alias("_eb"), F.col("_d2").alias("_db")
+    )
+    dot_ab = (
+        "aggregate(zip_with(_ea, _eb, (p, q) -> cast(p as double) * cast(q as double)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.expr(cosine_expr("_ea", "_eb")))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(f"{dot_ab} / sqrt(_da * _db)"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

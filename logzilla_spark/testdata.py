@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from datetime import datetime, timedelta
 
 import pandas as pd
@@ -113,9 +114,9 @@ def _line(i: int, j: int) -> str:
     return f"garbage line {i}"
 
 
-def generate_pages_pdf(n_pages: int) -> pd.DataFrame:
+def generate_pages_pdf(n_pages: int, start: int = 0) -> pd.DataFrame:
     rows = []
-    for i in range(n_pages):
+    for i in range(start, start + n_pages):
         lang = LANG_TABLE[(i * 7) % 10]
         n_lines = 1 + i % 5
         text = "\n".join(_line(i, j) for j in range(n_lines))
@@ -174,7 +175,13 @@ def _pages_arrow_schema() -> pa.Schema:
 
 def n_pages_for(sf_dir: str) -> int:
     name = os.path.basename(os.path.normpath(sf_dir))
-    return N_PAGES_BY_SF.get(name, 500)
+    if name in N_PAGES_BY_SF:
+        return N_PAGES_BY_SF[name]
+    # generic sfN -> N * 500k pages (e.g. sf10 -> 5M), for scaling runs
+    m = re.fullmatch(r"sf(\d+)", name)
+    if m:
+        return int(m.group(1)) * N_PAGES_BY_SF["sf1"]
+    return 500
 
 
 def ensure_pages(sf_dir: str, force: bool = False) -> str:
@@ -205,6 +212,67 @@ def ensure_pages(sf_dir: str, force: bool = False) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def ensure_pages_spark(sf_dir: str, spark, force: bool = False) -> str:
+    """Spark-parallel fixture generation for scaling-run corpora.
+
+    Identical rows to :func:`ensure_pages` (same pure function of the
+    global page index), but generated by 32-way mapInPandas instead of
+    a single Python loop — multi-million-page corpora in minutes. The
+    pages table becomes a parquet DIRECTORY (many files, small row
+    groups) which is also the realistic 100 TB layout.
+    """
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, name)
+    marker = os.path.join(out_dir, "_SUCCESS_v2")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n = n_pages_for(sf_dir)
+    chunk = 50_000
+    bounds = [(lo, min(n, lo + chunk)) for lo in range(0, n, chunk)]
+
+    def gen(batches):
+        for pdf in batches:
+            for r in pdf.itertuples():
+                yield generate_pages_pdf(r.hi - r.lo, start=r.lo)
+
+    chunks_df = spark.createDataFrame(bounds, "lo long, hi long").repartition(len(bounds))
+    (
+        chunks_df.mapInPandas(gen, schema="url string, warc_ts timestamp, "
+                                          "html binary, text string, lang string")
+        .write.mode("overwrite")
+        # small row groups/files so local scans split finely (matches
+        # the single-file fixture's PAGES_ROW_GROUP intent)
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(os.path.join(out_dir, "pages.parquet"))
+    )
+    pq.write_table(
+        pa.Table.from_pandas(dim_lang_pdf(), preserve_index=False),
+        os.path.join(out_dir, "dim_lang.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(dim_severity_pdf(), preserve_index=False),
+        os.path.join(out_dir, "dim_severity.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def pages_row_count(sf_dir: str) -> int:
+    """Exact row count from parquet footers (file or directory layout)."""
+    import glob as _glob
+
+    path = os.path.join(CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)),
+                        "pages.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def pages_parquet(sf_dir: str) -> str:
