@@ -25,6 +25,35 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def engine_sql_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """Runtime-settable SQL confs the engine depends on.
+
+    Shared by :func:`get_spark` (local sessions) and ``main.py``'s
+    spark-submit path, where the session master/memory come from the
+    submit command and only these session confs are applied on top.
+    """
+    confs = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    }
+    if shuffle_partitions:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return confs
+
+
+def configure_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply engine SQL confs to an externally-built session
+    (the spark-submit path: master/memory/py-files are submit args)."""
+    for k, v in engine_sql_confs(shuffle_partitions).items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "logzilla_spark",
@@ -42,14 +71,7 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # 32 concurrent tasks allocating row objects (maps/strings) GC-thrash
         # the default collector; G1 with a bounded pause target keeps the
@@ -68,6 +90,8 @@ def get_spark(
         )
         .config("spark.sql.files.openCostInBytes", "65536")
     )
+    for k, v in engine_sql_confs(shuffle_partitions).items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the logzilla-spark pipeline.
+
+The reference ships two binaries — an ingest engine driven by a YAML
+config (reference: cmd/engine/main.go) and a query server
+(reference: cmd/server/main.go). The Spark-native equivalent is one
+thin driver script submitted to a cluster with the package zip:
+
+    python scripts/package.py                       # -> dist/logzilla_spark.zip
+    spark-submit \
+        --master <cluster-master> \
+        --py-files dist/logzilla_spark.zip \
+        main.py --warehouse /path/to/warehouse \
+                [--ingest /path/to/pages.parquet] \
+                [--dims /dir/with/dim_{lang,severity}.parquet] \
+                [--parse-impl arrow] [--run-id RUN]
+
+Each invocation performs ONE incremental checkpoint-resume run of the
+parse -> enrich -> route -> aggregate pipeline over the warehouse's
+`pages` table (plans/pipeline.py): it rolls back any un-checkpointed
+commits from a previously crashed run, processes only the pages delta
+committed since the last checkpoint, and prints a one-line JSON run
+report. Re-running after a crash is always safe (idempotent end state
+— tested in tests/test_pipeline_resume.py).
+
+The session master/memory/parallelism come from spark-submit; only
+runtime SQL confs (AQE, Arrow, UTC timezone) are applied here, so the
+identical script runs on local[N] and on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--warehouse", required=True,
+                   help="catalog warehouse directory (sinks, aggs, metrics, checkpoints)")
+    p.add_argument("--ingest", default=None,
+                   help="optional pages parquet path to append to the pages table "
+                        "before running (columns: url, warc_ts, html, text, lang)")
+    p.add_argument("--dims", default=None,
+                   help="optional dir containing dim_lang.parquet / dim_severity.parquet; "
+                        "enables the broadcast enrich stage")
+    p.add_argument("--parse-impl", default="arrow", choices=("arrow", "native"),
+                   help="parse stage implementation (arrow = vectorized pandas UDF)")
+    p.add_argument("--run-id", default=None, help="run id for lineage/metrics rows")
+    p.add_argument("--shuffle-partitions", type=int, default=None,
+                   help="override spark.sql.shuffle.partitions (default: leave "
+                        "submit-conf/AQE in charge)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from logzilla_spark.plans.pipeline import Pipeline
+    from logzilla_spark.session import configure_session
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    spark = configure_session(
+        SparkSession.builder.appName("logzilla-spark").getOrCreate(),
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cat = LocalCatalog(args.warehouse)
+    pipe = Pipeline(spark, cat, parse_impl=args.parse_impl)
+
+    if args.dims:
+        pipe.set_dims(
+            spark.read.parquet(f"{args.dims}/dim_lang.parquet"),
+            spark.read.parquet(f"{args.dims}/dim_severity.parquet"),
+        )
+    if args.ingest:
+        pipe.ingest_pages(spark.read.parquet(args.ingest))
+
+    report = pipe.run(run_id=args.run_id)
+    print(json.dumps({
+        "run_id": report.run_id,
+        "input_snapshot_id": report.input_snapshot_id,
+        "rows_in": report.rows_in,
+        "rows_routed": report.rows_routed,
+        "resumed_rollbacks": report.resumed_rollbacks,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
