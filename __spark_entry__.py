@@ -26,6 +26,7 @@ from logzilla_spark.operators import dedup, multimodal, similarity, textstats
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.parse import parse_records, text_from_html
+from logzilla_spark.operators.sessionize import sessionize, sessionize_sql
 from logzilla_spark.operators.query import (
     AndNode,
     ComparisonNode,
@@ -296,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- pipeline: parse (G1/O19/O21/O24), both impls ---
         "q_pipeline_records": lambda s, d: _flat_records(_records(s, d, "arrow")),
         "q_pipeline_records_native": lambda s, d: _flat_records(_records(s, d, "native")),
+        "q_pipeline_records_hybrid": lambda s, d: _flat_records(_records(s, d, "hybrid")),
         # --- parse fidelity invariant (north_rule byte-identity) ---
         "q_parse_fidelity": lambda s, d: _pages(s, d).select(
             F.count(F.lit(1)).alias("n_pages"),
@@ -336,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
         )
         .agg(F.count(F.lit(1)).alias("n"), _exact_sum("value", "sum_value")),
+        # --- events: gap-based sessionization (session_window) ---
+        "q_events_sessions": lambda s, d: sessionize(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
         # --- events: tumbling-window aggregate over event time ---
         "q_events_hourly": lambda s, d: s.read.parquet(f"{d}/events.parquet")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -380,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "q_pipeline_records": oracle.records_sql(_P01),
         "q_pipeline_records_native": oracle.records_sql(_P01),
+        "q_pipeline_records_hybrid": oracle.records_sql(_P01),
         "q_parse_fidelity": oracle.fidelity_sql(_P01),
         "q_pipeline_window_agg": oracle.windowed_counts_sql(_P01),
         "q_pipeline_window_agg_salted": oracle.windowed_counts_sql(_P01),
@@ -396,6 +403,7 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1""",
+        "q_events_sessions": sessionize_sql("events"),
         "q_events_hourly": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -1,0 +1,167 @@
+"""API surface: strict JSON search requests -> Query -> response envelope.
+
+Mirrors the reference's ``POST /api/logs/search`` path
+(reference: api/handler.go:9-41, api/helper.go:21-80): a strict JSON
+decode (unknown fields rejected, 1 MiB body cap, exactly one JSON
+value, empty body rejected) into ``querier.Query``
+(reference: querier/querier.go:34-56 — wire names ``start``, ``end``,
+``limit``, ``sort_fields`` [{``name``, ``is_descending``}],
+``cursor``), then the search, then an ``apiResponse``-shaped envelope
+(reference: api/helper.go:14-19 — ``success``/``message``/``data``/
+``metadata``).
+
+The reference leaves the filter-tree wire format unbuilt (``Node
+QueryNode`` is a Go interface; encoding/json cannot decode into it, and
+no UnmarshalJSON exists — the endpoint only works for node-less
+queries). This engine completes it with an explicit tagged encoding:
+
+    {"and": [node, ...]}            -> AndNode
+    {"or":  [node, ...]}            -> OrNode
+    {"not": node}                   -> NotNode
+    {"field": "level", "op": "eq", "value": "ERROR"}  -> ComparisonNode
+
+``op`` is one of eq ne gt lt gte lte like ilike in
+(reference: querier/node.go:40-59).
+
+Two deliberate upgrades over the reference, both noted in SURVEY.md:
+``Query.validate()`` actually runs (the Go handler forgets to call it,
+api/handler.go:9-41 — O35), and the response cursor is real keyset
+pagination instead of the stub ``Cursor: ""``
+(storage/clickhouse.go:211 — O33).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .operators.query import (
+    OPS,
+    AndNode,
+    ComparisonNode,
+    NotNode,
+    OrNode,
+    Query,
+    QueryNode,
+    QueryValidationError,
+    SortField,
+    next_cursor,
+    search,
+)
+
+MAX_BODY_BYTES = 1_048_576  # reference: api/helper.go:22
+
+_QUERY_FIELDS = {"start", "end", "limit", "sort_fields", "cursor", "node",
+                 "select_columns"}
+_SORT_FIELDS = {"name", "is_descending"}
+_COMPARISON_FIELDS = {"field", "op", "value"}
+
+
+class BadInputError(QueryValidationError):
+    """fault.BadInputCode analog (reference: fault/fault.go:7-12)."""
+
+
+def decode_node(obj: Any) -> QueryNode:
+    """Decode one filter-tree node from its tagged JSON object."""
+    if not isinstance(obj, dict):
+        raise BadInputError(f"node must be a JSON object, got {type(obj).__name__}")
+    if "and" in obj or "or" in obj:
+        if len(obj) != 1:
+            raise BadInputError("and/or node must have exactly one key")
+        tag, cls = ("and", AndNode) if "and" in obj else ("or", OrNode)
+        children = obj[tag]
+        if not isinstance(children, list):
+            raise BadInputError(f"'{tag}' expects a list of nodes")
+        return cls([decode_node(c) for c in children])
+    if "not" in obj:
+        if len(obj) != 1:
+            raise BadInputError("not node must have exactly one key")
+        return NotNode(decode_node(obj["not"]))
+    unknown = set(obj) - _COMPARISON_FIELDS
+    if unknown:
+        # DisallowUnknownFields analog (api/helper.go:26)
+        raise BadInputError(f"unknown node key: {sorted(unknown)[0]!r}")
+    missing = _COMPARISON_FIELDS - set(obj)
+    if missing:
+        raise BadInputError(f"comparison node missing key: {sorted(missing)[0]!r}")
+    if obj["op"] not in OPS:
+        raise BadInputError(f"unknown operator {obj['op']!r}")
+    return ComparisonNode(obj["field"], obj["value"], obj["op"])
+
+
+def _parse_ts(v: Any, field: str) -> datetime:
+    if not isinstance(v, str):
+        raise BadInputError(f"{field}: expected RFC3339 string")
+    try:
+        return datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+    except ValueError as e:
+        raise BadInputError(f"{field}: {e}") from e
+
+
+def decode_query(body: str | bytes) -> Query:
+    """Strict JSON body -> Query (reference readJson semantics)."""
+    raw = body.encode() if isinstance(body, str) else body
+    if len(raw) > MAX_BODY_BYTES:
+        raise BadInputError(
+            f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+        )  # api/helper.go:22-23
+    if not raw.strip():
+        raise BadInputError("Body cannot be empty.")  # api/helper.go:52-53
+    dec = json.JSONDecoder()
+    try:
+        obj, end = dec.raw_decode(raw.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise BadInputError(f"Body contains badly-formed JSON: {e}") from e
+    if raw.decode("utf-8")[end:].strip():
+        # single-value rule (api/helper.go:74-77)
+        raise BadInputError("Body must only contain a single JSON value.")
+    if not isinstance(obj, dict):
+        raise BadInputError("Body must be a JSON object.")
+    unknown = set(obj) - _QUERY_FIELDS
+    if unknown:
+        raise BadInputError(f"unknown field: {sorted(unknown)[0]!r}")
+    if "start" not in obj:
+        raise BadInputError("start: Field is required.")  # querier.go:89-91
+
+    sort = []
+    for s in obj.get("sort_fields") or []:
+        if not isinstance(s, dict) or set(s) - _SORT_FIELDS or "name" not in s:
+            raise BadInputError("sort_fields entries need {'name', 'is_descending'}")
+        sort.append(SortField(s["name"], bool(s.get("is_descending", False))))
+
+    return Query(
+        start=_parse_ts(obj["start"], "start"),
+        end=_parse_ts(obj["end"], "end") if obj.get("end") is not None else None,
+        node=decode_node(obj["node"]) if obj.get("node") is not None else None,
+        sort=sort,
+        limit=obj.get("limit", 100),
+        select_columns=obj.get("select_columns"),
+        cursor=obj.get("cursor"),
+    )
+
+
+def search_request(records: DataFrame, body: str | bytes) -> dict:
+    """Full request lifecycle: decode -> validate -> search -> envelope.
+
+    Returns the apiResponse-shaped dict (api/helper.go:14-19) with the
+    collected records and a real continuation cursor (None at end of
+    results — the reference stubs this as "" forever,
+    storage/clickhouse.go:211).
+    """
+    try:
+        q = decode_query(body)
+        rows = search(records, q).collect()
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    cursor = next_cursor(rows) if "timestamp" in (
+        q.select_columns or ["timestamp"]
+    ) and len(rows) == q.limit else None
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict(recursive=True) for r in rows],
+        "metadata": {"cursor": cursor, "count": len(rows)},
+    }

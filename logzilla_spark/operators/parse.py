@@ -12,15 +12,25 @@ Common-Crawl-style pages:
       -> records envelope (id, source, timestamp, level, message,
          metadata, category, lang, parse_ok, url, warc_ts)
 
-Two interchangeable parse implementations, tested equal on the corpus:
+Three interchangeable parse implementations, tested equal on the corpus:
 
-- ``impl="arrow"`` (canonical, mandated by the graft): one vectorized
+- ``impl="arrow"`` (spec-exact reference semantics): one vectorized
   pandas UDF; JSON lines via C-json loads with exact leftover-keys
   semantics, access lines via vectorized ``str.extract`` grok regex.
 - ``impl="native"``: pure built-in functions (``from_json`` /
   ``regexp_extract`` / ``try_to_timestamp``), whole-stage-codegen'd,
   zero Python. Used as a differential twin and as the fast path when
   exact leftover-keys fidelity is not required.
+- ``impl="hybrid"`` (default for the e2e pipeline): grok/regex lines
+  through codegen, JSON-contract lines through the Arrow UDF — with
+  flat (string/timestamp) UDF output so no Python dict ever crosses
+  into an Arrow map. Measured on this box: the all-Python batch
+  inflates its total CPU ~40% going 8->32 workers (memory-bandwidth
+  pressure from Python object churn), while codegen stays flat —
+  hybrid keeps the mandatory Arrow UDF stage on the rows that truly
+  need Python (exact leftover-keys JSON) and lets Tungsten run the
+  regex, which is what preserves scaling efficiency at 4N executors
+  (BENCH/BASELINE.md).
 
 Error tolerance contract (reference: engine/processor.go:99-102 +
 processor/json.go:48-67): a line whose parse fails is NEVER dropped and
@@ -238,6 +248,133 @@ _parse_line_udf = F.pandas_udf(_parse_batch, PARSED_LINE_STRUCT)
 
 
 # --------------------------------------------------------------------------
+# hybrid: JSON contract in Python (flat Arrow output), grok in codegen
+# --------------------------------------------------------------------------
+
+def _parse_json_only_batch(line: pd.Series) -> pd.DataFrame:
+    """JSON-contract parse for one Arrow batch; non-candidates are null.
+
+    Same per-row semantics as :func:`_parse_json_line` (the spec-exact
+    path). Output is deliberately FLAT — ok/timestamp/level/message are
+    scalars and metadata leaves Python as ONE canonical JSON string per
+    row (minified, document key order), decoded to map<string,string>
+    by ``from_json`` JVM-side. No Python dict is ever converted into an
+    Arrow map: that conversion is the memory-bandwidth hot spot that
+    breaks scaling at high core counts (BENCH/BASELINE.md methodology).
+    """
+    line = line.reset_index(drop=True)
+    n = len(line)
+    ok = np.zeros(n, dtype=bool)
+    level = np.full(n, None, dtype=object)
+    message = np.full(n, None, dtype=object)
+    meta_json = np.full(n, None, dtype=object)
+    timestamp = pd.Series(pd.NaT, index=range(n), dtype="datetime64[ns]")
+    mask = line.notna().to_numpy()
+    if mask.any():
+        idx = np.flatnonzero(mask)
+        parsed = [_parse_json_line(s) for s in line.to_numpy(dtype=object)[idx]]
+        okl = np.fromiter((p is not None for p in parsed), bool, len(parsed))
+        okidx = idx[okl]
+        if len(okidx):
+            good = [p for p in parsed if p is not None]
+            ts_parsed = pd.to_datetime(
+                pd.Series([p[0] for p in good]),
+                format="ISO8601", errors="coerce", utc=True,
+            ).dt.tz_localize(None)
+            timestamp[okidx] = ts_parsed.to_numpy()
+            level[okidx] = parse_level_pd(
+                pd.Series([p[1] for p in good], dtype=object)
+            ).to_numpy(dtype=object)
+            message[okidx] = np.array([p[2] for p in good], dtype=object)
+            meta_json[okidx] = np.array(
+                [json.dumps(p[3], separators=(",", ":")) for p in good],
+                dtype=object,
+            )
+            ok[okidx] = True
+    return pd.DataFrame(
+        {
+            "ok": ok,
+            "timestamp": timestamp,
+            "level": level,
+            "message": message,
+            "metadata_json": meta_json,
+        }
+    )
+
+
+from pyspark.sql import types as _T
+
+JSON_LINE_STRUCT = _T.StructType(
+    [
+        _T.StructField("ok", _T.BooleanType()),
+        _T.StructField("timestamp", _T.TimestampType()),
+        _T.StructField("level", _T.StringType()),
+        _T.StructField("message", _T.StringType()),
+        _T.StructField("metadata_json", _T.StringType()),
+    ]
+)
+
+_parse_json_only_udf = F.pandas_udf(_parse_json_only_batch, JSON_LINE_STRUCT)
+
+
+def _access_exprs(line: Column) -> dict[str, Column]:
+    """Codegen'd access-line grok: ok/ts/level/message/metadata columns.
+
+    Shared by the native twin and the hybrid path. Spark executes one
+    compiled regex per extract; Tungsten keeps it cache-resident — this
+    is the branch whose total CPU stays flat from 8 to 32 cores.
+    """
+    acc_ts = F.try_to_timestamp(
+        F.regexp_extract(line, ACCESS_RE_SPARK, _G_TS), F.lit(APACHE_TS_SPARK)
+    )
+    status = F.regexp_extract(line, ACCESS_RE_SPARK, _G_STATUS).cast("int")
+    return {
+        "ok": line.rlike(ACCESS_RE_SPARK) & acc_ts.isNotNull(),
+        "ts": acc_ts,
+        "level": F.when(status < 400, "INFO").when(status < 500, "WARN").otherwise("ERROR"),
+        "message": F.concat_ws(
+            " ",
+            F.regexp_extract(line, ACCESS_RE_SPARK, _G_METHOD),
+            F.regexp_extract(line, ACCESS_RE_SPARK, _G_PATH),
+        ),
+        "metadata": F.create_map(
+            F.lit("ip"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_IP),
+            F.lit("method"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_METHOD),
+            F.lit("path"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_PATH),
+            F.lit("status"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_STATUS),
+            F.lit("size"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_SIZE),
+        ),
+    }
+
+
+def _hybrid_parsed_struct() -> Column:
+    """Assembly for impl="hybrid": `_jp` = the JSON-UDF output struct.
+
+    Access lines take precedence exactly like the arrow impl
+    (jmask = maybe-json & ~acc_ok in ``_parse_batch``).
+    """
+    acc = _access_exprs(F.col("line"))
+    j = F.col("_jp")
+    json_ok = j["ok"]
+    acc_ok = acc["ok"]
+    category = F.when(acc_ok, "access").when(json_ok, "json").otherwise("unparsed")
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    return F.struct(
+        F.when(acc_ok, acc["ts"]).when(json_ok, j["timestamp"])
+        .otherwise(F.col("warc_ts")).alias("timestamp"),
+        F.when(acc_ok, acc["level"]).when(json_ok, j["level"])
+        .otherwise(F.lit("UNKNOWN")).alias("level"),
+        F.when(acc_ok, acc["message"]).when(json_ok, j["message"])
+        .otherwise(F.lit("")).alias("message"),
+        F.when(acc_ok, acc["metadata"])
+        .when(json_ok, F.from_json(j["metadata_json"], "map<string,string>"))
+        .otherwise(empty_map).alias("metadata"),
+        category.alias("category"),
+        (category != "unparsed").alias("parse_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # built-in-functions twin (impl="native") — zero Python, fully codegen'd
 # --------------------------------------------------------------------------
 
@@ -251,25 +388,18 @@ def _native_parsed_struct() -> Column:
     ts_is_str = line.rlike(r'"timestamp"\s*:\s*"')
     json_ok = m.isNotNull() & ts_json.isNotNull() & ts_is_str & level_is_str
 
-    acc_ts = F.try_to_timestamp(
-        F.regexp_extract(line, ACCESS_RE_SPARK, _G_TS), F.lit(APACHE_TS_SPARK)
-    )
-    acc_match = line.rlike(ACCESS_RE_SPARK)
-    acc_ok = acc_match & acc_ts.isNotNull()
-    status = F.regexp_extract(line, ACCESS_RE_SPARK, _G_STATUS).cast("int")
+    acc = _access_exprs(line)
+    acc_ok = acc["ok"]
 
     category = (
         F.when(json_ok, "json").when(acc_ok, "access").otherwise("unparsed")
     )
     timestamp = (
-        F.when(json_ok, ts_json).when(acc_ok, acc_ts).otherwise(F.col("warc_ts"))
+        F.when(json_ok, ts_json).when(acc_ok, acc["ts"]).otherwise(F.col("warc_ts"))
     )
     level = (
         F.when(json_ok, parse_level_col(m["level"]))
-        .when(
-            acc_ok,
-            F.when(status < 400, "INFO").when(status < 500, "WARN").otherwise("ERROR"),
-        )
+        .when(acc_ok, acc["level"])
         .otherwise("UNKNOWN")
     )
     # message must be a JSON string, else '' (json.go:70-72); from_json
@@ -277,14 +407,7 @@ def _native_parsed_struct() -> Column:
     msg_is_str = line.rlike(r'"message"\s*:\s*"')
     message = (
         F.when(json_ok, F.when(msg_is_str, F.coalesce(m["message"], F.lit(""))).otherwise(F.lit("")))
-        .when(
-            acc_ok,
-            F.concat_ws(
-                " ",
-                F.regexp_extract(line, ACCESS_RE_SPARK, _G_METHOD),
-                F.regexp_extract(line, ACCESS_RE_SPARK, _G_PATH),
-            ),
-        )
+        .when(acc_ok, acc["message"])
         .otherwise(F.lit(""))
     )
     empty_map = F.from_json(F.lit("{}"), "map<string,string>")
@@ -293,16 +416,7 @@ def _native_parsed_struct() -> Column:
             json_ok,
             F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
         )
-        .when(
-            acc_ok,
-            F.create_map(
-                F.lit("ip"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_IP),
-                F.lit("method"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_METHOD),
-                F.lit("path"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_PATH),
-                F.lit("status"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_STATUS),
-                F.lit("size"), F.regexp_extract(line, ACCESS_RE_SPARK, _G_SIZE),
-            ),
-        )
+        .when(acc_ok, acc["metadata"])
         .otherwise(empty_map)
     )
     return F.struct(
@@ -324,7 +438,10 @@ def parse_records(
 ) -> DataFrame:
     """Full parse stage: pages -> records envelope (RECORDS_SCHEMA).
 
-    ``impl``: "arrow" (canonical pandas UDF) or "native" (built-ins twin).
+    ``impl``: "arrow" (spec-exact pandas UDF), "native" (built-ins
+    twin), or "hybrid" (codegen grok + JSON-only Arrow UDF — the
+    scaling-efficient default for the e2e pipeline). All three are
+    oracle-checked equal on the corpus.
     ``use_html``: parse lines extracted from the html binary instead of
     the text column (fidelity invariant makes them identical).
     """
@@ -333,6 +450,16 @@ def parse_records(
         parsed = _parse_line_udf(F.col("line"), F.col("warc_ts"))
     elif impl == "native":
         parsed = _native_parsed_struct()
+    elif impl == "hybrid":
+        # only JSON-candidate lines cross into Python (nulls are free in
+        # Arrow); the grok branch never leaves the JVM
+        lines = lines.withColumn(
+            "_jp",
+            _parse_json_only_udf(
+                F.when(F.col("line").rlike(r"^\s*\{"), F.col("line"))
+            ),
+        )
+        parsed = _hybrid_parsed_struct()
     else:
         raise ValueError(f"unknown parse impl: {impl!r}")
     return lines.select(

@@ -137,7 +137,7 @@ class Pipeline:
     """Incremental parse->enrich->route->aggregate over the pages table."""
 
     def __init__(self, spark: SparkSession, catalog: LocalCatalog,
-                 parse_impl: str = "arrow", use_html: bool = True):
+                 parse_impl: str = "hybrid", use_html: bool = True):
         self.spark = spark
         self.cat = catalog
         self.ckpts = CheckpointLog(catalog.warehouse)

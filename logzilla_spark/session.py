@@ -82,11 +82,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # Local corpora are a few MB-GB, so the default 128m split size
         # would serialize the CPU-heavy parse stage onto a handful of
-        # tasks; 2m keeps scan parallelism ~cores. On a real cluster
-        # (many multi-GB files) leave the 128m default.
+        # tasks; 4m keeps scan parallelism ~10 tasks/core at the bench
+        # scale (measured best: 2m's extra tasks cost more in per-task
+        # deserialize/dispatch than they buy). On a real cluster (many
+        # multi-GB files) leave the 128m default.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.sql.files.openCostInBytes", "65536")
     )

@@ -45,8 +45,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dims", default=None,
                    help="optional dir containing dim_lang.parquet / dim_severity.parquet; "
                         "enables the broadcast enrich stage")
-    p.add_argument("--parse-impl", default="arrow", choices=("arrow", "native"),
-                   help="parse stage implementation (arrow = vectorized pandas UDF)")
+    p.add_argument("--parse-impl", default="hybrid",
+                   choices=("arrow", "native", "hybrid"),
+                   help="parse stage implementation (hybrid = codegen grok + "
+                        "JSON-only Arrow UDF; arrow = all-Python spec-exact UDF)")
     p.add_argument("--run-id", default=None, help="run id for lineage/metrics rows")
     p.add_argument("--shuffle-partitions", type=int, default=None,
                    help="override spark.sql.shuffle.partitions (default: leave "

@@ -33,6 +33,16 @@ def duck01():
     return duck(SF01)
 
 
+@pytest.fixture(scope="session")
+def records_sf0001(spark):
+    """Parsed records relation over the sf0.001 pages corpus."""
+    from logzilla_spark.operators.parse import parse_records
+    from logzilla_spark.testdata import ensure_pages
+
+    d = ensure_pages(SF001)
+    return parse_records(spark.read.parquet(f"{d}/pages.parquet"))
+
+
 def canon_rows(pdf):
     """Driver-style canonicalization: sort columns by name, stringify."""
     from collections import Counter

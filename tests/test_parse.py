@@ -103,7 +103,7 @@ JSON_CONTRACT_CASES = [
 ]
 
 
-@pytest.mark.parametrize("impl", ["arrow", "native"])
+@pytest.mark.parametrize("impl", ["arrow", "native", "hybrid"])
 def test_json_contract(spark, impl):
     lines = [c[0] for c in JSON_CONTRACT_CASES]
     pages = _mk_pages(spark, lines)
@@ -131,7 +131,7 @@ def test_json_contract(spark, impl):
 
 
 def test_arrow_native_full_equality(spark):
-    """Full-map differential: the two parse impls agree on everything."""
+    """Full-map differential: all three parse impls agree on everything."""
     d = ensure_pages(SF001)
     pages = spark.read.parquet(f"{d}/pages.parquet")
 
@@ -146,7 +146,9 @@ def test_arrow_native_full_equality(spark):
 
     a = canon2(parse_records(pages, impl="arrow"))
     b = canon2(parse_records(pages, impl="native"))
+    c = canon2(parse_records(pages, impl="hybrid"))
     assert a == b
+    assert a == c
 
 
 def test_html_text_byte_identity(spark):
