@@ -125,7 +125,11 @@ est AS (
   SELECT doc_a, doc_b, {est} AS est_sim
   FROM cand JOIN sigs sa ON cand.doc_a = sa.id JOIN sigs sb ON cand.doc_b = sb.id
 ),
-sh AS (SELECT id, {_shingles('n')} AS g FROM docs),
+sh AS (
+  SELECT id,
+         list_distinct(list_transform({_shingles('n')}, s -> {md5_long_sql('s')} % {P31})) AS g
+  FROM docs
+),
 verified AS (
   SELECT doc_a, doc_b, est_sim,
          len(list_intersect(ga.g, gb.g)) AS inter_n,
