@@ -25,7 +25,13 @@ from logzilla_spark.functions.levels import level_sql_case, parse_level_col
 from logzilla_spark.operators import dedup, multimodal, similarity, textstats
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
-from logzilla_spark.operators.parse import parse_records, text_from_html
+from logzilla_spark.operators.fulltext import (
+    build_inverted_index,
+    full_text_search,
+    search_index,
+)
+from logzilla_spark.operators.multiline import reassemble_multiline
+from logzilla_spark.operators.parse import explode_lines, parse_records, text_from_html
 from logzilla_spark.operators.sessionize import sessionize, sessionize_sql
 from logzilla_spark.operators.query import (
     AndNode,
@@ -338,6 +344,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
         )
         .agg(F.count(F.lit(1)).alias("n"), _exact_sum("value", "sum_value")),
+        # --- full-text search, scan tier and inverted-index tier ---
+        "q_fulltext_scan": lambda s, d: _flat_records(
+            full_text_search(_records(s, d), "disk svc3")
+        ),
+        "q_fulltext_index": lambda s, d: _flat_records(
+            search_index(
+                build_inverted_index(_records(s, d)),
+                _records(s, d),
+                "disk svc3",
+            )
+        ),
+        # --- multi-line record reassembly (gaps-and-islands) ---
+        "q_multiline_reassembly": lambda s, d: reassemble_multiline(
+            explode_lines(_pages(s, d)).select("url", "pos", "line")
+        ),
         # --- events: gap-based sessionization (session_window) ---
         "q_events_sessions": lambda s, d: sessionize(
             s.read.parquet(f"{d}/events.parquet")
@@ -403,6 +424,9 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1""",
+        "q_fulltext_scan": oracle.fulltext_sql(_P01, "disk svc3"),
+        "q_fulltext_index": oracle.fulltext_sql(_P01, "disk svc3"),
+        "q_multiline_reassembly": oracle.multiline_sql(_P01),
         "q_events_sessions": sessionize_sql("events"),
         "q_events_hourly": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

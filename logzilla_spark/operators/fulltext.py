@@ -1,0 +1,107 @@
+"""Full-text search over the records relation.
+
+The reference README promises "Full-text search across all log fields"
+(reference: README.md:28-31) but ships only LIKE/ILIKE on single
+fields (querier/sqlbuilder.go:250-272, SURVEY.md §2.4). This module
+builds the real thing, Spark-first, in two tiers:
+
+1. ``full_text_search`` — direct scan predicate: tokenize the search
+   string, require every token somewhere in the record's searchable
+   text (message + source + level + metadata values). All built-in
+   functions (lower/concat/array ops) — codegen'd, no Python; at scan
+   time Catalyst pushes the time-range prune first so the token match
+   only runs inside surviving partitions.
+
+2. ``build_inverted_index`` / ``search_index`` — the 100 TB tier: a
+   precomputed (token, id) posting-list table, bucketable by token.
+   A query becomes K posting lookups + an intersection (groupBy id
+   HAVING count = K), then a semi join back to records — the classic
+   search-engine AND query as two shuffles on small intermediates,
+   instead of a full corpus scan per query.
+
+Tokenization is the same on both tiers and in the DuckDB oracle twin:
+lowercase, split on non-alphanumeric runs, drop empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def _tokens(col: Column) -> Column:
+    return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT_RE), "")
+
+
+def searchable_text(df: DataFrame) -> Column:
+    """One searchable string per record: message, source, level, and
+    every metadata value ('across all log fields', README.md:29)."""
+    return F.concat_ws(
+        " ",
+        F.col("message"),
+        F.col("source"),
+        F.col("level"),
+        F.concat_ws(" ", F.map_values("metadata")),
+    )
+
+
+def full_text_search(records: DataFrame, query: str) -> DataFrame:
+    """Scan-tier search: records containing EVERY query token.
+
+    Token containment, not substring: 'disk full' matches any record
+    whose searchable fields contain tokens 'disk' and 'full' anywhere.
+    """
+    q_tokens = [t for t in __import__("re").split(TOKEN_SPLIT_RE, query.lower()) if t]
+    if not q_tokens:
+        return records
+    toks = _tokens(searchable_text(records))
+    pred = None
+    for t in q_tokens:
+        c = F.array_contains(toks, t)
+        pred = c if pred is None else (pred & c)
+    return records.filter(pred)
+
+
+def build_inverted_index(records: DataFrame, id_col: str = "id") -> DataFrame:
+    """(token, id) posting list — distinct per record.
+
+    At scale: write bucketed by token (``bucketBy(N, 'token')``) so
+    every query's posting lookups are single-bucket scans and the
+    intersection groupBy is co-partitioned (no shuffle).
+    """
+    return (
+        records.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(_tokens(searchable_text(records)))).alias("token"),
+        )
+        .distinct()
+    )
+
+
+def search_index(
+    index: DataFrame, records: DataFrame, query: str, id_col: str = "id"
+) -> DataFrame:
+    """Index-tier AND search: intersect posting lists, semi-join back.
+
+    Plan: filter index to the K query tokens (pushes to the token
+    column — partition/bucket prunable), count distinct tokens per id,
+    keep ids with all K, left-semi join records. The record scan only
+    materializes matching rows.
+    """
+    q_tokens = sorted(
+        {t for t in __import__("re").split(TOKEN_SPLIT_RE, query.lower()) if t}
+    )
+    if not q_tokens:
+        return records
+    hits = (
+        index.filter(F.col("token").isin(q_tokens))
+        .groupBy("id")
+        .agg(F.countDistinct("token").alias("_k"))
+        .filter(F.col("_k") == len(q_tokens))
+        .select("id")
+    )
+    return records.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )

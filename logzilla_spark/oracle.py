@@ -145,6 +145,57 @@ LEFT JOIN read_parquet('{dim_severity_path}') s ON r.level = s.level
 GROUP BY 1, 2, 3, 4, 5, 6"""
 
 
+def fulltext_sql(pages_path: str, query: str) -> str:
+    """Twin of operators.fulltext: every query token must appear among
+    the record's searchable tokens (message, source, level, metadata
+    values — here the flattened m_* columns)."""
+    import re as _re
+
+    toks = sorted({t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t})
+    meta_cols = ", ".join(
+        f"coalesce(m_{k}, '')"
+        for k in ("service", "request_id", "attempt", "ip", "method", "path",
+                  "status", "size")
+    )
+    tok_expr = (
+        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
+        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    preds = " AND ".join(f"list_contains({tok_expr}, '{t}')" for t in toks)
+    return (
+        f"WITH {records_cte(pages_path)}\n{RECORDS_SELECT}\nWHERE {preds}"
+    )
+
+
+def multiline_sql(
+    pages_path: str, start_re: str = r"^\s*\{|^[0-9]"
+) -> str:
+    """Gaps-and-islands twin of operators.multiline.reassemble_multiline."""
+    # standard-SQL single-quoted strings pass backslashes through to RE2
+    esc = start_re.replace("'", "''")
+    return f"""WITH pages AS (
+  SELECT * FROM read_parquet('{pages_path}')
+),
+lines AS (
+  SELECT url, u.pos AS pos, u.line AS line FROM (
+    SELECT url,
+           unnest([{{'pos': i - 1, 'line': sp[i]}} for i in generate_series(1, len(sp))]) AS u
+    FROM (SELECT url, string_split(text, chr(10)) AS sp FROM pages)
+  )
+),
+flagged AS (
+  SELECT *, SUM(CASE WHEN regexp_matches(line, '{esc}') THEN 1 ELSE 0 END) OVER (
+    PARTITION BY url ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS rec_no
+  FROM lines
+)
+SELECT url, CAST(rec_no AS BIGINT) AS rec_no, CAST(MIN(pos) AS INT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY pos) AS record
+FROM flagged GROUP BY url, rec_no"""
+
+
 def fidelity_sql(pages_path: str) -> str:
     """Byte-identical html-extract vs text, per url (north_rule invariant)."""
     return f"""
