@@ -232,6 +232,28 @@ def _probes(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % PROBE_MOD == 0)
 
 
+def _rank_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() over a count aggregate: top-3 sources per category.
+
+    TakeOrdered does not apply inside groups — this is the analytic
+    window path (one shuffle on category for the window, partial-agg
+    shuffle before it). Ties broken by source for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        _records(spark, sf_dir)
+        .groupBy("category", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("category").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("category", "source", "n", "rnk")
+    )
+
+
 def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- dedup family (documents table) ---
@@ -359,6 +381,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multiline_reassembly": lambda s, d: reassemble_multiline(
             explode_lines(_pages(s, d)).select("url", "pos", "line")
         ),
+        # --- analytic window function: top-3 sources per category ---
+        "q_window_rank_top_sources": _rank_top_sources,
+        # --- set operation: sources emitting BOTH json and access logs ---
+        "q_setop_sources_both": lambda s, d: _records(s, d)
+        .filter(F.col("category") == "json")
+        .select("source")
+        .distinct()
+        .intersect(
+            _records(s, d)
+            .filter(F.col("category") == "access")
+            .select("source")
+            .distinct()
+        ),
         # --- events: gap-based sessionization (session_window) ---
         "q_events_sessions": lambda s, d: sessionize(
             s.read.parquet(f"{d}/events.parquet")
@@ -424,6 +459,23 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1""",
+        "q_window_rank_top_sources": f"""
+WITH {oracle.records_cte(_P01)},
+counts AS (
+  SELECT category, source, CAST(count(*) AS BIGINT) AS n
+  FROM records GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(rank() OVER (
+    PARTITION BY category ORDER BY n DESC, source ASC
+  ) AS INT) AS rnk FROM counts
+)
+SELECT category, source, n, rnk FROM ranked WHERE rnk <= 3""",
+        "q_setop_sources_both": f"""
+WITH {oracle.records_cte(_P01)}
+SELECT DISTINCT source FROM records WHERE category = 'json'
+INTERSECT
+SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_fulltext_scan": oracle.fulltext_sql(_P01, "disk svc3"),
         "q_fulltext_index": oracle.fulltext_sql(_P01, "disk svc3"),
         "q_multiline_reassembly": oracle.multiline_sql(_P01),
