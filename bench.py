@@ -50,6 +50,7 @@ def run_pipeline_once(spark, sf_dir: str, warehouse: str) -> dict:
     from logzilla_spark.operators.route import (
         read_all_sinks,
         route_to_sinks_single_pass,
+        write_partitioned_tables,
     )
     from logzilla_spark.schemas import CATEGORIES
     from logzilla_spark.sources.catalog import LocalCatalog
@@ -68,13 +69,14 @@ def run_pipeline_once(spark, sf_dir: str, warehouse: str) -> dict:
     enriched = enrich_records(rec, dim_lang, dim_sev)
     route_to_sinks_single_pass(enriched, cat, run_id="bench")
     t2 = time.perf_counter()
-    agg_all = windowed_counts(read_all_sinks(spark, cat)).persist()
-    for c in CATEGORIES:
-        cat.append(
-            agg_all.filter(F.col("category") == c).withColumn("sink", F.lit(c)),
-            f"agg_{c}",
-        )
-    agg_all.unpersist()
+    # ONE aggregate job over the committed sinks; the per-category agg
+    # tables commit metadata-only off a single partitionBy(sink) write
+    agg_all = windowed_counts(read_all_sinks(spark, cat)).withColumn(
+        "sink", F.col("category")
+    )
+    write_partitioned_tables(
+        agg_all, cat, "sink", lambda c: f"agg_{c}", CATEGORIES
+    )
     t3 = time.perf_counter()
     n_records = 0
     for c in CATEGORIES:

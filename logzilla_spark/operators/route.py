@@ -64,6 +64,45 @@ def route_to_sinks(
             records.unpersist()
 
 
+def write_partitioned_tables(
+    df: DataFrame,
+    catalog: LocalCatalog,
+    partition_col: str,
+    table_for,
+    values: list[str],
+    summary_for=None,
+) -> dict[str, int]:
+    """ONE ``partitionBy`` write fanning rows out to many tables.
+
+    The upstream plan executes exactly once; the writer splits rows
+    into ``<partition_col>=<v>/`` directories as a side effect of the
+    single write, and each table then commits its directory's files
+    metadata-only (Iceberg ``add_files`` analog) — no cache build, no
+    per-value re-scan, no second data pass. This is the fan-out shape
+    that survives 100 TB: N destination tables cost one shuffle-free
+    write, not N jobs.
+
+    Returns {value: snapshot_id}. Values absent from the data still
+    get a (file-less) snapshot so the table exists.
+    """
+    import glob
+    import os
+    import uuid as _uuid
+
+    staging = os.path.join(catalog.warehouse, "_routed", _uuid.uuid4().hex)
+    df.write.partitionBy(partition_col).parquet(staging)
+    snaps: dict[str, int] = {}
+    for v in values:
+        files = sorted(
+            glob.glob(os.path.join(staging, f"{partition_col}={v}", "*.parquet"))
+        )
+        summary = summary_for(v) if summary_for else {}
+        snaps[v] = catalog.append_external(
+            table_for(v), files, base_path=staging, summary=summary
+        )
+    return snaps
+
+
 def route_to_sinks_single_pass(
     records: DataFrame,
     catalog: LocalCatalog,
@@ -71,33 +110,18 @@ def route_to_sinks_single_pass(
     run_id: str | None = None,
     summary_extra: dict | None = None,
 ) -> dict[str, int]:
-    """True single-pass fan-out: ONE ``partitionBy(category)`` write.
-
-    The upstream (parse -> enrich) executes exactly once; the writer
-    splits rows into ``category=<c>/`` directories as a side effect of
-    the single write, and each sink then commits its directory's files
-    metadata-only (Iceberg ``add_files`` analog) — no cache build, no
-    per-category re-scan, no second data pass. This is the plan that
-    survives 100 TB: N sinks cost one shuffle-free write, not N.
-
-    Returns {category: snapshot_id}. Categories absent from the data
-    still get a (file-less) snapshot so the sink exists.
-    """
-    import glob
-    import os
-    import uuid as _uuid
-
+    """True single-pass fan-out to the per-category sinks (G3)."""
     categories = categories or CATEGORIES
-    staging = os.path.join(catalog.warehouse, "_routed", _uuid.uuid4().hex)
-    records.write.partitionBy("category").parquet(staging)
-    snaps: dict[str, int] = {}
-    for cat in categories:
-        files = sorted(glob.glob(os.path.join(staging, f"category={cat}", "*.parquet")))
-        summary = {"run_id": run_id, "category": cat, **(summary_extra or {})}
-        snaps[cat] = catalog.append_external(
-            sink_name(cat), files, base_path=staging, summary=summary
-        )
-    return snaps
+    return write_partitioned_tables(
+        records,
+        catalog,
+        "category",
+        sink_name,
+        categories,
+        summary_for=lambda c: {
+            "run_id": run_id, "category": c, **(summary_extra or {})
+        },
+    )
 
 
 def read_all_sinks(
