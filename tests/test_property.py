@@ -1,0 +1,193 @@
+"""Property-based differential tests (SURVEY.md §5.4).
+
+1. Random QueryNode trees -> Spark ``search`` vs the DuckDB rendering of
+   the SAME Query over the same records relation.
+2. Adversarial random log lines (quotes, unicode, nested JSON, numeric
+   envelope fields) -> the spec-exact arrow parse and the hybrid parse
+   must agree exactly (the hybrid's JVM/Python split is an internal
+   detail, never a semantic one).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from logzilla_spark import oracle
+from logzilla_spark.operators.parse import parse_records
+from logzilla_spark.operators.query import (
+    AndNode,
+    ComparisonNode,
+    NotNode,
+    OrNode,
+    Query,
+    SortField,
+    search,
+    search_oracle_sql,
+)
+from logzilla_spark.testdata import ensure_pages
+
+from .conftest import canon_rows
+
+SF001 = "/root/testdata/sf0.001"
+T0 = datetime(2024, 1, 1)
+
+SELECT_COLS = ["id", "source", "timestamp", "level", "message"]
+SELECT_SQL = ["id", "source", '"timestamp"', "level", "message"]
+
+# value pools sized so random predicates actually match rows
+LEVELS = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL", "UNKNOWN"]
+MESSAGES_LIKE = ["disk%", "%login%", "GET %", "%processed", "%"]
+SERVICES = ["svc0", "svc1", "svc3", "nope"]
+
+comparisons = st.one_of(
+    st.builds(
+        ComparisonNode,
+        st.just("level"),
+        st.sampled_from(LEVELS),
+        st.sampled_from(["eq", "ne", "gt", "lt", "gte", "lte"]),
+    ),
+    st.builds(
+        ComparisonNode,
+        st.just("message"),
+        st.sampled_from(MESSAGES_LIKE),
+        st.sampled_from(["like", "ilike"]),
+    ),
+    st.builds(
+        ComparisonNode,
+        st.just("metadata.service"),
+        st.sampled_from(SERVICES),
+        st.sampled_from(["eq", "ne"]),
+    ),
+    st.builds(
+        ComparisonNode,
+        st.just("level"),
+        st.lists(st.sampled_from(LEVELS), min_size=1, max_size=3),
+        st.just("in"),
+    ),
+    st.builds(
+        ComparisonNode,
+        st.just("timestamp"),
+        st.datetimes(min_value=T0, max_value=T0 + timedelta(days=7)),
+        st.sampled_from(["gt", "lte"]),
+    ),
+)
+
+trees = st.recursive(
+    comparisons,
+    lambda kids: st.one_of(
+        st.builds(AndNode, st.lists(kids, max_size=3)),
+        st.builds(OrNode, st.lists(kids, max_size=3)),
+        st.builds(NotNode, kids),
+    ),
+    max_leaves=6,
+)
+
+queries_st = st.builds(
+    Query,
+    start=st.sampled_from([T0, T0 + timedelta(days=2)]),
+    end=st.sampled_from([None, T0 + timedelta(days=7), T0 + timedelta(days=1)]),
+    node=st.one_of(st.none(), trees),
+    sort=st.lists(
+        st.builds(SortField, st.sampled_from(["source", "level"]), st.booleans()),
+        max_size=2,
+    ),
+    limit=st.just(1000),
+    select_columns=st.just(SELECT_COLS),
+)
+
+
+@pytest.fixture(scope="module")
+def records001(spark):
+    d = ensure_pages(SF001)
+    return parse_records(spark.read.parquet(f"{d}/pages.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=queries_st)
+def test_random_query_tree_matches_duckdb(q, spark, records001, duck001):
+    spdf = search(records001, q).toPandas()
+    sql = (
+        f"WITH {oracle.records_cte(f'{ensure_pages(SF001)}/pages.parquet')}\n"
+        + search_oracle_sql("records", q, time_column='"timestamp"',
+                            select_sql=SELECT_SQL)
+    )
+    odf = duck001.sql(sql).df()
+    assert len(spdf) == len(odf)
+    if len(spdf) == 1000:
+        return  # truncated at limit with ambiguous tie order: count only
+    assert canon_rows(spdf) == canon_rows(odf)
+
+
+# --- parse fidelity property -------------------------------------------------
+
+meta_values = st.one_of(
+    st.text(max_size=12),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.booleans(),
+    st.none(),
+    st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+    st.dictionaries(st.sampled_from(["x", "y"]), st.text(max_size=4), max_size=2),
+)
+
+json_lines = st.builds(
+    lambda ts_ok, lvl, msg, extra: json.dumps(
+        {
+            "timestamp": "2024-01-02T03:04:05Z" if ts_ok else 12345,
+            "level": lvl,
+            "message": msg,
+            **{f"k_{i}": v for i, v in enumerate(extra)},
+        },
+        ensure_ascii=False,
+    ),
+    st.booleans(),
+    st.one_of(st.sampled_from(["info", "WARN", "warning", "fatal"]), st.integers()),
+    st.one_of(st.text(max_size=20), st.integers(), st.none()),
+    st.lists(meta_values, max_size=3),
+)
+
+raw_lines = st.one_of(
+    json_lines,
+    st.text(max_size=40).filter(lambda s: "\n" not in s),
+    st.just('{"timestamp":"2024-01-02T03:04:05Z","level":"info"}'),
+    st.just('10.1.2.3 - - [05/Jan/2024:12:00:00 +0000] "GET /x HTTP/1.1" 200 99'),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(raw_lines, min_size=1, max_size=30))
+def test_arrow_and_hybrid_parse_agree_on_adversarial_lines(lines, spark):
+    text = "\n".join(l.replace("\n", " ") for l in lines)
+    pages = spark.createDataFrame(
+        [("https://h.example/x/p0", T0, None, text, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+    def canon(impl):
+        rows = parse_records(pages, impl=impl).collect()
+        return sorted(
+            (r.id, r.timestamp, r.level, r.message,
+             tuple(sorted(r.metadata.items())), r.category, r.parse_ok)
+            for r in rows
+        )
+
+    assert canon("arrow") == canon("hybrid")
