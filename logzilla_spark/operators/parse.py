@@ -22,15 +22,18 @@ Three interchangeable parse implementations, tested equal on the corpus:
   zero Python. Used as a differential twin and as the fast path when
   exact leftover-keys fidelity is not required.
 - ``impl="hybrid"`` (default for the e2e pipeline): grok/regex lines
-  through codegen, JSON-contract lines through the Arrow UDF — with
-  flat (string/timestamp) UDF output so no Python dict ever crosses
-  into an Arrow map. Measured on this box: the all-Python batch
-  inflates its total CPU ~40% going 8->32 workers (memory-bandwidth
-  pressure from Python object churn), while codegen stays flat —
-  hybrid keeps the mandatory Arrow UDF stage on the rows that truly
-  need Python (exact leftover-keys JSON) and lets Tungsten run the
-  regex, which is what preserves scaling efficiency at 4N executors
-  (BENCH/BASELINE.md).
+  AND provably from_json-exact flat JSON lines through codegen; only
+  the JSON lines from_json can't serve byte-exactly (nested values,
+  escapes, floats/nulls, duplicated envelope keys, exotic timestamps,
+  malformed tails) cross into the Arrow UDF — with flat UDF output so
+  no Python dict ever crosses into an Arrow map. Measured on this box:
+  the all-Python batch inflates its total CPU ~40% going 8->32 workers
+  (memory-bandwidth pressure from Python object churn), while codegen
+  stays flat — hybrid keeps the mandatory Arrow UDF stage on the rows
+  that truly need Python and lets Tungsten run everything else, which
+  is what preserves scaling efficiency at 4N executors
+  (BENCH/BASELINE.md). The router (:func:`hybrid_needs_python`) is
+  conservative: any doubt routes the line to the spec-exact UDF.
 
 Error tolerance contract (reference: engine/processor.go:99-102 +
 processor/json.go:48-67): a line whose parse fails is NEVER dropped and
@@ -82,6 +85,32 @@ ACCESS_RE_SPARK = re.sub(r"\?P<[a-z]+>", "", ACCESS_RE)
 _G_IP, _G_TS, _G_METHOD, _G_PATH, _G_PROTO, _G_STATUS, _G_SIZE = 1, 2, 3, 4, 5, 6, 7
 
 ENVELOPE_KEYS = ("timestamp", "level", "message")
+
+# --- hybrid-v2 routing: which JSON lines is from_json PROVABLY byte-exact
+# for?  A line is "simple" when it is one flat JSON object whose keys are
+# plain identifiers and whose values are backslash-free strings, integers,
+# or booleans.  For exactly these tokens Spark's
+# from_json(map<string,string>) emits the same text `_canon_str` would
+# (verified: 42->"42", -7->"-7", true->"true"); `null` is excluded (it
+# becomes a real NULL map value, not the string "null"), floats are
+# excluded (from_json re-renders 1.50 as "1.5" but _canon_str(1.0)="1"),
+# escapes are excluded (unescape paths could differ).  Everything that is
+# NOT provably exact — nested values, escapes, floats, nulls, unicode
+# keys, malformed JSON — still crosses into the spec-exact Arrow UDF.
+# With Spark's mapKeyDedupPolicy=LAST_WIN (pinned in session.py) duplicate
+# metadata keys keep-last exactly like json.loads; duplicated ENVELOPE
+# keys can still flip a type under last-wins, so those lines are routed
+# to the UDF too (ENV_DUP_RE below, conservatively matching value text).
+_SIMPLE_VAL = r'("[^"\\]*"|-?\d{1,15}|true|false)'
+_SIMPLE_PAIR = r'"[A-Za-z0-9_.\-]{1,64}"\s*:\s*' + _SIMPLE_VAL
+SIMPLE_JSON_RE = r"^\s*\{\s*(" + _SIMPLE_PAIR + r"\s*,\s*)*" + _SIMPLE_PAIR + r"\s*\}\s*$"
+ENV_DUP_RE = (
+    r'("timestamp".*"timestamp")|("level".*"level")|("message".*"message")'
+)
+# full RFC3339 shape (the python-side _RFC3339_RE, same pattern text)
+RFC3339_SHAPE_RE = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
 
 
 # --------------------------------------------------------------------------
@@ -347,26 +376,79 @@ def _access_exprs(line: Column) -> dict[str, Column]:
     }
 
 
+def _simple_json_exprs(line: Column) -> dict[str, Column]:
+    """Codegen'd JSON parse for PROVABLY from_json-exact lines.
+
+    ``ok`` is true only when every per-row contract check passes under
+    conditions where from_json's output is byte-identical to the Arrow
+    UDF's (see SIMPLE_JSON_RE commentary): flat object, benign value
+    tokens, no duplicated envelope keys, RFC3339-shaped string timestamp
+    that Spark's narrow `X`-offset format actually parses. Any simple
+    line failing a check is NOT claimed here — the router sends it to
+    the spec-exact UDF instead, so over-claiming is impossible.
+    """
+    m = F.from_json(line, "map<string,string>")
+    ts_raw = m["timestamp"]
+    ts_parsed = F.try_to_timestamp(ts_raw, F.lit(RFC3339_SPARK))
+    msg_is_str = line.rlike(r'"message"\s*:\s*"')
+    ok = (
+        line.rlike(SIMPLE_JSON_RE)
+        & ~line.rlike(ENV_DUP_RE)
+        & m.isNotNull()
+        & line.rlike(r'"level"\s*:\s*"')
+        & ts_raw.rlike(RFC3339_SHAPE_RE)
+        & ts_parsed.isNotNull()
+    )
+    return {
+        "ok": ok,
+        "ts": ts_parsed,
+        "level": parse_level_col(m["level"]),
+        "message": F.when(msg_is_str, F.coalesce(m["message"], F.lit(""))).otherwise(F.lit("")),
+        "metadata": F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+    }
+
+
+def hybrid_needs_python(line: Column) -> Column:
+    """Which lines must cross into the Arrow UDF under impl="hybrid".
+
+    JSON candidates minus the provably from_json-exact ones — on the
+    benchmark corpus this is only the malformed tail (~2% of lines),
+    so the mandatory Arrow-UDF stage keeps its spec-exact role while
+    ~98% of rows stay inside whole-stage codegen (the scaling-efficient
+    shape, BENCH/BASELINE.md).
+    """
+    return line.rlike(r"^\s*\{") & ~_simple_json_exprs(line)["ok"]
+
+
 def _hybrid_parsed_struct() -> Column:
     """Assembly for impl="hybrid": `_jp` = the JSON-UDF output struct.
 
-    Access lines take precedence exactly like the arrow impl
-    (jmask = maybe-json & ~acc_ok in ``_parse_batch``).
+    Branch precedence: access first (exactly like the arrow impl:
+    jmask = maybe-json & ~acc_ok in ``_parse_batch``), then the
+    codegen simple-JSON branch, then the UDF branch (disjoint row sets
+    by construction of :func:`hybrid_needs_python`).
     """
     acc = _access_exprs(F.col("line"))
+    s = _simple_json_exprs(F.col("line"))
     j = F.col("_jp")
     json_ok = j["ok"]
     acc_ok = acc["ok"]
-    category = F.when(acc_ok, "access").when(json_ok, "json").otherwise("unparsed")
+    simple_ok = s["ok"]
+    category = (
+        F.when(acc_ok, "access")
+        .when(simple_ok | json_ok, "json")
+        .otherwise("unparsed")
+    )
     empty_map = F.from_json(F.lit("{}"), "map<string,string>")
     return F.struct(
-        F.when(acc_ok, acc["ts"]).when(json_ok, j["timestamp"])
+        F.when(acc_ok, acc["ts"]).when(simple_ok, s["ts"]).when(json_ok, j["timestamp"])
         .otherwise(F.col("warc_ts")).alias("timestamp"),
-        F.when(acc_ok, acc["level"]).when(json_ok, j["level"])
+        F.when(acc_ok, acc["level"]).when(simple_ok, s["level"]).when(json_ok, j["level"])
         .otherwise(F.lit("UNKNOWN")).alias("level"),
-        F.when(acc_ok, acc["message"]).when(json_ok, j["message"])
+        F.when(acc_ok, acc["message"]).when(simple_ok, s["message"]).when(json_ok, j["message"])
         .otherwise(F.lit("")).alias("message"),
         F.when(acc_ok, acc["metadata"])
+        .when(simple_ok, s["metadata"])
         .when(json_ok, F.from_json(j["metadata_json"], "map<string,string>"))
         .otherwise(empty_map).alias("metadata"),
         category.alias("category"),
@@ -451,12 +533,13 @@ def parse_records(
     elif impl == "native":
         parsed = _native_parsed_struct()
     elif impl == "hybrid":
-        # only JSON-candidate lines cross into Python (nulls are free in
-        # Arrow); the grok branch never leaves the JVM
+        # only JSON candidates from_json can't PROVABLY serve byte-exactly
+        # cross into Python (nulls are free in Arrow); simple flat-JSON
+        # lines and the grok branch never leave the JVM
         lines = lines.withColumn(
             "_jp",
             _parse_json_only_udf(
-                F.when(F.col("line").rlike(r"^\s*\{"), F.col("line"))
+                F.when(hybrid_needs_python(F.col("line")), F.col("line"))
             ),
         )
         parsed = _hybrid_parsed_struct()

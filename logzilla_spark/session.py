@@ -38,6 +38,10 @@ def engine_sql_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # duplicate JSON map keys keep-last, exactly like Python's
+        # json.loads — required for the hybrid parse's codegen JSON
+        # branch to match the Arrow UDF bit-for-bit (operators/parse.py)
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
         # 20k rows/batch: fewer JVM<->Python round-trips per task; measured
         # 15% off the parse+route wall at 32 cores vs 10k (50k: no better)
         "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",

@@ -161,11 +161,45 @@ json_lines = st.builds(
     st.lists(meta_values, max_size=3),
 )
 
+# deterministic nasties targeting the hybrid router's simple-JSON branch
+# (operators/parse.py SIMPLE_JSON_RE): each probes one reason a line must
+# NOT be claimed by the codegen from_json path
+ROUTER_EDGE_LINES = [
+    # duplicated envelope key flips type under last-wins
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","level":5}',
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","message":"a","message":5}',
+    '{"timestamp":"2024-01-02T03:04:05Z","timestamp":"bad","level":"info"}',
+    '{"timestamp":"bad","timestamp":"2024-01-02T03:04:05Z","level":"info"}',
+    # duplicated metadata key (keep-last both sides)
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","k":"1","k":"2"}',
+    # float values re-rendered by from_json (1.50 -> "1.5"; 1.0 -> "1")
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","f":1.50}',
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","f":1.0}',
+    # null metadata value (from_json: real NULL; spec: the string "null")
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","z":null}',
+    # escapes in values / keys
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","m":"a\\"b"}',
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","m":"tab\\tx"}',
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","\\u00e9":"v"}',
+    # exotic-but-valid RFC3339 timestamps (offset / fractional seconds)
+    '{"timestamp":"2024-01-02T03:04:05+05:00","level":"info","m":"x"}',
+    '{"timestamp":"2024-01-02T03:04:05.250Z","level":"info","m":"x"}',
+    # shape-valid but non-calendar timestamp
+    '{"timestamp":"2024-13-40T99:99:99Z","level":"info","m":"x"}',
+    # leading-zero int (invalid JSON both sides)
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","n":007}',
+    # booleans and big ints (simple branch CAN take these)
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info","t":true,"n":123456789012345}',
+    # trailing comma (invalid JSON)
+    '{"timestamp":"2024-01-02T03:04:05Z","level":"info",}',
+]
+
 raw_lines = st.one_of(
     json_lines,
     st.text(max_size=40).filter(lambda s: "\n" not in s),
     st.just('{"timestamp":"2024-01-02T03:04:05Z","level":"info"}'),
     st.just('10.1.2.3 - - [05/Jan/2024:12:00:00 +0000] "GET /x HTTP/1.1" 200 99'),
+    st.sampled_from(ROUTER_EDGE_LINES),
 )
 
 
@@ -191,3 +225,31 @@ def test_arrow_and_hybrid_parse_agree_on_adversarial_lines(lines, spark):
         )
 
     assert canon("arrow") == canon("hybrid")
+
+
+def test_hybrid_router_keeps_simple_json_out_of_python(spark):
+    """Every ROUTER_EDGE_LINES nasty goes to the UDF; the corpus's plain
+    flat-JSON lines stay in codegen (the G8 scaling lever)."""
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.operators.parse import hybrid_needs_python
+
+    simple = [
+        '{"timestamp":"2024-01-02T03:04:05Z","level":"info","message":"m",'
+        '"service":"svc3","request_id":"r-42","attempt":3}',
+        '{"timestamp":"2024-01-02T03:04:05Z","level":"warning"}',
+    ]
+    # claimable by codegen: duplicated METADATA key (keep-last equals
+    # json.loads under LAST_WIN) and the booleans/big-int line; every
+    # other nasty must cross into the spec-exact UDF
+    claimable = {ROUTER_EDGE_LINES[4], ROUTER_EDGE_LINES[-2]}
+    df = spark.createDataFrame(
+        [(l,) for l in simple + ROUTER_EDGE_LINES], "line string"
+    ).select("line", hybrid_needs_python(F.col("line")).alias("np"))
+    got = {r.line: r.np for r in df.collect()}
+    for l in simple:
+        assert got[l] is False, f"simple line routed to Python: {l}"
+    for l in ROUTER_EDGE_LINES:
+        if l in claimable:
+            continue
+        assert got[l] is True, f"nasty line NOT routed to Python: {l}"
