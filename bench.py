@@ -143,19 +143,48 @@ def main_single(
 SCALING_SF_DIR = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/repo/.cache/sfdir/sf16")
 
 
+def _stage_totals(spark) -> dict[str, float]:
+    """Cumulative executor-side task metrics from the Spark REST API.
+
+    Per-trial deltas of these make the scaling bottleneck attributable:
+    cpu-time inflation at 4N cores under pinned cpusets = memory-stall
+    cycles; gc growth = heap pressure (BENCH/BASELINE.md interpretation).
+    """
+    import urllib.request
+
+    tot = {"executor_cpu_sec": 0.0, "executor_run_sec": 0.0, "jvm_gc_sec": 0.0}
+    try:
+        url = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        req = f"{url}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(req, timeout=10) as r:
+            stages = json.load(r)
+        for s in stages:
+            tot["executor_cpu_sec"] += s.get("executorCpuTime", 0) / 1e9  # ns
+            tot["executor_run_sec"] += s.get("executorRunTime", 0) / 1e3  # ms
+            tot["jvm_gc_sec"] += s.get("jvmGcTime", 0) / 1e3  # ms
+    except Exception:  # noqa: BLE001 — metrics are best-effort telemetry
+        pass
+    return {k: round(v, 3) for k, v in tot.items()}
+
+
 def main_worker(cores: int, trials: int, sync_dir: str, sf_dir: str) -> None:
     """Scaling-bench worker: one persistent (pinned) session; runs one
     pipeline trial per 'go' barrier file, publishes results atomically."""
     from logzilla_spark.session import get_spark
 
-    spark = get_spark(cores=cores, app_name=f"bench-worker[{cores}]")
+    spark = get_spark(cores=cores, app_name=f"bench-worker[{cores}]",
+                      extra_conf={"spark.ui.enabled": "true"})
     wh_root = os.environ.get("SPARK_GRAFT_BENCH_WH", os.path.join(REPO, ".cache"))
     wh = os.path.join(wh_root, f"bench_wh_{cores}")
     for i in range(trials):
         go = os.path.join(sync_dir, f"go_{cores}_{i}")
         while not os.path.exists(go):
             time.sleep(0.2)
+        before = _stage_totals(spark)
         r = run_pipeline_once(spark, sf_dir, wh)
+        after = _stage_totals(spark)
+        r.update({k: round(after[k] - before[k], 3) for k in after})
         tmp = os.path.join(sync_dir, f".tmp_{cores}_{i}")
         with open(tmp, "w") as f:
             json.dump(r, f)
@@ -264,6 +293,17 @@ def main_scaling(n: int = 8, sf_dir: str = SCALING_SF_DIR) -> None:
     rn["sf"] = r4n["sf"] = os.path.basename(os.path.normpath(sf_dir))
     tn, t4n = rn["docs_per_sec"], r4n["docs_per_sec"]
     per_round_eff_str = ", ".join(f"{e:.3f}" for e in per_round_eff)
+
+    def med_metric(cores: int, key: str) -> float:
+        vals = [t.get(key, 0.0) for t in trials[cores][1:]]
+        return round(statistics.median(vals), 1) if vals else 0.0
+
+    metrics_rows = "\n".join(
+        f"| {c} cores | {med_metric(c, 'executor_cpu_sec')} "
+        f"| {med_metric(c, 'executor_run_sec')} "
+        f"| {med_metric(c, 'jvm_gc_sec')} |"
+        for c in (n, 4 * n)
+    )
     md = f"""# BENCH/BASELINE.md — measured scaling (N vs 4N)
 
 Sandbox stand-in for two cluster sizes (BASELINE.json north_rule):
@@ -298,6 +338,15 @@ Methodology — each leg is a faithful executor-fleet stand-in:
 
 **Scaling efficiency = median per-round (T_N/T_4N)/4 = {eff:.3f}**
 (target >= 0.8; per-round samples: {per_round_eff_str}).
+
+Per-trial executor task metrics (median over measured rounds, via the
+Spark REST API — attributes the bottleneck: equal cpu-sec across legs
+means perfect work conservation; cpu-sec inflation on the 4N leg is
+shared-DRAM memory stall, gc-sec growth is heap pressure):
+
+| leg | executor CPU sec | executor run sec | JVM GC sec |
+|---|---|---|---|
+{metrics_rows}
 
 Pipeline under test: pages scan -> hybrid parse of the html payload
 (Arrow pandas UDF for the JSON-record contract, whole-stage-codegen

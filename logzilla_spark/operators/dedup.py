@@ -54,13 +54,27 @@ LSH_BANDS = 8
 LSH_ROWS = 2  # N_MINHASH == LSH_BANDS * LSH_ROWS
 SHINGLE_N = 5
 WORDGRAM_N = 3
-SIMHASH_BITS = 32
-SIMHASH_BLOCKS = 4  # 8-bit blocks for candidate blocking
+# SimHash geometry: md5_long is a 60-bit hash, so 60 is the widest
+# honest fingerprint (bits 60-63 would always vote 0). 6 blocks of 10
+# bits: pairs with hamming <= 5 PROVABLY share a block (pigeonhole);
+# hamming 6..MAX_SIMHASH_HAMMING is best-effort recall, standard
+# simhash practice. 6 x 2^10 block buckets (vs 4 x 2^8 at 32 bits)
+# keeps per-bucket occupancy — and the self-join's quadratic pair
+# expansion — proportionally lower as the corpus grows.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 6
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 10
+SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
 MIN_EST_SIM = 0.25  # signature-level prefilter (multiples of 1/16)
 MIN_JACCARD = 0.20  # exact-verify output threshold
 MIN_WORDGRAM_JACCARD = 0.05
 MAX_SIMHASH_HAMMING = 8
 COSINE_THRESHOLD = 0.35
+# Default LSH bucket-size guard: buckets larger than this (boilerplate
+# pages all hashing to one band value) are dropped before the self-join,
+# bounding the quadratic pair expansion. Mirrored bit-for-bit by the
+# DuckDB twin (oracle_dataops.minhash_lsh_pairs_sql).
+MAX_LSH_BUCKET = 500
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -70,18 +84,22 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism.
+    """Ensure at least the session's parallelism for per-doc compute.
 
     The per-doc stages below (md5 per shingle, K minhash functions,
     bit voting) cost ~ms per document — orders more than scanning it.
     When the input arrives as one or two splits (a single parquet file
     at CI scale; a small dimension-ish table generally), that compute
-    would serialize onto as many tasks. One narrow shuffle of the raw
-    docs is noise by comparison and restores full parallelism; at
-    100 TB the input already has thousands of splits and this exchange
-    is a per-partition no-op coalesce.
+    would serialize onto as many tasks, so a one-off round-robin
+    shuffle restores full parallelism. When the input already has
+    enough splits (a 100 TB corpus arrives as thousands), this is a
+    no-op — ``repartition`` is always a full exchange, so it must be
+    GATED, not relied on to collapse.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _shingles_expr(norm_col: str, n: int = SHINGLE_N) -> str:
@@ -194,7 +212,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     min_est: float = MIN_EST_SIM,
     min_jaccard: float = MIN_JACCARD,
-    max_bucket: int | None = None,
+    max_bucket: int | None = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -205,7 +223,15 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_sim, inter_n, union_n, jaccard) with
     jaccard >= min_jaccard. est_sim is an exact multiple of
     1/n_hashes and jaccard an exact int/int division — both
-    bit-portable to the DuckDB oracle.
+    bit-portable to the DuckDB oracle (which mirrors the max_bucket
+    guard too).
+
+    Scale shape (100 TB): every join here is a shuffle hash join keyed
+    on doc id or bucket — NOTHING corpus-sized is ever broadcast. The
+    signature and shingle tables are corpus-sized (16 longs / ~KBs per
+    doc), so the verify stage shuffle-joins the candidate pairs to them
+    on doc id; AQE is free to downgrade to broadcast when a side is
+    actually small (CI scale), which is the adaptive behavior you want.
     """
     sig = minhash_signatures(df, id_col, text_col)
     bands = minhash_band_hashes(sig)
@@ -235,10 +261,13 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # signatures are n_docs x 16 longs — always broadcast (the
-    # candidate side is the big one)
-    sa = F.broadcast(sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa")))
-    sb = F.broadcast(sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("_sb")))
+    # signatures are n_docs x 16 longs — corpus-sized, so never MANDATE
+    # a broadcast (round-1's F.broadcast here dies at 100 TB): leave the
+    # join strategy to size-based planning + AQE, which broadcasts when
+    # the sig table genuinely fits the threshold (CI scale) and shuffles
+    # on doc id when it doesn't (corpus scale). Plan-tested both ways.
+    sa = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("_sb"))
     est = F.expr(
         "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
         f"/ {N_MINHASH}.0"
@@ -261,11 +290,11 @@ def minhash_lsh_pairs(
     sh = _spread(df).select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
     ).select("id", F.expr(hashed_sh).alias("_sh"))
-    # shingle arrays are ~KBs per doc: broadcast them to the candidate
-    # pairs rather than shuffling candidates twice through sort-merge
-    # joins that would sort/serialize the array payloads
-    ga = F.broadcast(sh.select(F.col("id").alias("doc_a"), F.col("_sh").alias("_ga")))
-    gb = F.broadcast(sh.select(F.col("id").alias("doc_b"), F.col("_sh").alias("_gb")))
+    # shingle arrays are ~KBs per doc and grow with the corpus — same
+    # rule: no mandated broadcast; the est_sim-filtered candidates join
+    # to them on doc id under size-based planning
+    ga = sh.select(F.col("id").alias("doc_a"), F.col("_sh").alias("_ga"))
+    gb = sh.select(F.col("id").alias("doc_b"), F.col("_sh").alias("_gb"))
     out = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
@@ -286,12 +315,13 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Per-doc 32-bit SimHash over whitespace tokens (term frequency
-    weighted — duplicate tokens vote once each, Charikar '02)."""
+    """Per-doc ``bits``-wide SimHash over whitespace tokens (term
+    frequency weighted — duplicate tokens vote once each, Charikar '02)."""
     fp = F.expr(
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, i) -> acc + "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + "
         "IF(aggregate(_th, 0L, (s, h) -> s + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0, "
         "shiftleft(1L, i), 0L))"
     )
@@ -308,26 +338,40 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = MAX_SIMHASH_HAMMING,
+    bits: int = SIMHASH_BITS,
+    n_blocks: int = SIMHASH_BLOCKS,
+    max_bucket: int | None = MAX_LSH_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 8-bit fingerprint chunks
+    """Near-dup pairs by SimHash: block on fingerprint bit-chunks
     (pigeonhole candidate generation), verify hamming distance.
 
-    With 4 blocks, any pair with hamming <= 3 *provably* shares a
-    block; larger max_hamming values are best-effort recall (standard
-    simhash practice). Shuffle key = (block_id, block_val): 4*256
-    buckets — at corpus scale use 64-bit fingerprints and 6 blocks.
+    With ``n_blocks`` blocks, any pair with hamming <= n_blocks-1
+    *provably* shares a block; larger max_hamming values are
+    best-effort recall (standard simhash practice). Defaults: 60-bit
+    fingerprints in 6 x 10-bit blocks. Shuffle key =
+    (block_id, block_val); ``max_bucket`` drops pathological buckets
+    (boilerplate corpora) exactly like minhash_lsh_pairs, bounding the
+    quadratic per-bucket pair expansion — the DuckDB twin mirrors it.
     """
-    fps = simhash_fingerprints(df, id_col, text_col)
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits)
+    width = bits // n_blocks
+    mask = (1 << width) - 1
     blocks = [
         F.struct(
             F.lit(b).alias("block_id"),
-            F.expr(f"shiftright(fingerprint, {8 * b}) & 255").alias("block_val"),
+            F.expr(f"shiftright(fingerprint, {width * b}) & {mask}").alias("block_val"),
         )
-        for b in range(SIMHASH_BLOCKS)
+        for b in range(n_blocks)
     ]
     ex = fps.select(
         "id", "fingerprint", F.explode(F.array(*blocks)).alias("b")
     ).select("id", "fingerprint", "b.block_id", "b.block_val")
+    if max_bucket is not None:
+        sizes = ex.groupBy("block_id", "block_val").count()
+        ex = ex.join(
+            sizes.filter(F.col("count") <= max_bucket).drop("count"),
+            ["block_id", "block_val"],
+        )
     # co-partition by block before the self-join (see minhash_lsh_pairs:
     # spreads the quadratic per-bucket pair expansion across tasks)
     ex = ex.repartition(F.col("block_id"), F.col("block_val"))

@@ -21,6 +21,7 @@ from logzilla_spark.operators.dedup import (
     COSINE_THRESHOLD,
     LSH_BANDS,
     LSH_ROWS,
+    MAX_LSH_BUCKET,
     MAX_SIMHASH_HAMMING,
     MIN_EST_SIM,
     MIN_JACCARD,
@@ -116,9 +117,13 @@ def minhash_lsh_pairs_sql(docs_path: str) -> str:
     )
     return f"""WITH {_sig_cte(docs_path)},
 {_bands_cte()},
+kept_bands AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {MAX_LSH_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-  FROM bands a JOIN bands b
+  FROM kept_bands a JOIN kept_bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
 ),
 est AS (
@@ -166,18 +171,24 @@ def simhash_fingerprints_sql(docs_path: str) -> str:
 
 
 def simhash_pairs_sql(docs_path: str) -> str:
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << width) - 1
     blocks = ", ".join(
-        f"{{'block_id': {b}, 'block_val': (fingerprint >> {8 * b}) & 255}}"
+        f"{{'block_id': {b}, 'block_val': (fingerprint >> {width * b}) & {mask}}}"
         for b in range(SIMHASH_BLOCKS)
     )
     return f"""WITH {_fps_cte(docs_path)},
 blocks AS (
   SELECT id, fingerprint, u.block_id AS block_id, u.block_val AS block_val
   FROM (SELECT id, fingerprint, unnest([{blocks}]) AS u FROM fps)
+),
+kept_blocks AS (
+  SELECT * FROM blocks
+  QUALIFY count(*) OVER (PARTITION BY block_id, block_val) <= {MAX_LSH_BUCKET}
 )
 SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
        CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
-FROM blocks a JOIN blocks b
+FROM kept_blocks a JOIN kept_blocks b
   ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.id < b.id
 WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {MAX_SIMHASH_HAMMING}"""
 

@@ -154,3 +154,36 @@ def test_media_stats_and_stubs(spark):
     assert len(imgs) + len(auds) == 30
     for r in auds:
         assert r.n_frames == r.duration_ms // multimodal.AUDIO_FRAME_MS
+
+
+def test_minhash_pairs_plan_has_no_mandated_broadcast(spark):
+    """At corpus scale the sig/shingle tables exceed any broadcast
+    threshold; simulate that by disabling broadcast and assert the plan
+    still builds (shuffle joins on doc id) with no BroadcastExchange —
+    i.e. nothing corpus-sized is ever *mandated* to broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = dedup.minhash_lsh_pairs(_docs(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        # and it still computes the same pairs
+        assert {(r.doc_a, r.doc_b) for r in df.collect()} == {
+            (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(_docs(spark)).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_simhash_block_geometry():
+    """60-bit fingerprints in 6 x 10-bit blocks (md5_long is 60 bits, so
+    60 is the widest honest width); blocks tile the fingerprint."""
+    assert dedup.SIMHASH_BITS == 60
+    assert dedup.SIMHASH_BLOCKS * dedup.SIMHASH_BLOCK_BITS == dedup.SIMHASH_BITS
+    assert dedup.SIMHASH_BLOCK_MASK == (1 << dedup.SIMHASH_BLOCK_BITS) - 1
