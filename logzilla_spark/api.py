@@ -33,12 +33,13 @@ pagination instead of the stub ``Cursor: ""``
 from __future__ import annotations
 
 import json
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame
 
 from .operators.query import (
+    DEFAULT_SELECT_COLUMNS,
     OPS,
     AndNode,
     ComparisonNode,
@@ -93,12 +94,20 @@ def decode_node(obj: Any) -> QueryNode:
 
 
 def _parse_ts(v: Any, field: str) -> datetime:
+    """RFC3339 string -> UTC-naive datetime (stored record timestamps
+    are UTC-naive). Aware inputs are CONVERTED to UTC first — stripping
+    the tzinfo of a '+05:00' instant would silently shift the search
+    window by the offset (the reference's time.Parse compares instants).
+    Naive inputs are interpreted as already-UTC."""
     if not isinstance(v, str):
         raise BadInputError(f"{field}: expected RFC3339 string")
     try:
-        return datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+        dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
     except ValueError as e:
         raise BadInputError(f"{field}: {e}") from e
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def decode_query(body: str | bytes) -> Query:
@@ -130,16 +139,36 @@ def decode_query(body: str | bytes) -> Query:
     for s in obj.get("sort_fields") or []:
         if not isinstance(s, dict) or set(s) - _SORT_FIELDS or "name" not in s:
             raise BadInputError("sort_fields entries need {'name', 'is_descending'}")
-        sort.append(SortField(s["name"], bool(s.get("is_descending", False))))
+        if not isinstance(s["name"], str):
+            raise BadInputError("sort_fields.name: expected string")
+        isd = s.get("is_descending", False)
+        if not isinstance(isd, bool):
+            raise BadInputError("sort_fields.is_descending: expected boolean")
+        sort.append(SortField(s["name"], isd))
+
+    # strict type checks (Go's json.Decode rejects type mismatches as
+    # bad input; a "50" limit must not crash Query.validate with a
+    # TypeError that escapes the error envelope)
+    limit = obj.get("limit", 100)
+    if isinstance(limit, bool) or not isinstance(limit, int):
+        raise BadInputError("limit: expected integer")
+    cursor = obj.get("cursor")
+    if cursor is not None and not isinstance(cursor, str):
+        raise BadInputError("cursor: expected string")
+    sel = obj.get("select_columns")
+    if sel is not None and (
+        not isinstance(sel, list) or not all(isinstance(c, str) for c in sel)
+    ):
+        raise BadInputError("select_columns: expected list of strings")
 
     return Query(
         start=_parse_ts(obj["start"], "start"),
         end=_parse_ts(obj["end"], "end") if obj.get("end") is not None else None,
         node=decode_node(obj["node"]) if obj.get("node") is not None else None,
         sort=sort,
-        limit=obj.get("limit", 100),
-        select_columns=obj.get("select_columns"),
-        cursor=obj.get("cursor"),
+        limit=limit,
+        select_columns=sel,
+        cursor=cursor,
     )
 
 
@@ -156,9 +185,20 @@ def search_request(records: DataFrame, body: str | bytes) -> dict:
         rows = search(records, q).collect()
     except QueryValidationError as e:
         return {"success": False, "message": str(e), "data": None, "metadata": None}
-    cursor = next_cursor(rows) if "timestamp" in (
-        q.select_columns or ["timestamp"]
-    ) and len(rows) == q.limit else None
+    # A continuation cursor is only sound when (a) the page was produced
+    # in the canonical (timestamp, id) order — a cursor-set page or the
+    # default (no custom sort) ordering — and (b) both keyset columns
+    # were actually selected, so next_cursor can read them.
+    canonical_order = q.cursor is not None or not q.sort
+    selected = q.select_columns or DEFAULT_SELECT_COLUMNS
+    cursor = (
+        next_cursor(rows)
+        if canonical_order
+        and len(rows) == q.limit
+        and "timestamp" in selected
+        and "id" in selected
+        else None
+    )
     return {
         "success": True,
         "message": "",

@@ -346,6 +346,12 @@ def search(
             # implicit tie-breaker (sqlbuilder.go:153-161), direction follows
             # backward flag (querier/querier.go:69-74)
             order.append(tc.desc() if backward else tc.asc())
+        if not query.sort:
+            # canonical (timestamp, id) total order: keyset cursors are
+            # only sound when pages are produced in this order — without
+            # the id tie-break, rows sharing the last row's timestamp
+            # could be skipped between pages
+            order.append(F.col("id").desc() if backward else F.col("id").asc())
     out = out.orderBy(*order).limit(query.limit)
     return out.select(*(query.select_columns or DEFAULT_SELECT_COLUMNS))
 
@@ -392,6 +398,8 @@ def search_oracle_sql(
                 has_ts = True
         if not has_ts:
             order.append(f"{time_column} {'DESC' if backward else 'ASC'}")
+        if not query.sort:
+            order.append(f"id {'DESC' if backward else 'ASC'}")
     cols = ", ".join(select_sql or query.select_columns or DEFAULT_SELECT_COLUMNS)
     return (
         f"SELECT {cols} FROM {relation} WHERE "

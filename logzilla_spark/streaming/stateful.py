@@ -104,6 +104,10 @@ def _session_fn_factory(gap_seconds: int):
                 start_us, n = t, 0
             n += 1
             last_us = max(last_us, t)
+            # a late-but-within-watermark event can land BEFORE the
+            # stored session start (cross-batch out-of-order); the batch
+            # twin reports min event time, so track the min here too
+            start_us = min(start_us, t)
         state.update((start_us, last_us, n))
         # event-time timer: fire when the watermark passes last + gap
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)

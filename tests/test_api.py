@@ -134,3 +134,55 @@ def test_search_request_validation_error_envelope(spark, records_sf0001):
     resp = search_request(records_sf0001, body(limit=5000))
     assert resp["success"] is False
     assert "limit" in resp["message"]
+
+
+# --- ADVICE round-2 regressions ----------------------------------------------
+
+def test_offset_timestamps_converted_to_utc():
+    """A '+05:00' start must mean the same instant as its UTC form —
+    stripping tzinfo without converting would shift the window by 5h."""
+    q = decode_query(body(start="2024-01-01T05:00:00+05:00"))
+    assert q.start == datetime(2024, 1, 1, 0, 0, 0)
+    # naive inputs are interpreted as already-UTC
+    q2 = decode_query(body(start="2024-01-01T00:00:00"))
+    assert q2.start == q.start
+
+
+def test_type_mismatches_rejected_as_bad_input():
+    for kw in (
+        {"limit": "50"},
+        {"limit": True},
+        {"cursor": 5},
+        {"select_columns": "id"},
+        {"select_columns": ["id", 3]},
+        {"sort_fields": [{"name": 7}]},
+        {"sort_fields": [{"name": "level", "is_descending": "yes"}]},
+    ):
+        with pytest.raises(BadInputError):
+            decode_query(body(**kw))
+
+
+def test_full_page_without_id_column_returns_no_cursor(spark, records_sf0001):
+    """next_cursor needs (timestamp, id); a full page selected without
+    'id' must return cursor=None, not crash outside the error envelope."""
+    resp = search_request(
+        records_sf0001,
+        body(limit=5, end="2024-01-08T00:00:00Z",
+             select_columns=["timestamp", "message"]),
+    )
+    assert resp["success"], resp["message"]
+    assert len(resp["data"]) == 5
+    assert resp["metadata"]["cursor"] is None
+
+
+def test_custom_sorted_page_returns_no_cursor(spark, records_sf0001):
+    """Keyset cursors are only sound from canonically-ordered pages: a
+    custom sort fills the page in a different order, so no cursor."""
+    resp = search_request(
+        records_sf0001,
+        body(limit=5, end="2024-01-08T00:00:00Z",
+             sort_fields=[{"name": "level", "is_descending": True}]),
+    )
+    assert resp["success"], resp["message"]
+    assert len(resp["data"]) == 5
+    assert resp["metadata"]["cursor"] is None

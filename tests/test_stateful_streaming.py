@@ -97,3 +97,45 @@ def test_streaming_sessions_match_batch(spark, stream_dirs):
     assert not missing, f"sessions not closed by final watermark: {missing}"
     # sanity: the fixture really exercises multiple sessions per key
     assert len(must_close) == 18  # 6 users x 3 sessions
+
+
+def test_late_cross_batch_event_moves_session_start(spark, tmp_path):
+    """A late-but-within-watermark event EARLIER than the stored session
+    start must pull session_start back to the min event time, matching
+    the batch twin (ADVICE round 2)."""
+    src = tmp_path / "src2"
+    os.makedirs(src)
+    t = lambda m: datetime(2024, 1, 1, 10, 0) + timedelta(minutes=m)
+    b0 = pd.DataFrame({"user_id": ["u1", "u1"], "ts": [t(0), t(5)], "value": [1.0, 1.0]})
+    b1 = pd.DataFrame({"user_id": ["u1"], "ts": [t(-2)], "value": [1.0]})  # late
+    b2 = pd.DataFrame({"user_id": ["zzz"], "ts": [t(12 * 60)], "value": [0.0]})
+    for i, b in enumerate((b0, b1, b2)):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b.to_parquet(src / f"batch{i}.parquet", index=False)
+    events = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = streaming_sessionize(events, gap_seconds=GAP_S, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+        if r["key"] == "u1"
+    }
+    batch_df = spark.createDataFrame(pd.concat([b0, b1]))
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, gap=f"{GAP_S} seconds", value_col=None).collect()
+    }
+    assert got == want
+    assert next(iter(got))[1] == t(-2)  # start pulled back to the late event
