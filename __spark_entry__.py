@@ -31,6 +31,7 @@ from logzilla_spark.operators.fulltext import (
     search_index,
 )
 from logzilla_spark.operators.multiline import reassemble_multiline
+from logzilla_spark.operators import parsers as parser_registry
 from logzilla_spark.operators.parse import explode_lines, parse_records, text_from_html
 from logzilla_spark.operators.sessionize import sessionize, sessionize_sql
 from logzilla_spark.operators.query import (
@@ -78,6 +79,30 @@ def _flat_records(rec: DataFrame) -> DataFrame:
 
 def _exact_sum(col: str, alias: str):
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# O21: register the demo third format exactly as a user would — a grok
+# pattern for the corpus's previously-unparsed `garbage line N` tail
+# (operators/parsers.py is the Lua-script-slot successor)
+parser_registry.register_parser(
+    parser_registry.GrokParser(
+        name="legacy",
+        pattern=r"^garbage line (?P<n>\d+)$",
+        level_static="DEBUG",
+        message_groups=("n",),
+    ),
+    replace=True,
+)
+
+
+def _custom_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = parser_registry.parse_records_chain(
+        _pages(spark, sf_dir), chain=("access", "json", "legacy")
+    )
+    return rec.select(
+        "id", "source", "timestamp", "level", "message", "category", "lang",
+        "parse_ok", F.col("metadata")["n"].alias("m_n"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -326,6 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_records": lambda s, d: _flat_records(_records(s, d, "arrow")),
         "q_pipeline_records_native": lambda s, d: _flat_records(_records(s, d, "native")),
         "q_pipeline_records_hybrid": lambda s, d: _flat_records(_records(s, d, "hybrid")),
+        # O21 parity — a USER-registered third format ('legacy' grok for
+        # the corpus's unparsed tail) through the never-drop chain
+        "q_pipeline_records_custom": _custom_records,
         # --- parse fidelity invariant (north_rule byte-identity) ---
         "q_parse_fidelity": lambda s, d: _pages(s, d).select(
             F.count(F.lit(1)).alias("n_pages"),
@@ -443,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_records": oracle.records_sql(_P01),
         "q_pipeline_records_native": oracle.records_sql(_P01),
         "q_pipeline_records_hybrid": oracle.records_sql(_P01),
+        "q_pipeline_records_custom": oracle.records_custom_sql(_P01),
         "q_parse_fidelity": oracle.fidelity_sql(_P01),
         "q_pipeline_window_agg": oracle.windowed_counts_sql(_P01),
         "q_pipeline_window_agg_salted": oracle.windowed_counts_sql(_P01),

@@ -1,0 +1,299 @@
+"""Pluggable parser registry — the Lua script slot, Spark-first (O21).
+
+The reference's Lua processor exists so a USER can drop in a script
+defining ``parse_log`` for their own log format without touching engine
+code (reference: processor/lua.go:18-25,81-119; README.md:100-107 shows
+the grok use case). The Spark-native successor is a registry of line
+parsers plus an error-tolerant chain builder:
+
+- :class:`GrokParser` — a named-group regex declared by the user,
+  compiled into pure Catalyst expressions (whole-stage codegen; the
+  fast path — this is what most Lua scripts in the wild do);
+- :class:`PandasParser` — an arbitrary Arrow-batched parse function for
+  formats a regex can't express (the full scripting slot; Python, so
+  it pays the UDF crossing — exactly like the reference pays the Lua
+  VM, engine cost sits with the user's choice);
+- built-ins ``"access"`` and ``"json"`` pre-registered from
+  :mod:`.parse` (the reference's two shipped processors).
+
+``parse_records_chain(pages, chain=(...))`` assembles the chain:
+parsers claim lines in chain order (first ok wins), and a line no
+parser claims flows through UNCHANGED as category='unparsed' with
+level=UNKNOWN, message='', timestamp=ingest time — the reference's
+never-drop tolerance contract (engine/processor.go:99-102).
+
+Scale notes: grok parsers add zero Python; each pandas parser is one
+Arrow UDF applied only to lines not claimed by earlier parsers (nulls
+are free in Arrow). The chain preserves input partitioning — no
+shuffle, embarrassingly parallel at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from itertools import chain as _it_chain
+from typing import Callable, Protocol
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.levels import parse_level_col
+from .parse import (
+    JSON_LINE_STRUCT,
+    _access_exprs,
+    _parse_json_only_udf,
+    _simple_json_exprs,
+    explode_lines,
+    hybrid_needs_python,
+)
+
+_EMPTY_MAP = 'map<string,string>'
+
+
+class LineParser(Protocol):
+    """One registered line format.
+
+    ``plan`` may attach helper columns to ``lines`` (pandas parsers add
+    their UDF output) and returns the branch expressions:
+    ok / ts / level / message / metadata. ``claimed`` is the OR of all
+    earlier parsers' ok columns — later parsers must not spend work on
+    already-claimed lines.
+    """
+
+    name: str
+
+    def plan(
+        self, lines: DataFrame, claimed: Column
+    ) -> tuple[DataFrame, dict[str, Column]]: ...
+
+
+def _spark_pattern(pattern: str) -> tuple[str, dict[str, int]]:
+    """Python named-group regex -> (Spark indexed regex, name->index).
+
+    All capturing groups must be named (index mapping follows group
+    order); non-capturing ``(?:...)`` groups are fine.
+    """
+    names = re.findall(r"\(\?P<([A-Za-z_]\w*)>", pattern)
+    return re.sub(r"\?P<[A-Za-z_]\w*>", "", pattern), {
+        n: i + 1 for i, n in enumerate(names)
+    }
+
+
+@dataclass(frozen=True)
+class GrokParser:
+    """User-declared grok/regex format, compiled to codegen expressions.
+
+    - ``pattern``: full-line named-group regex; every named group
+      becomes a metadata key.
+    - ``ts_group``/``ts_format_spark``: optional timestamp group and
+      its Spark datetime pattern; when absent (or unparseable) the
+      chain's ingest-time fallback applies only if the line is
+      unclaimed — a claimed line without ts_group gets ingest time via
+      ``ts=None`` handling in the assembler.
+    - ``level_group``: optional group run through the exact reference
+      level table; else ``level_static``.
+    - ``message_groups``: groups joined with spaces into the message.
+    """
+
+    name: str
+    pattern: str
+    ts_group: str | None = None
+    ts_format_spark: str | None = None
+    level_group: str | None = None
+    level_static: str = "UNKNOWN"
+    message_groups: tuple[str, ...] = ()
+
+    def plan(self, lines: DataFrame, claimed: Column):
+        line = F.col("line")
+        spark_re, idx = _spark_pattern(self.pattern)
+
+        def g(name: str) -> Column:
+            return F.regexp_extract(line, spark_re, idx[name])
+
+        ok = line.rlike(spark_re)
+        ts: Column | None = None
+        if self.ts_group:
+            if not self.ts_format_spark:
+                raise ValueError(f"{self.name}: ts_group needs ts_format_spark")
+            ts = F.try_to_timestamp(g(self.ts_group), F.lit(self.ts_format_spark))
+            ok = ok & ts.isNotNull()
+        level = (
+            parse_level_col(g(self.level_group))
+            if self.level_group
+            else F.lit(self.level_static)
+        )
+        message = (
+            F.concat_ws(" ", *[g(m) for m in self.message_groups])
+            if self.message_groups
+            else F.lit("")
+        )
+        metadata = F.create_map(
+            *_it_chain.from_iterable((F.lit(n), g(n)) for n in idx)
+        )
+        return lines, {
+            "ok": ok, "ts": ts, "level": level,
+            "message": message, "metadata": metadata,
+        }
+
+
+@dataclass(frozen=True)
+class PandasParser:
+    """User parse function over Arrow batches (the full scripting slot).
+
+    ``fn(lines: pd.Series) -> pd.DataFrame`` with FLAT columns
+    ok(bool) / timestamp(datetime64) / level(str) / message(str) /
+    metadata_json(str: minified JSON object) — flat output so no Python
+    dict crosses into an Arrow map (the scaling rule from
+    operators/parse.py). ``candidate_re`` is an optional cheap codegen
+    prefilter so non-candidates never reach Python.
+    """
+
+    name: str
+    fn: Callable[[pd.Series], pd.DataFrame]
+    candidate_re: str | None = None
+
+    def plan(self, lines: DataFrame, claimed: Column):
+        line = F.col("line")
+        pred = ~claimed
+        if self.candidate_re:
+            pred = pred & line.rlike(self.candidate_re)
+        udf = F.pandas_udf(self.fn, JSON_LINE_STRUCT)
+        col = f"_pp_{self.name}"
+        lines = lines.withColumn(col, udf(F.when(pred, line)))
+        j = F.col(col)
+        return lines, {
+            "ok": F.coalesce(j["ok"], F.lit(False)),
+            "ts": j["timestamp"],
+            "level": j["level"],
+            "message": j["message"],
+            "metadata": F.from_json(j["metadata_json"], _EMPTY_MAP),
+        }
+
+
+@dataclass(frozen=True)
+class _AccessBuiltin:
+    name: str = "access"
+
+    def plan(self, lines: DataFrame, claimed: Column):
+        a = _access_exprs(F.col("line"))
+        return lines, {
+            "ok": a["ok"], "ts": a["ts"], "level": a["level"],
+            "message": a["message"], "metadata": a["metadata"],
+        }
+
+
+@dataclass(frozen=True)
+class _JsonBuiltin:
+    """The hybrid JSON parser: codegen for provably from_json-exact
+    lines, the spec-exact Arrow UDF for the rest (see parse.py)."""
+
+    name: str = "json"
+
+    def plan(self, lines: DataFrame, claimed: Column):
+        line = F.col("line")
+        s = _simple_json_exprs(line)
+        lines = lines.withColumn(
+            "_jp",
+            _parse_json_only_udf(
+                F.when(hybrid_needs_python(line) & ~claimed, line)
+            ),
+        )
+        j = F.col("_jp")
+        ok = s["ok"] | F.coalesce(j["ok"], F.lit(False))
+        pick = lambda a, b: F.when(s["ok"], a).otherwise(b)  # noqa: E731
+        return lines, {
+            "ok": ok,
+            "ts": pick(s["ts"], j["timestamp"]),
+            "level": pick(s["level"], j["level"]),
+            "message": pick(s["message"], j["message"]),
+            "metadata": pick(
+                s["metadata"], F.from_json(j["metadata_json"], _EMPTY_MAP)
+            ),
+        }
+
+
+_REGISTRY: dict[str, LineParser] = {}
+
+
+def register_parser(parser: LineParser, replace: bool = False) -> None:
+    """Add a parser to the registry (the Lua drop-in-a-script analog)."""
+    if parser.name in _REGISTRY and not replace:
+        raise ValueError(f"parser {parser.name!r} already registered")
+    _REGISTRY[parser.name] = parser
+
+
+def unregister_parser(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
+
+def get_parser(name: str) -> LineParser:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown parser {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+register_parser(_AccessBuiltin())
+register_parser(_JsonBuiltin())
+
+
+def parse_records_chain(
+    pages: DataFrame,
+    chain: tuple[str, ...] = ("access", "json"),
+    use_html: bool = False,
+) -> DataFrame:
+    """pages -> records envelope through the registered parser chain.
+
+    Chain order = claim precedence (the reference applies processors in
+    configured order, engine/processor.go:91-107). With the default
+    chain this is semantically the hybrid impl of
+    :func:`..parse.parse_records` (differentially tested equal).
+    """
+    lines = explode_lines(pages, use_html=use_html)
+    claimed: Column = F.lit(False)
+    branches: list[dict[str, Column]] = []
+    for name in chain:
+        lines, ex = get_parser(name).plan(lines, claimed)
+        branches.append(ex)
+        claimed = claimed | ex["ok"]
+
+    def fold(key: str, default: Column) -> Column:
+        out = None
+        for ex in branches:
+            val = ex[key] if ex.get(key) is not None else default
+            out = F.when(ex["ok"], val) if out is None else out.when(ex["ok"], val)
+        return out.otherwise(default) if out is not None else default
+
+    cat = None
+    for name, ex in zip(chain, branches):
+        cat = F.when(ex["ok"], name) if cat is None else cat.when(ex["ok"], name)
+    cat = cat.otherwise(F.lit("unparsed")) if cat is not None else F.lit("unparsed")
+
+    empty_map = F.from_json(F.lit("{}"), _EMPTY_MAP)
+    parsed = F.struct(
+        fold("ts", F.col("warc_ts")).alias("timestamp"),
+        fold("level", F.lit("UNKNOWN")).alias("level"),
+        fold("message", F.lit("")).alias("message"),
+        fold("metadata", empty_map).alias("metadata"),
+        cat.alias("category"),
+        (cat != "unparsed").alias("parse_ok"),
+    )
+    return lines.select(
+        F.concat(
+            F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 4, "0")
+        ).alias("id"),
+        F.col("source"),
+        parsed["timestamp"].alias("timestamp"),
+        parsed["level"].alias("level"),
+        parsed["message"].alias("message"),
+        parsed["metadata"].alias("metadata"),
+        parsed["category"].alias("category"),
+        F.col("lang"),
+        parsed["parse_ok"].alias("parse_ok"),
+        F.col("url"),
+        F.col("warc_ts"),
+    )

@@ -109,6 +109,32 @@ records AS (
 )"""
 
 
+LEGACY_RE_SQL = r"^garbage line (\d+)$"
+
+
+def records_custom_sql(pages_path: str) -> str:
+    """Twin of the registered-parser chain (access, json, legacy):
+    the user-registered 'legacy' grok format claims the corpus's
+    previously-unparsed `garbage line N` tail (operators/parsers.py
+    demo of the Lua-slot successor). Non-legacy rows are identical to
+    the base records relation."""
+    return f"""WITH {records_cte(pages_path)},
+leg AS (
+  SELECT url || '#' || lpad(CAST(pos AS VARCHAR), 4, '0') AS id,
+         regexp_matches(line, '{LEGACY_RE_SQL}') AS leg_ok,
+         regexp_extract(line, '{LEGACY_RE_SQL}', 1) AS n
+  FROM classified WHERE NOT json_ok AND NOT acc_ok
+)
+SELECT r.id, r.source, r."timestamp",
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN 'DEBUG' ELSE r.level END AS level,
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN l.n ELSE r.message END AS message,
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN 'legacy' ELSE r.category END AS category,
+       r.lang,
+       (r.parse_ok OR coalesce(l.leg_ok, FALSE)) AS parse_ok,
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN l.n END AS m_n
+FROM records r LEFT JOIN leg l ON r.id = l.id"""
+
+
 RECORDS_SELECT = (
     'SELECT id, source, "timestamp", level, message, category, lang, parse_ok, '
     "url, warc_ts, m_service, m_request_id, m_attempt, m_ip, m_method, m_path, "

@@ -1,0 +1,136 @@
+"""Pluggable parser registry (operators/parsers.py — the Lua slot).
+
+Covers: default chain == hybrid impl (differential), a user-registered
+grok format claiming the unparsed tail, a PandasParser (Arrow slot)
+for a format regex can't comfortably express, never-drop tolerance,
+and registry error handling.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.operators import parsers as P
+from logzilla_spark.operators.parse import parse_records
+from logzilla_spark.testdata import ensure_pages
+
+T0 = datetime(2024, 1, 1)
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _pages(spark):
+    return spark.read.parquet(f"{ensure_pages(SF0001)}/pages.parquet")
+
+
+def _canon(df):
+    rows = df.collect()
+    return sorted(
+        (r.id, r.timestamp, r.level, r.message,
+         tuple(sorted(r.metadata.items())), r.category, r.parse_ok)
+        for r in rows
+    )
+
+
+def test_default_chain_equals_hybrid_impl(spark):
+    pages = _pages(spark)
+    assert _canon(P.parse_records_chain(pages)) == _canon(
+        parse_records(pages, impl="hybrid")
+    )
+
+
+def test_registered_grok_claims_unparsed_tail(spark):
+    P.register_parser(
+        P.GrokParser(name="legacy", pattern=r"^garbage line (?P<n>\d+)$",
+                     level_static="DEBUG", message_groups=("n",)),
+        replace=True,
+    )
+    pages = _pages(spark)
+    base = parse_records(pages, impl="hybrid")
+    rec = P.parse_records_chain(pages, chain=("access", "json", "legacy"))
+    got = {r.category: r["count"] for r in rec.groupBy("category").count().collect()}
+    want = {r.category: r["count"] for r in base.groupBy("category").count().collect()}
+    # every garbage line moved from 'unparsed' to 'legacy'; json/access same
+    assert got["access"] == want["access"]
+    assert got["json"] == want["json"]
+    assert got.get("legacy", 0) > 0
+    assert got.get("legacy", 0) + got.get("unparsed", 0) == want["unparsed"]
+    one = rec.filter(F.col("category") == "legacy").first()
+    assert one.level == "DEBUG" and one.parse_ok
+    assert one.message == one.metadata["n"]
+    assert one.timestamp == one.warc_ts  # no ts group -> ingest time
+
+
+def _logfmt(lines: pd.Series) -> pd.DataFrame:
+    """key=value log format — the 'arbitrary script' slot."""
+    import json as _json
+
+    n = len(lines)
+    ok, level, message, meta, ts = ([None] * n for _ in range(5))
+    for i, s in enumerate(lines):
+        ok[i] = False
+        if not isinstance(s, str) or "=" not in s:
+            continue
+        kv = {}
+        good = True
+        for part in s.split():
+            if "=" not in part:
+                good = False
+                break
+            k, _, v = part.partition("=")
+            kv[k] = v
+        if not good or "ts" not in kv:
+            continue
+        try:
+            ts[i] = pd.Timestamp(kv.pop("ts"))
+        except ValueError:
+            continue
+        ok[i] = True
+        level[i] = kv.pop("level", "info").upper()
+        message[i] = kv.pop("msg", "")
+        meta[i] = _json.dumps(kv, separators=(",", ":"))
+    return pd.DataFrame(
+        {"ok": ok, "timestamp": pd.Series(ts, dtype="datetime64[ns]"),
+         "level": level, "message": message, "metadata_json": meta}
+    )
+
+
+def test_pandas_parser_slot(spark):
+    P.register_parser(
+        P.PandasParser(name="logfmt", fn=_logfmt, candidate_re=r"^\w+="),
+        replace=True,
+    )
+    try:
+        pages = spark.createDataFrame(
+            [("https://h.example/x/p0", T0, None,
+              "ts=2024-01-02T03:04:05 level=warn msg=slow svc=api\n"
+              "not a logfmt line\n"
+              '{"timestamp":"2024-01-02T03:04:05Z","level":"info","k":"v"}',
+              "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        rec = P.parse_records_chain(pages, chain=("access", "json", "logfmt"))
+        rows = {r.pos: r for r in rec.withColumn(
+            "pos", F.substring("id", -4, 4).cast("int")).collect()}
+        assert rows[0].category == "logfmt"
+        assert rows[0].level == "WARN" and rows[0].message == "slow"
+        assert rows[0].metadata == {"svc": "api"}
+        assert rows[0].timestamp == datetime(2024, 1, 2, 3, 4, 5)
+        assert rows[1].category == "unparsed" and not rows[1].parse_ok
+        assert rows[2].category == "json"  # earlier parser claims first
+    finally:
+        P.unregister_parser("logfmt")
+
+
+def test_registry_errors(spark):
+    with pytest.raises(ValueError, match="already registered"):
+        P.register_parser(P._AccessBuiltin())
+    with pytest.raises(ValueError, match="unknown parser"):
+        P.parse_records_chain(_pages(spark), chain=("access", "nope"))
+    with pytest.raises(ValueError, match="ts_format_spark"):
+        P.GrokParser(name="x", pattern=r"(?P<a>\d+)", ts_group="a").plan(
+            _pages(spark), F.lit(False)
+        )
