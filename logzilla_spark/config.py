@@ -1,0 +1,181 @@
+"""Config-driven pipeline assembly.
+
+The reference builds its whole engine from a YAML file: typed source /
+processor / storage factories plus per-source processor chains
+(reference: config/config.go:52-224, per-source chains
+config/config.go:45-50; cmd/engine/main.go reads the file). This module
+is the Spark-native equivalent: one declarative document assembles the
+incremental Pipeline — source, parser registrations, parse chain,
+enrichment dims, sinks — without the user writing any wiring code.
+
+Formats: TOML (stdlib ``tomllib``) and JSON always work; ``.yaml`` is
+accepted too when a ``yaml`` module is importable (PyYAML is not vendored
+in this container, and the config schema is format-agnostic).
+
+Schema (TOML shown; JSON/YAML mirror it):
+
+    [pipeline]
+    warehouse   = "/path/warehouse"      # required
+    parse_impl  = "hybrid"               # arrow | native | hybrid
+    # OR a parser chain (overrides parse_impl; names from the registry):
+    # chain     = ["access", "json", "legacy"]
+    use_html    = true
+
+    [source]                             # optional one-shot ingest
+    pages = "/path/pages.parquet"
+
+    [enrich]                             # optional broadcast dims
+    dims_dir = "/path/dims"              # dim_lang.parquet, dim_severity.parquet
+
+    [[parsers]]                          # optional registry entries (O21)
+    name           = "legacy"
+    kind           = "grok"              # grok | pandas
+    pattern        = '^garbage line (?P<n>\\d+)$'
+    level_static   = "DEBUG"
+    message_groups = ["n"]
+    # pandas kind instead takes: fn = "package.module:function"
+
+    [session]
+    shuffle_partitions = 32              # optional conf overrides
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .operators.parsers import GrokParser, PandasParser, register_parser
+from .plans.pipeline import Pipeline
+from .sources.catalog import LocalCatalog
+
+
+class ConfigError(ValueError):
+    """Malformed pipeline config (the reference fails fast on bad YAML)."""
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    parse_impl: str = "hybrid"
+    chain: tuple[str, ...] | None = None
+    use_html: bool = True
+    pages_path: str | None = None
+    dims_dir: str | None = None
+    parsers: list[dict[str, Any]] = field(default_factory=list)
+    shuffle_partitions: int | None = None
+
+
+def _load_document(path: str) -> dict[str, Any]:
+    ext = os.path.splitext(path)[1].lower()
+    with open(path, "rb") as f:
+        raw = f.read()
+    if ext == ".toml":
+        import tomllib
+
+        return tomllib.loads(raw.decode("utf-8"))
+    if ext == ".json":
+        return json.loads(raw)
+    if ext in (".yaml", ".yml"):
+        try:
+            yaml = importlib.import_module("yaml")
+        except ImportError as e:
+            raise ConfigError(
+                "YAML config needs a 'yaml' module; use .toml or .json"
+            ) from e
+        return yaml.safe_load(raw)
+    raise ConfigError(f"unsupported config format: {path!r} (toml/json/yaml)")
+
+
+def load_config(path: str) -> PipelineConfig:
+    doc = _load_document(path)
+    if not isinstance(doc, dict):
+        raise ConfigError("config root must be a mapping")
+    pipe = doc.get("pipeline") or {}
+    if "warehouse" not in pipe:
+        raise ConfigError("pipeline.warehouse is required")
+    known = {"pipeline", "source", "enrich", "parsers", "session"}
+    unknown = set(doc) - known
+    if unknown:
+        # DisallowUnknownFields analog — typos fail fast
+        raise ConfigError(f"unknown config section: {sorted(unknown)[0]!r}")
+    chain = pipe.get("chain")
+    impl = pipe.get("parse_impl", "hybrid")
+    if chain is None and impl not in ("arrow", "native", "hybrid"):
+        raise ConfigError(f"pipeline.parse_impl: unknown impl {impl!r}")
+    return PipelineConfig(
+        warehouse=pipe["warehouse"],
+        parse_impl=impl,
+        chain=tuple(chain) if chain else None,
+        use_html=bool(pipe.get("use_html", True)),
+        pages_path=(doc.get("source") or {}).get("pages"),
+        dims_dir=(doc.get("enrich") or {}).get("dims_dir"),
+        parsers=list(doc.get("parsers") or []),
+        shuffle_partitions=(doc.get("session") or {}).get("shuffle_partitions"),
+    )
+
+
+def _register_configured_parsers(entries: list[dict[str, Any]]) -> None:
+    for e in entries:
+        kind = e.get("kind", "grok")
+        name = e.get("name")
+        if not name:
+            raise ConfigError("parsers[].name is required")
+        if kind == "grok":
+            register_parser(
+                GrokParser(
+                    name=name,
+                    pattern=e["pattern"],
+                    ts_group=e.get("ts_group"),
+                    ts_format_spark=e.get("ts_format_spark"),
+                    level_group=e.get("level_group"),
+                    level_static=e.get("level_static", "UNKNOWN"),
+                    message_groups=tuple(e.get("message_groups") or ()),
+                ),
+                replace=True,
+            )
+        elif kind == "pandas":
+            ref = e.get("fn", "")
+            mod_name, _, fn_name = ref.partition(":")
+            if not mod_name or not fn_name:
+                raise ConfigError(
+                    f"parsers[{name!r}].fn must be 'module:function', got {ref!r}"
+                )
+            fn = getattr(importlib.import_module(mod_name), fn_name)
+            register_parser(
+                PandasParser(name=name, fn=fn, candidate_re=e.get("candidate_re")),
+                replace=True,
+            )
+        else:
+            raise ConfigError(f"parsers[{name!r}].kind: unknown kind {kind!r}")
+
+
+def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> Pipeline:
+    """Assemble the incremental Pipeline exactly as config.go assembles
+    the reference engine: register parsers, wire dims, ingest the
+    configured source, return the runnable Pipeline."""
+    if cfg.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    _register_configured_parsers(cfg.parsers)
+    cat = LocalCatalog(cfg.warehouse)
+    pipe = Pipeline(
+        spark, cat,
+        parse_impl=cfg.chain if cfg.chain else cfg.parse_impl,
+        use_html=cfg.use_html,
+    )
+    if cfg.dims_dir:
+        pipe.set_dims(
+            spark.read.parquet(os.path.join(cfg.dims_dir, "dim_lang.parquet")),
+            spark.read.parquet(os.path.join(cfg.dims_dir, "dim_severity.parquet")),
+        )
+    if cfg.pages_path:
+        pipe.ingest_pages(spark.read.parquet(cfg.pages_path))
+    return pipe
+
+
+def pipeline_from_file(spark: SparkSession, path: str) -> Pipeline:
+    return build_pipeline(spark, load_config(path))

@@ -137,12 +137,25 @@ class Pipeline:
     """Incremental parse->enrich->route->aggregate over the pages table."""
 
     def __init__(self, spark: SparkSession, catalog: LocalCatalog,
-                 parse_impl: str = "hybrid", use_html: bool = True):
+                 parse_impl: "str | tuple[str, ...]" = "hybrid",
+                 use_html: bool = True):
+        """``parse_impl``: one of the built-in impl names ('arrow' /
+        'native' / 'hybrid'), or a tuple of registered parser names —
+        the config-driven per-source processor chain
+        (reference: config/config.go:45-50)."""
         self.spark = spark
         self.cat = catalog
         self.ckpts = CheckpointLog(catalog.warehouse)
         self.parse_impl = parse_impl
         self.use_html = use_html
+        # routing domain: a parser chain emits one category per parser
+        # plus the never-drop 'unparsed' tail; built-in impls emit the
+        # fixed reference domain
+        self.categories = (
+            list(parse_impl) + ["unparsed"]
+            if isinstance(parse_impl, (tuple, list))
+            else list(CATEGORIES)
+        )
 
     # -- ingestion helper (test/bench entry) ----------------------------
     def ingest_pages(self, pages: DataFrame) -> int:
@@ -164,7 +177,7 @@ class Pipeline:
 
         # resume protocol: drop any un-checkpointed commits
         rolled = 0
-        for c in CATEGORIES:
+        for c in self.categories:
             rolled += _rollback_beyond(self.cat, sink_name(c), ckpt)
             rolled += _rollback_beyond(self.cat, f"agg_{c}", ckpt)
         rolled += _rollback_beyond(self.cat, METRICS_TABLE, ckpt)
@@ -176,7 +189,14 @@ class Pipeline:
 
         tag = {"input_snapshot_id": head, "run_id": run_id}
 
-        records = parse_records(delta, impl=self.parse_impl, use_html=self.use_html)
+        if isinstance(self.parse_impl, (tuple, list)):
+            from ..operators.parsers import parse_records_chain
+
+            records = parse_records_chain(
+                delta, chain=tuple(self.parse_impl), use_html=self.use_html
+            )
+        else:
+            records = parse_records(delta, impl=self.parse_impl, use_html=self.use_html)
         if self.cat.exists("dim_lang"):
             records = enrich_records(
                 records,
@@ -186,7 +206,7 @@ class Pipeline:
         # single pass: parse+enrich execute exactly once inside the
         # partitionBy(category) routing write; no cache, no re-scan
         snaps = route_to_sinks_single_pass(
-            records, self.cat, run_id=run_id,
+            records, self.cat, categories=self.categories, run_id=run_id,
             summary_extra={"input_snapshot_id": head},
         )
         lineage_rows, routed = _routed_lineage_rows(self.cat, snaps, run_id, head)
@@ -197,7 +217,7 @@ class Pipeline:
         # aggregates reflect TOTAL sink state -> overwrite (idempotent)
         from ..sources.catalog import SnapshotError
 
-        for c in CATEGORIES:
+        for c in self.categories:
             try:
                 sink = self.cat.read(self.spark, sink_name(c))
             except SnapshotError:

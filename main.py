@@ -37,7 +37,11 @@ import sys
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--warehouse", required=True,
+    p.add_argument("--config", default=None,
+                   help="pipeline config file (.toml/.json; .yaml with a yaml "
+                        "module) — the reference's YAML-driven assembly "
+                        "(config/config.go). Replaces the flags below.")
+    p.add_argument("--warehouse", default=None,
                    help="catalog warehouse directory (sinks, aggs, metrics, checkpoints)")
     p.add_argument("--ingest", default=None,
                    help="optional pages parquet path to append to the pages table "
@@ -69,16 +73,23 @@ def main(argv: list[str] | None = None) -> int:
         SparkSession.builder.appName("logzilla-spark").getOrCreate(),
         shuffle_partitions=args.shuffle_partitions,
     )
-    cat = LocalCatalog(args.warehouse)
-    pipe = Pipeline(spark, cat, parse_impl=args.parse_impl)
+    if args.config:
+        from logzilla_spark.config import pipeline_from_file
 
-    if args.dims:
-        pipe.set_dims(
-            spark.read.parquet(f"{args.dims}/dim_lang.parquet"),
-            spark.read.parquet(f"{args.dims}/dim_severity.parquet"),
-        )
-    if args.ingest:
-        pipe.ingest_pages(spark.read.parquet(args.ingest))
+        pipe = pipeline_from_file(spark, args.config)
+    else:
+        if not args.warehouse:
+            build_arg_parser().error("--warehouse (or --config) is required")
+        cat = LocalCatalog(args.warehouse)
+        pipe = Pipeline(spark, cat, parse_impl=args.parse_impl)
+
+        if args.dims:
+            pipe.set_dims(
+                spark.read.parquet(f"{args.dims}/dim_lang.parquet"),
+                spark.read.parquet(f"{args.dims}/dim_severity.parquet"),
+            )
+        if args.ingest:
+            pipe.ingest_pages(spark.read.parquet(args.ingest))
 
     report = pipe.run(run_id=args.run_id)
     print(json.dumps({

@@ -1,0 +1,127 @@
+"""Config-driven pipeline assembly (logzilla_spark/config.py).
+
+The reference assembles its engine from YAML (config/config.go); here a
+TOML/JSON document must build the SAME Pipeline a hand-wired test does
+and reproduce its results (VERDICT round-1 item 5 done-criterion).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.config import ConfigError, load_config, pipeline_from_file
+from logzilla_spark.operators.parse import parse_records
+from logzilla_spark.operators.route import sink_name
+from logzilla_spark.plans.pipeline import Pipeline
+from logzilla_spark.sources.catalog import LocalCatalog
+from logzilla_spark.testdata import ensure_pages
+
+from .conftest import SF001
+
+TOML_TEMPLATE = """
+[pipeline]
+warehouse = "{wh}"
+parse_impl = "native"
+
+[source]
+pages = "{pages}"
+
+[enrich]
+dims_dir = "{dims}"
+
+[session]
+shuffle_partitions = 8
+"""
+
+
+def _canon_state(spark, cat, categories):
+    out = {}
+    for c in categories:
+        out[c] = sorted(
+            (r.id, r.level, str(r.timestamp), r.message)
+            for r in cat.read(spark, sink_name(c))
+            .select("id", "level", "timestamp", "message").collect()
+        )
+    return out
+
+
+def test_toml_config_reproduces_hand_wired_pipeline(spark, tmp_path):
+    d = ensure_pages(SF001)
+    cfg_path = tmp_path / "pipeline.toml"
+    cfg_path.write_text(
+        TOML_TEMPLATE.format(wh=tmp_path / "wh_cfg", pages=f"{d}/pages.parquet",
+                             dims=d)
+    )
+    pipe = pipeline_from_file(spark, str(cfg_path))
+    r = pipe.run(run_id="cfg1")
+    assert r.rows_in == spark.read.parquet(f"{d}/pages.parquet").count()
+
+    # hand-wired twin (test_pipeline_resume.py shape)
+    cat2 = LocalCatalog(str(tmp_path / "wh_hand"))
+    hand = Pipeline(spark, cat2, parse_impl="native")
+    hand.set_dims(
+        spark.read.parquet(f"{d}/dim_lang.parquet"),
+        spark.read.parquet(f"{d}/dim_severity.parquet"),
+    )
+    hand.ingest_pages(spark.read.parquet(f"{d}/pages.parquet"))
+    r2 = hand.run(run_id="hand1")
+    assert r.rows_routed == r2.rows_routed
+    assert _canon_state(spark, pipe.cat, pipe.categories) == _canon_state(
+        spark, cat2, hand.categories
+    )
+
+
+def test_json_config_with_parser_chain(spark, tmp_path):
+    """A config-registered grok parser + chain routes the corpus's
+    garbage tail to its own sink — per-source processor chains
+    (config/config.go:45-50) end to end."""
+    d = ensure_pages(SF001)
+    doc = {
+        "pipeline": {
+            "warehouse": str(tmp_path / "wh_chain"),
+            "chain": ["access", "json", "legacy2"],
+        },
+        "source": {"pages": f"{d}/pages.parquet"},
+        "parsers": [
+            {
+                "name": "legacy2",
+                "kind": "grok",
+                "pattern": r"^garbage line (?P<n>\d+)$",
+                "level_static": "DEBUG",
+                "message_groups": ["n"],
+            }
+        ],
+    }
+    cfg_path = tmp_path / "pipeline.json"
+    cfg_path.write_text(json.dumps(doc))
+    pipe = pipeline_from_file(spark, str(cfg_path))
+    assert pipe.categories == ["access", "json", "legacy2", "unparsed"]
+    r = pipe.run(run_id="chain1")
+    assert r.rows_routed.get("legacy2", 0) > 0
+    # set equality with the base parse: chain moves rows between
+    # categories but never drops or invents any
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    total = sum(r.rows_routed.values())
+    assert total == parse_records(pages, impl="native").count()
+    sink = pipe.cat.read(spark, sink_name("legacy2"))
+    assert sink.filter(F.col("level") != "DEBUG").count() == 0
+
+
+def test_config_errors(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text("[pipeline]\nparse_impl = 'native'\n")
+    with pytest.raises(ConfigError, match="warehouse"):
+        load_config(str(p))
+    p.write_text("[pipeline]\nwarehouse = 'w'\nparse_impl = 'nope'\n")
+    with pytest.raises(ConfigError, match="unknown impl"):
+        load_config(str(p))
+    p.write_text("[pipeline]\nwarehouse = 'w'\n\n[typo_section]\nx = 1\n")
+    with pytest.raises(ConfigError, match="unknown config section"):
+        load_config(str(p))
+    q = tmp_path / "bad.ini"
+    q.write_text("x")
+    with pytest.raises(ConfigError, match="unsupported config format"):
+        load_config(str(q))
