@@ -95,6 +95,19 @@ parser_registry.register_parser(
 )
 
 
+def _q_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index tier: build the inverted index AND the semi-join target
+    from ONE persisted records frame — the parse runs once, both
+    consumers read the cache (a real deployment reads a committed index
+    table; the cache stands in for that materialization)."""
+    from pyspark.storagelevel import StorageLevel
+
+    rec = _records(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return _flat_records(
+        search_index(build_inverted_index(rec), rec, "disk svc3")
+    )
+
+
 def _custom_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = parser_registry.parse_records_chain(
         _pages(spark, sf_dir), chain=("access", "json", "legacy")
@@ -398,13 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fulltext_scan": lambda s, d: _flat_records(
             full_text_search(_records(s, d), "disk svc3")
         ),
-        "q_fulltext_index": lambda s, d: _flat_records(
-            search_index(
-                build_inverted_index(_records(s, d)),
-                _records(s, d),
-                "disk svc3",
-            )
-        ),
+        "q_fulltext_index": _q_fulltext_index,
         # --- multi-line record reassembly (gaps-and-islands) ---
         "q_multiline_reassembly": lambda s, d: reassemble_multiline(
             explode_lines(_pages(s, d)).select("url", "pos", "line")

@@ -106,24 +106,31 @@ def route_batch(
     crash, and blind re-append would double rows (the failure mode the
     reference accepts at engine/storage.go:95-98).
 
-    Single pass upstream: the batch is persisted once, then filtered
-    per sink (SURVEY.md O14 routing).
+    Single-pass: the SAME ``write_partitioned_tables`` writer as the
+    batch path — ONE partitionBy(category) write job materializes the
+    whole micro-batch, each pending sink commits its partition directory
+    metadata-only, and per-sink row counts come from parquet footers
+    (zero extra Spark jobs, vs the previous persist + per-category
+    filter/append/count N-jobs-per-batch shape).
     """
-    batch = batch.persist()
-    routed: dict[str, int] = {}
-    try:
-        for c in CATEGORIES:
-            table = f"sink_{c}"
-            if _already_committed(cat, table, query_id, batch_id):
-                routed[c] = -1  # replayed epoch, skipped
-                continue
-            part = batch.filter(F.col("category") == c)
-            cat.append(
-                part, table, summary={"query_id": query_id, "batch_id": batch_id}
-            )
-            routed[c] = part.count()
-    finally:
-        batch.unpersist()
+    import pyarrow.parquet as pq
+
+    from ..operators.route import sink_name, write_partitioned_tables
+
+    pending = [
+        c for c in CATEGORIES
+        if not _already_committed(cat, sink_name(c), query_id, batch_id)
+    ]
+    routed: dict[str, int] = {c: -1 for c in CATEGORIES if c not in pending}
+    if not pending:
+        return routed  # fully replayed epoch
+    snaps = write_partitioned_tables(
+        batch, cat, "category", sink_name, pending,
+        summary_for=lambda c: {"query_id": query_id, "batch_id": batch_id},
+    )
+    for c, sid in snaps.items():
+        group = cat._groups(sink_name(c), sid)[-1]
+        routed[c] = sum(pq.ParquetFile(f).metadata.num_rows for f in group["files"])
     return routed
 
 
