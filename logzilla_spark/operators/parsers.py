@@ -253,7 +253,20 @@ def parse_records_chain(
     chain this is semantically the hybrid impl of
     :func:`..parse.parse_records` (differentially tested equal).
     """
-    lines = explode_lines(pages, use_html=use_html)
+    return records_from_lines(explode_lines(pages, use_html=use_html), chain)
+
+
+def records_from_lines(
+    lines: DataFrame, chain: tuple[str, ...] = ("access", "json")
+) -> DataFrame:
+    """lines -> records envelope through the registered parser chain.
+
+    ``lines`` must carry (url, warc_ts, lang, source, pos, line) — the
+    shape ``explode_lines`` produces from pages, and the shape network
+    sources (sources/kafka.py) produce directly: one message = one
+    line. Works identically on batch and streaming frames (stateless
+    narrow transforms only).
+    """
     claimed: Column = F.lit(False)
     branches: list[dict[str, Column]] = []
     for name in chain:

@@ -1,0 +1,101 @@
+"""HTTP serving loop: the reference's query server, Spark-backed.
+
+Mirrors the reference server surface (reference: api/server.go:44-72
+route registration + serve loop; api/middleware.go:8-52 logging +
+panic-recover; api/healthcheck.go:5-10):
+
+    POST /api/logs/search   -> api.search_request envelope
+    GET  /healthcheck       -> liveness envelope
+
+Implemented on stdlib ``ThreadingHTTPServer`` — the serving loop is
+deliberately thin: all decode/validate/search logic lives in
+:mod:`.api` (tested against the reference contracts); the server only
+maps envelopes to HTTP status codes the way the reference's fault
+codes do (bad input -> 400, internal panic -> recovered 500, else 200).
+
+Driver-side by design: a search collects at most ``limit`` rows
+(MAX_LIMIT-capped) — the heavy lifting stays on the executors; handler
+threads may issue concurrent Spark actions (the scheduler is
+thread-safe, jobs interleave).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+from .api import MAX_BODY_BYTES, search_request
+
+log = logging.getLogger("logzilla_spark.server")
+
+
+def _envelope(success: bool, message: str = "", data=None, metadata=None) -> dict:
+    return {"success": success, "message": message, "data": data,
+            "metadata": metadata}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "logzilla-spark"
+    records: DataFrame  # bound by make_server
+
+    def _write(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload, default=str).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # middleware.go logging analog
+        log.info("%s %s", self.address_string(), fmt % args)
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+        if self.path == "/healthcheck":
+            # reference returns the bare OK envelope (healthcheck.go:5-10)
+            self._write(200, _envelope(True, "healthy"))
+        else:
+            self._write(404, _envelope(False, f"no route: GET {self.path}"))
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/api/logs/search":
+            self._write(404, _envelope(False, f"no route: POST {self.path}"))
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self._write(400, _envelope(
+                    False, f"Body must not be larger than {MAX_BODY_BYTES} bytes."))
+                return
+            body = self.rfile.read(length)
+            resp = search_request(type(self).records, body)
+            # fault-code -> status mapping (fault.go:7-12 analog):
+            # validation/bad-input envelopes are client errors
+            self._write(200 if resp["success"] else 400, resp)
+        except Exception as e:  # noqa: BLE001 — the recover middleware
+            log.exception("panic recovered in search handler")
+            self._write(500, _envelope(False, f"internal error: {type(e).__name__}"))
+
+
+def make_server(records: DataFrame, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the server bound to a records DataFrame.
+
+    ``port=0`` picks a free port (``server.server_address[1]``)."""
+    handler = type("BoundHandler", (_Handler,), {"records": records})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(records: DataFrame, host: str = "127.0.0.1",
+                     port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the serve loop on a daemon thread; returns (server, thread).
+
+    Shut down with ``server.shutdown()`` (joins the loop)."""
+    srv = make_server(records, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True,
+                         name="logzilla-http")
+    t.start()
+    return srv, t

@@ -57,6 +57,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-partitions", type=int, default=None,
                    help="override spark.sql.shuffle.partitions (default: leave "
                         "submit-conf/AQE in charge)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="instead of running the pipeline, serve the query API "
+                        "(POST /api/logs/search, GET /healthcheck) over the "
+                        "warehouse's routed sinks — the reference's second "
+                        "binary (cmd/server/main.go)")
     return p
 
 
@@ -90,6 +95,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.ingest:
             pipe.ingest_pages(spark.read.parquet(args.ingest))
+
+    if args.serve is not None:
+        from logzilla_spark.operators.route import read_all_sinks
+        from logzilla_spark.server import make_server
+
+        records = read_all_sinks(spark, pipe.cat, pipe.categories)
+        srv = make_server(records, host="0.0.0.0", port=args.serve)
+        print(json.dumps({"serving": list(srv.server_address)}), flush=True)
+        srv.serve_forever()
+        return 0
 
     report = pipe.run(run_id=args.run_id)
     print(json.dumps({
