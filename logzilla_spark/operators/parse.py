@@ -101,9 +101,26 @@ ENVELOPE_KEYS = ("timestamp", "level", "message")
 # metadata keys keep-last exactly like json.loads; duplicated ENVELOPE
 # keys can still flip a type under last-wins, so those lines are routed
 # to the UDF too (ENV_DUP_RE below, conservatively matching value text).
-_SIMPLE_VAL = r'("[^"\\]*"|-?\d{1,15}|true|false)'
-_SIMPLE_PAIR = r'"[A-Za-z0-9_.\-]{1,64}"\s*:\s*' + _SIMPLE_VAL
-SIMPLE_JSON_RE = r"^\s*\{\s*(" + _SIMPLE_PAIR + r"\s*,\s*)*" + _SIMPLE_PAIR + r"\s*\}\s*$"
+_WS = r"[ \t\r]*"  # JSON-legal intra-line whitespace ONLY: \s would also
+# match \x0b/\f, which both json.loads and Jackson reject — the match
+# must PROVE the line is valid JSON to both parsers, since the router
+# never consults from_json's success (see _simple_json_exprs).
+_SIMPLE_VAL = (
+    # strings: no escapes, no raw control chars (both parsers reject
+    # unescaped control chars; the match must imply validity).
+    # ints: no leading zeros (both parsers reject "042"), and no "-0"
+    # (json.loads("-0") -> 0 -> "0" but from_json keeps the token "-0").
+    r'("[^"\\\x00-\x1f]*"|(?:0|-[1-9]\d{0,14}|[1-9]\d{0,14})|true|false)'
+)
+_SIMPLE_PAIR = r'"[A-Za-z0-9_.\-]{1,64}"' + _WS + ":" + _WS + _SIMPLE_VAL
+SIMPLE_JSON_RE = (
+    "^" + _WS + r"\{" + _WS + "(" + _SIMPLE_PAIR + _WS + "," + _WS + ")*"
+    + _SIMPLE_PAIR + _WS + r"\}" + _WS + "$"
+)
+# first "timestamp" string value, raw text between the quotes — for
+# SIMPLE lines values are backslash-free, so raw text == decoded value,
+# and the ENV_DUP_RE conjunct guarantees the key is unique.
+TS_VALUE_RE = r'"timestamp"[ \t\r]*:[ \t\r]*"([^"]*)"'
 ENV_DUP_RE = (
     r'("timestamp".*"timestamp")|("level".*"level")|("message".*"message")'
 )
@@ -387,25 +404,51 @@ def _simple_json_exprs(line: Column) -> dict[str, Column]:
     line failing a check is NOT claimed here — the router sends it to
     the spec-exact UDF instead, so over-claiming is impossible.
     """
+    ok = _simple_ok_exprs(line)["ok"]
     m = F.from_json(line, "map<string,string>")
-    ts_raw = m["timestamp"]
-    ts_parsed = F.try_to_timestamp(ts_raw, F.lit(RFC3339_SPARK))
     msg_is_str = line.rlike(r'"message"\s*:\s*"')
-    ok = (
-        line.rlike(SIMPLE_JSON_RE)
-        & ~line.rlike(ENV_DUP_RE)
-        & m.isNotNull()
-        & line.rlike(r'"level"\s*:\s*"')
-        & ts_raw.rlike(RFC3339_SHAPE_RE)
-        & ts_parsed.isNotNull()
-    )
     return {
         "ok": ok,
-        "ts": ts_parsed,
+        "ts": F.try_to_timestamp(
+            F.regexp_extract(line, TS_VALUE_RE, 1), F.lit(RFC3339_SPARK)
+        ),
         "level": parse_level_col(m["level"]),
         "message": F.when(msg_is_str, F.coalesce(m["message"], F.lit(""))).otherwise(F.lit("")),
         "metadata": F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
     }
+
+
+def _simple_ok_exprs(line: Column) -> dict[str, Column]:
+    """The routing verdict, REGEX-ONLY: no from_json dependency.
+
+    A SIMPLE_JSON_RE match PROVES the line is valid JSON to both
+    json.loads and Jackson (values have no escapes / control chars / bad
+    number forms, whitespace is JSON-legal), so from_json success need
+    not be consulted — which keeps the verdict out of the map-building
+    expression and lets the hybrid plan defer from_json to AFTER the
+    Arrow crossing, for claimed rows only. ``ts_raw``/``ts`` are the raw
+    timestamp text and its parse — for SIMPLE lines raw text == decoded
+    value (backslash-free), and ENV_DUP_RE rejection makes the first
+    occurrence the only one.
+    """
+    ts_raw = F.regexp_extract(line, TS_VALUE_RE, 1)
+    ts_parsed = F.try_to_timestamp(ts_raw, F.lit(RFC3339_SPARK))
+    return {
+        "ok": _simple_ok_from(line, ts_raw, ts_parsed),
+        "ts_raw": ts_raw,
+        "ts": ts_parsed,
+    }
+
+
+def _simple_ok_from(line: Column, ts_raw: Column, ts_parsed: Column) -> Column:
+    """The verdict conjuncts over (possibly pre-materialized) inputs."""
+    return (
+        line.rlike(SIMPLE_JSON_RE)
+        & ~line.rlike(ENV_DUP_RE)
+        & line.rlike(r'"level"\s*:\s*"')
+        & ts_raw.rlike(RFC3339_SHAPE_RE)
+        & ts_parsed.isNotNull()
+    )
 
 
 def hybrid_needs_python(line: Column) -> Column:
@@ -420,96 +463,156 @@ def hybrid_needs_python(line: Column) -> Column:
     return line.rlike(r"^\s*\{") & ~_simple_json_exprs(line)["ok"]
 
 
-def _hybrid_parsed_struct() -> Column:
-    """Assembly for impl="hybrid": `_jp` = the JSON-UDF output struct.
+# --------------------------------------------------------------------------
+# materialized codegen plans (impl="hybrid" / impl="native")
+#
+# The expensive per-line scalars — the access regex + timestamp parse,
+# the from_json map, the JSON timestamp parse, the routing verdicts, the
+# UDF output struct — are each materialized ONCE as an intermediate
+# column, and the final field assembly references only those attributes.
+# Nesting the expensive expressions directly inside the per-field
+# CASE/WHEN chains instead re-evaluates them once per field per row:
+# Spark's subexpression elimination skips conditionally-evaluated
+# branches, and CollapseProject will not deduplicate non-cheap
+# expressions, so the naive struct assembly measured ~5x the CPU of one
+# evaluation (scripts/parse_ablation.py). Catalyst keeps these Projects
+# separate (the intermediates are non-cheap and multiply referenced),
+# all inside one WholeStageCodegen span — no shuffle, no extra pass.
+# --------------------------------------------------------------------------
 
-    Branch precedence: access first (exactly like the arrow impl:
-    jmask = maybe-json & ~acc_ok in ``_parse_batch``), then the
-    codegen simple-JSON branch, then the UDF branch (disjoint row sets
-    by construction of :func:`hybrid_needs_python`).
+def _with_access_cols(lines: DataFrame) -> DataFrame:
+    """Materialize the access-branch verdict once: _ats, _aok."""
+    line = F.col("line")
+    return lines.withColumn(
+        "_ats",
+        F.try_to_timestamp(
+            F.regexp_extract(line, ACCESS_RE_SPARK, _G_TS), F.lit(APACHE_TS_SPARK)
+        ),
+    ).withColumn("_aok", line.rlike(ACCESS_RE_SPARK) & F.col("_ats").isNotNull())
+
+
+def _hybrid_frame(lines: DataFrame) -> DataFrame:
+    """Materialize the hybrid routing columns (see block comment above).
+
+    ``_sok`` is exactly :func:`_simple_json_exprs`'s ``ok`` (same
+    conjuncts over the materialized map/timestamp); the UDF input set is
+    exactly :func:`hybrid_needs_python` (JSON candidates minus the
+    provably from_json-exact ones).
     """
-    acc = _access_exprs(F.col("line"))
-    s = _simple_json_exprs(F.col("line"))
-    j = F.col("_jp")
-    json_ok = j["ok"]
-    acc_ok = acc["ok"]
-    simple_ok = s["ok"]
-    category = (
-        F.when(acc_ok, "access")
-        .when(simple_ok | json_ok, "json")
-        .otherwise("unparsed")
+    line = F.col("line")
+    return (
+        _with_access_cols(lines)
+        .withColumn("_isj", line.rlike(r"^\s*\{"))
+        # timestamp from raw text: for claimed (SIMPLE) lines raw ==
+        # decoded, so no map is needed to decide routing — and therefore
+        # no map column crosses the Arrow node below.
+        .withColumn(
+            "_tsr", F.when(F.col("_isj"), F.regexp_extract(line, TS_VALUE_RE, 1))
+        )
+        .withColumn(
+            "_mts", F.try_to_timestamp(F.col("_tsr"), F.lit(RFC3339_SPARK))
+        )
+        .withColumn(
+            "_sok",
+            F.col("_isj")
+            & _simple_ok_from(line, F.col("_tsr"), F.col("_mts")),
+        )
+        .withColumn(
+            "_jp",
+            _parse_json_only_udf(F.when(F.col("_isj") & ~F.col("_sok"), line)),
+        )
+        # the map, computed AFTER the crossing and only for claimed rows
+        .withColumn(
+            "_m", F.when(F.col("_sok"), F.from_json(line, "map<string,string>"))
+        )
     )
+
+
+def _native_frame(lines: DataFrame) -> DataFrame:
+    """Materialize the native-twin columns: _m/_mts/_jok (zero Python)."""
+    line = F.col("line")
+    return (
+        _with_access_cols(lines)
+        .withColumn(
+            "_m",
+            F.when(line.rlike(r"^\s*\{"), F.from_json(line, "map<string,string>")),
+        )
+        .withColumn(
+            "_mts",
+            F.try_to_timestamp(F.col("_m")["timestamp"], F.lit(RFC3339_SPARK)),
+        )
+        .withColumn(
+            "_jok",
+            # level/timestamp must be present as JSON *strings*
+            # (json.go:61-67); from_json stringifies scalars, so check
+            # the raw text for a quoted value.
+            F.col("_m").isNotNull()
+            & F.col("_mts").isNotNull()
+            & line.rlike(r'"timestamp"\s*:\s*"')
+            & line.rlike(r'"level"\s*:\s*"'),
+        )
+    )
+
+
+def _json_map_fields(m: Column) -> dict[str, Column]:
+    """Field exprs for a JVM-parsed JSON line given its materialized map.
+
+    message must be a JSON string, else '' (json.go:70-72); from_json
+    stringifies scalars, so gate on the raw text like level above.
+    """
+    return {
+        "level": parse_level_col(m["level"]),
+        "message": F.when(
+            F.col("line").rlike(r'"message"\s*:\s*"'),
+            F.coalesce(m["message"], F.lit("")),
+        ).otherwise(F.lit("")),
+        "metadata": F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+    }
+
+
+def _assembled_fields(
+    branches: list[tuple[Column, str, dict[str, Column]]]
+) -> dict[str, Column]:
+    """Final per-field CASE/WHEN chains over materialized attributes.
+
+    ``branches``: (ok, category_label, field exprs) in claim-precedence
+    order. The ok columns are plain attributes, so chaining them is
+    cheap; each branch's value exprs are evaluated per-row only when
+    that branch claims the row.
+    """
     empty_map = F.from_json(F.lit("{}"), "map<string,string>")
-    return F.struct(
-        F.when(acc_ok, acc["ts"]).when(simple_ok, s["ts"]).when(json_ok, j["timestamp"])
-        .otherwise(F.col("warc_ts")).alias("timestamp"),
-        F.when(acc_ok, acc["level"]).when(simple_ok, s["level"]).when(json_ok, j["level"])
-        .otherwise(F.lit("UNKNOWN")).alias("level"),
-        F.when(acc_ok, acc["message"]).when(simple_ok, s["message"]).when(json_ok, j["message"])
-        .otherwise(F.lit("")).alias("message"),
-        F.when(acc_ok, acc["metadata"])
-        .when(simple_ok, s["metadata"])
-        .when(json_ok, F.from_json(j["metadata_json"], "map<string,string>"))
-        .otherwise(empty_map).alias("metadata"),
-        category.alias("category"),
-        (category != "unparsed").alias("parse_ok"),
-    )
+    fallback = {
+        "ts": F.col("warc_ts"),
+        "level": F.lit("UNKNOWN"),
+        "message": F.lit(""),
+        "metadata": empty_map,
+    }
+
+    def fold(key: str) -> Column:
+        out = None
+        for ok, _label, ex in branches:
+            out = F.when(ok, ex[key]) if out is None else out.when(ok, ex[key])
+        return out.otherwise(fallback[key])
+
+    category = None
+    for ok, label, _ex in branches:
+        category = (
+            F.when(ok, label) if category is None else category.when(ok, label)
+        )
+    category = category.otherwise(F.lit("unparsed"))
+    return {
+        "timestamp": fold("ts"),
+        "level": fold("level"),
+        "message": fold("message"),
+        "metadata": fold("metadata"),
+        "category": category,
+        "parse_ok": category != F.lit("unparsed"),
+    }
 
 
 # --------------------------------------------------------------------------
 # built-in-functions twin (impl="native") — zero Python, fully codegen'd
 # --------------------------------------------------------------------------
-
-def _native_parsed_struct() -> Column:
-    line = F.col("line")
-    m = F.from_json(line, "map<string,string>")
-    ts_json = F.try_to_timestamp(m["timestamp"], F.lit(RFC3339_SPARK))
-    # level must be present as a JSON *string* (json.go:61-67); from_json
-    # stringifies scalars, so check the raw text for a quoted value.
-    level_is_str = line.rlike(r'"level"\s*:\s*"')
-    ts_is_str = line.rlike(r'"timestamp"\s*:\s*"')
-    json_ok = m.isNotNull() & ts_json.isNotNull() & ts_is_str & level_is_str
-
-    acc = _access_exprs(line)
-    acc_ok = acc["ok"]
-
-    category = (
-        F.when(json_ok, "json").when(acc_ok, "access").otherwise("unparsed")
-    )
-    timestamp = (
-        F.when(json_ok, ts_json).when(acc_ok, acc["ts"]).otherwise(F.col("warc_ts"))
-    )
-    level = (
-        F.when(json_ok, parse_level_col(m["level"]))
-        .when(acc_ok, acc["level"])
-        .otherwise("UNKNOWN")
-    )
-    # message must be a JSON string, else '' (json.go:70-72); from_json
-    # stringifies scalars, so gate on the raw text like level above
-    msg_is_str = line.rlike(r'"message"\s*:\s*"')
-    message = (
-        F.when(json_ok, F.when(msg_is_str, F.coalesce(m["message"], F.lit(""))).otherwise(F.lit("")))
-        .when(acc_ok, acc["message"])
-        .otherwise(F.lit(""))
-    )
-    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
-    metadata = (
-        F.when(
-            json_ok,
-            F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
-        )
-        .when(acc_ok, acc["metadata"])
-        .otherwise(empty_map)
-    )
-    return F.struct(
-        timestamp.alias("timestamp"),
-        level.alias("level"),
-        message.alias("message"),
-        metadata.alias("metadata"),
-        category.alias("category"),
-        (category != "unparsed").alias("parse_ok"),
-    )
-
 
 # --------------------------------------------------------------------------
 # public entry
@@ -530,31 +633,51 @@ def parse_records(
     lines = explode_lines(pages, use_html=use_html)
     if impl == "arrow":
         parsed = _parse_line_udf(F.col("line"), F.col("warc_ts"))
+        fields = {
+            k: parsed[k]
+            for k in (
+                "timestamp", "level", "message", "metadata", "category",
+                "parse_ok",
+            )
+        }
     elif impl == "native":
-        parsed = _native_parsed_struct()
+        lines = _native_frame(lines)
+        acc = _access_exprs(F.col("line"))
+        # json first, then access (the twin's documented precedence;
+        # the two claim sets are disjoint on any real corpus)
+        fields = _assembled_fields([
+            (F.col("_jok"), "json", {"ts": F.col("_mts"), **_json_map_fields(F.col("_m"))}),
+            (F.col("_aok"), "access", {"ts": F.col("_ats"), **{k: acc[k] for k in ("level", "message", "metadata")}}),
+        ])
     elif impl == "hybrid":
         # only JSON candidates from_json can't PROVABLY serve byte-exactly
         # cross into Python (nulls are free in Arrow); simple flat-JSON
         # lines and the grok branch never leave the JVM
-        lines = lines.withColumn(
-            "_jp",
-            _parse_json_only_udf(
-                F.when(hybrid_needs_python(F.col("line")), F.col("line"))
-            ),
-        )
-        parsed = _hybrid_parsed_struct()
+        lines = _hybrid_frame(lines)
+        acc = _access_exprs(F.col("line"))
+        jp = F.col("_jp")
+        fields = _assembled_fields([
+            (F.col("_aok"), "access", {"ts": F.col("_ats"), **{k: acc[k] for k in ("level", "message", "metadata")}}),
+            (F.col("_sok"), "json", {"ts": F.col("_mts"), **_json_map_fields(F.col("_m"))}),
+            (jp["ok"], "json", {
+                "ts": jp["timestamp"],
+                "level": jp["level"],
+                "message": jp["message"],
+                "metadata": F.from_json(jp["metadata_json"], "map<string,string>"),
+            }),
+        ])
     else:
         raise ValueError(f"unknown parse impl: {impl!r}")
     return lines.select(
         F.concat(F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 4, "0")).alias("id"),
         F.col("source"),
-        parsed["timestamp"].alias("timestamp"),
-        parsed["level"].alias("level"),
-        parsed["message"].alias("message"),
-        parsed["metadata"].alias("metadata"),
-        parsed["category"].alias("category"),
+        fields["timestamp"].alias("timestamp"),
+        fields["level"].alias("level"),
+        fields["message"].alias("message"),
+        fields["metadata"].alias("metadata"),
+        fields["category"].alias("category"),
         F.col("lang"),
-        parsed["parse_ok"].alias("parse_ok"),
+        fields["parse_ok"].alias("parse_ok"),
         F.col("url"),
         F.col("warc_ts"),
     )

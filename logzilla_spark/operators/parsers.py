@@ -41,12 +41,14 @@ from pyspark.sql import functions as F
 
 from ..functions.levels import parse_level_col
 from .parse import (
+    ENVELOPE_KEYS,
     JSON_LINE_STRUCT,
+    RFC3339_SPARK,
+    TS_VALUE_RE,
     _access_exprs,
     _parse_json_only_udf,
-    _simple_json_exprs,
+    _simple_ok_from,
     explode_lines,
-    hybrid_needs_python,
 )
 
 _EMPTY_MAP = 'map<string,string>'
@@ -187,29 +189,62 @@ class _AccessBuiltin:
 @dataclass(frozen=True)
 class _JsonBuiltin:
     """The hybrid JSON parser: codegen for provably from_json-exact
-    lines, the spec-exact Arrow UDF for the rest (see parse.py)."""
+    lines, the spec-exact Arrow UDF for the rest (see parse.py).
+
+    Materializes its expensive scalars — the regex-only routing verdict,
+    the JSON timestamp parse, the from_json map (built only for claimed
+    rows, AFTER the Arrow crossing so no map crosses the Python node) —
+    as helper columns, exactly like parse.py's ``_hybrid_frame``.
+    """
 
     name: str = "json"
 
     def plan(self, lines: DataFrame, claimed: Column):
         line = F.col("line")
-        s = _simple_json_exprs(line)
-        lines = lines.withColumn(
-            "_jp",
-            _parse_json_only_udf(
-                F.when(hybrid_needs_python(line) & ~claimed, line)
-            ),
+        lines = (
+            lines.withColumn(
+                "_jtsr",
+                F.when(
+                    line.rlike(r"^\s*\{") & ~claimed,
+                    F.regexp_extract(line, TS_VALUE_RE, 1),
+                ),
+            )
+            .withColumn(
+                "_jmts", F.try_to_timestamp(F.col("_jtsr"), F.lit(RFC3339_SPARK))
+            )
+            .withColumn(
+                "_jsok",
+                F.col("_jtsr").isNotNull()
+                & _simple_ok_from(line, F.col("_jtsr"), F.col("_jmts")),
+            )
+            .withColumn(
+                "_jp",
+                _parse_json_only_udf(
+                    F.when(
+                        line.rlike(r"^\s*\{") & ~claimed & ~F.col("_jsok"), line
+                    )
+                ),
+            )
+            .withColumn(
+                "_jm", F.when(F.col("_jsok"), F.from_json(line, _EMPTY_MAP))
+            )
         )
-        j = F.col("_jp")
-        ok = s["ok"] | F.coalesce(j["ok"], F.lit(False))
-        pick = lambda a, b: F.when(s["ok"], a).otherwise(b)  # noqa: E731
+        sok, j, m = F.col("_jsok"), F.col("_jp"), F.col("_jm")
+        pick = lambda a, b: F.when(sok, a).otherwise(b)  # noqa: E731
+        msg_is_str = line.rlike(r'"message"\s*:\s*"')
         return lines, {
-            "ok": ok,
-            "ts": pick(s["ts"], j["timestamp"]),
-            "level": pick(s["level"], j["level"]),
-            "message": pick(s["message"], j["message"]),
+            "ok": sok | F.coalesce(j["ok"], F.lit(False)),
+            "ts": pick(F.col("_jmts"), j["timestamp"]),
+            "level": pick(parse_level_col(m["level"]), j["level"]),
+            "message": pick(
+                F.when(msg_is_str, F.coalesce(m["message"], F.lit(""))).otherwise(
+                    F.lit("")
+                ),
+                j["message"],
+            ),
             "metadata": pick(
-                s["metadata"], F.from_json(j["metadata_json"], _EMPTY_MAP)
+                F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+                F.from_json(j["metadata_json"], _EMPTY_MAP),
             ),
         }
 
@@ -267,23 +302,44 @@ def records_from_lines(
     line. Works identically on batch and streaming frames (stateless
     narrow transforms only).
     """
+    # Materialize each parser's verdict and (conditionally) its value
+    # struct as real columns, then assemble the envelope from cheap
+    # attribute references — evaluating a parser's expressions directly
+    # inside the per-field CASE/WHEN chains would re-run them once per
+    # field per row (Spark does not deduplicate non-cheap expressions
+    # across conditional branches; see parse.py's materialization note).
     claimed: Column = F.lit(False)
-    branches: list[dict[str, Column]] = []
-    for name in chain:
+    oks: list[Column] = []
+    for i, name in enumerate(chain):
         lines, ex = get_parser(name).plan(lines, claimed)
-        branches.append(ex)
-        claimed = claimed | ex["ok"]
+        ok_col, val_col = f"_ok_{i}", f"_val_{i}"
+        lines = lines.withColumn(ok_col, ex["ok"]).withColumn(
+            val_col,
+            F.when(
+                F.col(ok_col),
+                F.struct(
+                    (
+                        ex["ts"] if ex.get("ts") is not None else F.col("warc_ts")
+                    ).alias("ts"),
+                    ex["level"].alias("level"),
+                    ex["message"].alias("message"),
+                    ex["metadata"].alias("metadata"),
+                ),
+            ),
+        )
+        oks.append(F.col(ok_col))
+        claimed = claimed | F.col(ok_col)
 
     def fold(key: str, default: Column) -> Column:
         out = None
-        for ex in branches:
-            val = ex[key] if ex.get(key) is not None else default
-            out = F.when(ex["ok"], val) if out is None else out.when(ex["ok"], val)
+        for i, ok in enumerate(oks):
+            val = F.col(f"_val_{i}")[key]
+            out = F.when(ok, val) if out is None else out.when(ok, val)
         return out.otherwise(default) if out is not None else default
 
     cat = None
-    for name, ex in zip(chain, branches):
-        cat = F.when(ex["ok"], name) if cat is None else cat.when(ex["ok"], name)
+    for name, ok in zip(chain, oks):
+        cat = F.when(ok, name) if cat is None else cat.when(ok, name)
     cat = cat.otherwise(F.lit("unparsed")) if cat is not None else F.lit("unparsed")
 
     empty_map = F.from_json(F.lit("{}"), _EMPTY_MAP)
