@@ -66,7 +66,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.levels import parse_level_col, parse_level_pd
-from ..schemas import PARSED_LINE_STRUCT
+from pyspark.sql import types as _T
 
 RFC3339_SPARK = "yyyy-MM-dd'T'HH:mm:ssX"
 APACHE_TS_SPARK = "dd/MMM/yyyy:HH:mm:ss Z"
@@ -278,19 +278,40 @@ def _parse_batch(line: pd.Series, warc_ts: pd.Series) -> pd.DataFrame:
             metadata[okidx] = np.array([p[3] for p in good], dtype=object)
             category[okidx] = "json"
 
+    # metadata leaves Python as ONE canonical minified JSON string per
+    # row (document key order), decoded to map<string,string> by ONE
+    # from_json JVM-side: converting per-row Python dicts into Arrow
+    # maps is the memory-bandwidth hot spot at high core counts (same
+    # flat-output rule as _parse_json_only_batch; JSON string round-trip
+    # is lossless, so the decoded map is byte-identical to the dict).
+    dumps = json.dumps
+    meta_json = np.array(
+        [dumps(d, separators=(",", ":")) for d in metadata], dtype=object
+    )
     return pd.DataFrame(
         {
             "timestamp": pd.to_datetime(timestamp),
             "level": level,
             "message": message,
-            "metadata": metadata,
+            "metadata_json": meta_json,
             "category": category,
             "parse_ok": category != "unparsed",
         }
     )
 
 
-_parse_line_udf = F.pandas_udf(_parse_batch, PARSED_LINE_STRUCT)
+PARSED_LINE_FLAT_STRUCT = _T.StructType(
+    [
+        _T.StructField("timestamp", _T.TimestampType()),
+        _T.StructField("level", _T.StringType()),
+        _T.StructField("message", _T.StringType()),
+        _T.StructField("metadata_json", _T.StringType()),
+        _T.StructField("category", _T.StringType()),
+        _T.StructField("parse_ok", _T.BooleanType()),
+    ]
+)
+
+_parse_line_udf = F.pandas_udf(_parse_batch, PARSED_LINE_FLAT_STRUCT)
 
 
 # --------------------------------------------------------------------------
@@ -347,8 +368,6 @@ def _parse_json_only_batch(line: pd.Series) -> pd.DataFrame:
         }
     )
 
-
-from pyspark.sql import types as _T
 
 JSON_LINE_STRUCT = _T.StructType(
     [
@@ -635,11 +654,13 @@ def parse_records(
         parsed = _parse_line_udf(F.col("line"), F.col("warc_ts"))
         fields = {
             k: parsed[k]
-            for k in (
-                "timestamp", "level", "message", "metadata", "category",
-                "parse_ok",
-            )
+            for k in ("timestamp", "level", "message", "category", "parse_ok")
         }
+        # ONE JVM-side decode of the flat metadata string (see
+        # _parse_batch: no Python dict ever becomes an Arrow map)
+        fields["metadata"] = F.from_json(
+            parsed["metadata_json"], "map<string,string>"
+        )
     elif impl == "native":
         lines = _native_frame(lines)
         acc = _access_exprs(F.col("line"))
