@@ -21,19 +21,23 @@ Three interchangeable parse implementations, tested equal on the corpus:
   ``regexp_extract`` / ``try_to_timestamp``), whole-stage-codegen'd,
   zero Python. Used as a differential twin and as the fast path when
   exact leftover-keys fidelity is not required.
-- ``impl="hybrid"`` (default for the e2e pipeline): grok/regex lines
-  AND provably from_json-exact flat JSON lines through codegen; only
-  the JSON lines from_json can't serve byte-exactly (nested values,
-  escapes, floats/nulls, duplicated envelope keys, exotic timestamps,
-  malformed tails) cross into the Arrow UDF — with flat UDF output so
-  no Python dict ever crosses into an Arrow map. Measured on this box:
-  the all-Python batch inflates its total CPU ~40% going 8->32 workers
-  (memory-bandwidth pressure from Python object churn), while codegen
-  stays flat — hybrid keeps the mandatory Arrow UDF stage on the rows
-  that truly need Python and lets Tungsten run everything else, which
-  is what preserves scaling efficiency at 4N executors
-  (BENCH/BASELINE.md). The router (:func:`hybrid_needs_python`) is
+- ``impl="hybrid"``: grok/regex lines AND provably from_json-exact
+  flat JSON lines through codegen; only the JSON lines from_json can't
+  serve byte-exactly (nested values, escapes, floats/nulls, duplicated
+  envelope keys, exotic timestamps, malformed tails) cross into the
+  Arrow UDF — with flat UDF output so no Python dict ever crosses into
+  an Arrow map. The router (:func:`hybrid_needs_python`) is
   conservative: any doubt routes the line to the spec-exact UDF.
+
+The e2e benchmark defaults to impl="arrow" (env SPARK_GRAFT_PARSE_IMPL
+to override): with every per-line scalar materialized once (see the
+materialization note below), arrow measures both the fastest and the
+best-scaling on this box — parse-stage T_N/T_4N 3.56x vs native 3.28x
+/ hybrid 3.29x (scripts/parse_ablation.py; BENCH/BASELINE.md) — since
+a single Arrow crossing amortizes better than per-row queueing of
+pass-through columns around the hybrid's Python node. hybrid remains
+the right shape where Python worker memory is the binding constraint
+(98% of rows never leave the JVM).
 
 Error tolerance contract (reference: engine/processor.go:99-102 +
 processor/json.go:48-67): a line whose parse fails is NEVER dropped and
