@@ -242,62 +242,75 @@ def minhash_lsh_pairs(
             sizes.filter(F.col("count") <= max_bucket).drop("count"),
             ["band_id", "band_hash"],
         )
-    # Hash-partition on the bucket key BEFORE the self-join: the join
-    # then runs co-located with no extra exchange, and — critically —
-    # the pair EXPLOSION (output rows quadratic in bucket size) is
-    # spread across tasks by bucket instead of riding the input file's
-    # partitioning (a single-file dim table would otherwise put every
-    # K^2 expansion on one task).
-    bands = bands.repartition(F.col("band_id"), F.col("band_hash"))
-    la = bands.select(
-        F.col("id").alias("doc_a"), "band_id", "band_hash"
+    # Candidate pairs via ONE aggregation: collect each band bucket's
+    # member ids (bounded at max_bucket, so per-group state is
+    # O(max_bucket), never corpus-sized) and generate the intra-bucket
+    # pairs in place. The previous bucket self-join recomputed the
+    # signature lineage once per plan consumer (Spark's ReuseExchange
+    # does not fire across DeduplicateRelations' cloned subtrees); the
+    # aggregation computes it once, and map-side partial aggregation
+    # shrinks the shuffle to one row per bucket. The quadratic pair
+    # expansion stays spread across tasks by bucket (the groupBy's own
+    # hash partitioning).
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.collect_list("id").alias("m")
     )
-    lb = bands.select(
-        F.col("id").alias("doc_b"), "band_id", "band_hash"
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("m") <= max_bucket)
+    pair = (
+        "flatten(transform(m, (x, i) -> transform(slice(m, i + 2, size(m)), "
+        "y -> struct(IF(x < y, x, y) AS doc_a, IF(x < y, y, x) AS doc_b))))"
     )
     cand = (
-        la.join(lb, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.filter(F.size("m") >= 2)
+        .select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # signatures are n_docs x 16 longs — corpus-sized, so never MANDATE
-    # a broadcast (round-1's F.broadcast here dies at 100 TB): leave the
-    # join strategy to size-based planning + AQE, which broadcasts when
-    # the sig table genuinely fits the threshold (CI scale) and shuffles
-    # on doc id when it doesn't (corpus scale). Plan-tested both ways.
-    sa = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa"))
-    sb = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("_sb"))
+    # Per-doc verify features — the signature AND the hashed shingle
+    # set — built in ONE lineage (normalize once, md5 once) and joined
+    # once per pair side. Verify runs on HASHED shingle sets
+    # (array<long>): 8-byte longs intersect ~3x faster than 5-char
+    # strings; hash collisions (2^-31 per pair) are computed
+    # identically by the DuckDB twin, so the oracle still matches bits.
+    # Corpus-sized tables are never MANDATED into a broadcast
+    # (round-1's F.broadcast here dies at 100 TB): size-based planning
+    # + AQE broadcast when a side genuinely fits (CI scale) and
+    # shuffle-join on doc id when it doesn't (corpus scale).
+    feat_sig = F.expr(
+        f"transform({_ab_literal(N_MINHASH)}, "
+        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
+    )
+    feat = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn(
+            "_hs",
+            F.expr(
+                f"transform({_shingles_expr('_n')}, s -> pmod({md5_long_expr('s')}, {P31}))"
+            ),
+        )
+        .select(
+            "id", feat_sig.alias("sig"), F.expr("array_distinct(_hs)").alias("_sh")
+        )
+    )
+    fa = feat.select(
+        F.col("id").alias("doc_a"), F.col("sig").alias("_sa"), F.col("_sh").alias("_ga")
+    )
+    fb = feat.select(
+        F.col("id").alias("doc_b"), F.col("sig").alias("_sb"), F.col("_sh").alias("_gb")
+    )
     est = F.expr(
         "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
         f"/ {N_MINHASH}.0"
     )
-    cand = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_sim", est)
-        .filter(F.col("est_sim") >= min_est)
-        .select("doc_a", "doc_b", "est_sim")
-    )
-    # verify on HASHED shingle sets (array<long>), the standard funnel:
-    # 8-byte longs intersect ~3x faster than 5-char strings and halve
-    # the broadcast; hash collisions (2^-31 per pair) are computed
-    # identically by the DuckDB twin, so the oracle still matches bits
-    hashed_sh = (
-        f"array_distinct(transform({_shingles_expr('_n')}, "
-        f"s -> pmod({md5_long_expr('s')}, {P31})))"
-    )
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
-    ).select("id", F.expr(hashed_sh).alias("_sh"))
-    # shingle arrays are ~KBs per doc and grow with the corpus — same
-    # rule: no mandated broadcast; the est_sim-filtered candidates join
-    # to them on doc id under size-based planning
-    ga = sh.select(F.col("id").alias("doc_a"), F.col("_sh").alias("_ga"))
-    gb = sh.select(F.col("id").alias("doc_b"), F.col("_sh").alias("_gb"))
     out = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("est_sim", est)
+        # filter-verify funnel: the exact shingle intersection below
+        # only runs on pairs surviving the signature prefilter
+        .filter(F.col("est_sim") >= min_est)
         .withColumn("inter_n", F.expr("size(array_intersect(_ga, _gb))"))
         .withColumn("union_n", F.expr("size(_ga) + size(_gb) - inter_n"))
         .withColumn(
@@ -366,29 +379,38 @@ def simhash_pairs(
     ex = fps.select(
         "id", "fingerprint", F.explode(F.array(*blocks)).alias("b")
     ).select("id", "fingerprint", "b.block_id", "b.block_val")
-    if max_bucket is not None:
-        sizes = ex.groupBy("block_id", "block_val").count()
-        ex = ex.join(
-            sizes.filter(F.col("count") <= max_bucket).drop("count"),
-            ["block_id", "block_val"],
-        )
-    # co-partition by block before the self-join (see minhash_lsh_pairs:
-    # spreads the quadratic per-bucket pair expansion across tasks)
-    ex = ex.repartition(F.col("block_id"), F.col("block_val"))
-    a = ex.select(
-        F.col("id").alias("doc_a"), F.col("fingerprint").alias("_fa"),
-        "block_id", "block_val",
+    # ONE aggregation instead of a bucket self-join: collect each
+    # bucket's (id, fingerprint) members — bounded at max_bucket
+    # entries, so per-group state is O(max_bucket), never corpus-sized —
+    # and generate the intra-bucket pairs in place. The self-join shape
+    # recomputed the md5+simhash fingerprint lineage once per plan
+    # consumer (the size guard and both join sides; Spark's
+    # ReuseExchange does not fire across DeduplicateRelations' cloned
+    # subtrees): measured 19s -> ~4s at sf0.1. Map-side partial
+    # aggregation also shrinks the shuffle to one row per
+    # (block, bucket) instead of one per member.
+    grouped = ex.groupBy("block_id", "block_val").agg(
+        F.collect_list(F.struct("id", "fingerprint")).alias("m")
     )
-    b = ex.select(
-        F.col("id").alias("doc_b"), F.col("fingerprint").alias("_fb"),
-        "block_id", "block_val",
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("m") <= max_bucket)
+    pair = (
+        "flatten(transform(m, (x, i) -> "
+        "transform(slice(m, i + 2, size(m)), y -> struct("
+        "IF(x.id < y.id, x.id, y.id) AS doc_a, "
+        "IF(x.id < y.id, y.id, x.id) AS doc_b, "
+        "bit_count(x.fingerprint ^ y.fingerprint) AS hamming))))"
     )
     return (
-        a.join(b, ["block_id", "block_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.expr("bit_count(_fa ^ _fb)").alias("hamming"))
-        .distinct()
+        grouped.filter(F.size("m") >= 2)
+        .select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        # filter BEFORE distinct: random pairs sit at hamming ~bits/2,
+        # so this discards the bulk of the per-bucket pair expansion
+        # before it is shuffled for dedup (a pair can share up to
+        # n_blocks blocks); filter/distinct commute row-wise.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
