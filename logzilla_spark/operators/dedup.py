@@ -439,25 +439,30 @@ def ngram_jaccard_pairs(
         .withColumn("_t", F.split("_n", " "))
         .select("id", F.expr(_wordgrams_expr("_t", n)).alias("_g"))
     )
-    sizes = grams.select("id", F.size("_g").alias("sz"))
-    ex = grams.select("id", F.explode("_g").alias("gram"))
+    # carry each doc's gram-set size through the explode: union_n then
+    # falls out of the pair aggregation itself — no separate `sizes`
+    # lineage (which would recompute the tokenize+wordgram projection)
+    # and no per-side size joins after the intersect count.
+    ex = grams.select(
+        "id", F.size("_g").alias("sz"), F.explode("_g").alias("gram")
+    )
     if max_df is not None:
         freq = ex.groupBy("gram").count()
         ex = ex.join(freq.filter(F.col("count") <= max_df).drop("count"), "gram")
     # co-partition the inverted index by gram: colocated self-join,
     # per-gram pair expansion spread across tasks
     ex = ex.repartition(F.col("gram"))
-    a = ex.select(F.col("id").alias("doc_a"), "gram")
-    b = ex.select(F.col("id").alias("doc_b"), "gram")
-    inter = (
+    a = ex.select(F.col("id").alias("doc_a"), F.col("sz").alias("_za"), "gram")
+    b = ex.select(F.col("id").alias("doc_b"), F.col("sz").alias("_zb"), "gram")
+    return (
         a.join(b, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter_n"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("_za")), "doc_a")
-        .join(sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("_zb")), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter_n"),
+            F.first("_za").alias("_za"),
+            F.first("_zb").alias("_zb"),
+        )
         .withColumn("union_n", F.col("_za") + F.col("_zb") - F.col("inter_n"))
         .withColumn(
             "jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double")
