@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from logzilla_spark.functions.hashing import (
     P31,
@@ -75,6 +76,12 @@ COSINE_THRESHOLD = 0.35
 # bounding the quadratic pair expansion. Mirrored bit-for-bit by the
 # DuckDB twin (oracle_dataops.minhash_lsh_pairs_sql).
 MAX_LSH_BUCKET = 500
+# Default stop-gram guard for the n-gram Jaccard join: grams appearing
+# in more than this many documents (boilerplate phrases) are dropped
+# from the inverted index, bounding the per-gram join fan-out — the
+# same ON-by-default posture as MAX_LSH_BUCKET. Mirrored by the DuckDB
+# twin (oracle_dataops.ngram_jaccard_pairs_sql).
+MAX_GRAM_DF = 500
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -227,36 +234,45 @@ def minhash_lsh_pairs(
     guard too).
 
     Scale shape (100 TB): every join here is a shuffle hash join keyed
-    on doc id or bucket — NOTHING corpus-sized is ever broadcast. The
-    signature and shingle tables are corpus-sized (16 longs / ~KBs per
-    doc), so the verify stage shuffle-joins the candidate pairs to them
-    on doc id; AQE is free to downgrade to broadcast when a side is
-    actually small (CI scale), which is the adaptive behavior you want.
+    on doc id or bucket — NOTHING corpus-sized is ever MANDATED into a
+    broadcast (AQE downgrades to broadcast when a side genuinely fits,
+    which is the adaptive behavior you want). The bucket-size guard is
+    a window count — sort-based and disk-spillable, so one boilerplate
+    mega-bucket cannot blow aggregation memory, and the guard shares
+    ONE signature lineage with the collect_list (a count-join guard
+    recomputes the whole md5+sig pass a second time: measured +2 s at
+    sf0.1). collect_list state stays O(max_bucket) because the filter
+    runs BEFORE the aggregation.
     """
     sig = minhash_signatures(df, id_col, text_col)
     bands = minhash_band_hashes(sig)
     if max_bucket is not None:
-        # Drop pathological buckets (boilerplate) — bounded join fan-out.
-        sizes = bands.groupBy("band_id", "band_hash").count()
-        bands = bands.join(
-            sizes.filter(F.col("count") <= max_bucket).drop("count"),
-            ["band_id", "band_hash"],
+        # Pre-aggregation guard: drop pathological buckets (boilerplate)
+        # BEFORE collect_list so per-group aggregation state is
+        # genuinely O(max_bucket), never corpus-sized. A window count
+        # (the DuckDB twin's QUALIFY, same semantics) buffers bucket
+        # rows in a spillable sorter — bounded memory even for a
+        # corpus-sized bucket — and reuses the bands lineage instead of
+        # recomputing it for a count join.
+        w = Window.partitionBy("band_id", "band_hash")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
         )
     # Candidate pairs via ONE aggregation: collect each band bucket's
-    # member ids (bounded at max_bucket, so per-group state is
-    # O(max_bucket), never corpus-sized) and generate the intra-bucket
-    # pairs in place. The previous bucket self-join recomputed the
-    # signature lineage once per plan consumer (Spark's ReuseExchange
-    # does not fire across DeduplicateRelations' cloned subtrees); the
-    # aggregation computes it once, and map-side partial aggregation
-    # shrinks the shuffle to one row per bucket. The quadratic pair
-    # expansion stays spread across tasks by bucket (the groupBy's own
-    # hash partitioning).
+    # member ids (bounded at max_bucket by the guard above, so
+    # per-group state is O(max_bucket), never corpus-sized) and
+    # generate the intra-bucket pairs in place. The previous bucket
+    # self-join recomputed the signature lineage once per plan consumer
+    # (Spark's ReuseExchange does not fire across DeduplicateRelations'
+    # cloned subtrees); the aggregation computes it once, and map-side
+    # partial aggregation shrinks the shuffle to one row per bucket.
+    # The quadratic pair expansion stays spread across tasks by bucket
+    # (the groupBy's own hash partitioning).
     grouped = bands.groupBy("band_id", "band_hash").agg(
         F.collect_list("id").alias("m")
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("m") <= max_bucket)
     pair = (
         "flatten(transform(m, (x, i) -> transform(slice(m, i + 2, size(m)), "
         "y -> struct(IF(x < y, x, y) AS doc_a, IF(x < y, y, x) AS doc_b))))"
@@ -273,10 +289,18 @@ def minhash_lsh_pairs(
     # (array<long>): 8-byte longs intersect ~3x faster than 5-char
     # strings; hash collisions (2^-31 per pair) are computed
     # identically by the DuckDB twin, so the oracle still matches bits.
-    # Corpus-sized tables are never MANDATED into a broadcast
-    # (round-1's F.broadcast here dies at 100 TB): size-based planning
-    # + AQE broadcast when a side genuinely fits (CI scale) and
-    # shuffle-join on doc id when it doesn't (corpus scale).
+    # Measured alternatives, both SLOWER on the dup-heavy documents
+    # corpus where ~70% of candidates survive the est prefilter:
+    # (a) exact verify via the exploded inverted index (count matching
+    #     shingles per pair, the ngram_jaccard_pairs trick) materializes
+    #     |pairs| x |shingles/doc| join rows (~140M at sf0.1) — 3x
+    #     slower than joining the arrays and intersecting in place;
+    # (b) carrying signatures INTO the bucket aggregation to compute
+    #     est_sim during pair expansion copies two 16-long sigs per
+    #     exploded pair (pre-distinct, so x8 band duplication) — 2x
+    #     slower than joining the 5k-row sig table after distinct.
+    # Filter-verify funnels only pay off when the filter is selective;
+    # here the honest hot path is the verify itself.
     feat_sig = F.expr(
         f"transform({_ab_literal(N_MINHASH)}, "
         f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
@@ -304,7 +328,7 @@ def minhash_lsh_pairs(
         "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
         f"/ {N_MINHASH}.0"
     )
-    out = (
+    return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("est_sim", est)
@@ -319,7 +343,6 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "est_sim", "inter_n", "union_n", "jaccard")
     )
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -379,21 +402,33 @@ def simhash_pairs(
     ex = fps.select(
         "id", "fingerprint", F.explode(F.array(*blocks)).alias("b")
     ).select("id", "fingerprint", "b.block_id", "b.block_val")
+    if max_bucket is not None:
+        # Pre-aggregation guard (same shape as minhash_lsh_pairs): drop
+        # pathological buckets BEFORE collect_list so per-group
+        # aggregation state is genuinely O(max_bucket) — a post-agg
+        # size filter would let one boilerplate bucket accumulate a
+        # corpus-sized buffer before being discarded. A window count
+        # (the DuckDB twin's QUALIFY) buffers bucket rows in a
+        # spillable sorter — bounded memory even for a corpus-sized
+        # bucket — and reuses the fingerprint lineage instead of
+        # recomputing it for a count join.
+        w = Window.partitionBy("block_id", "block_val")
+        ex = (
+            ex.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     # ONE aggregation instead of a bucket self-join: collect each
-    # bucket's (id, fingerprint) members — bounded at max_bucket
-    # entries, so per-group state is O(max_bucket), never corpus-sized —
-    # and generate the intra-bucket pairs in place. The self-join shape
-    # recomputed the md5+simhash fingerprint lineage once per plan
-    # consumer (the size guard and both join sides; Spark's
-    # ReuseExchange does not fire across DeduplicateRelations' cloned
-    # subtrees): measured 19s -> ~4s at sf0.1. Map-side partial
-    # aggregation also shrinks the shuffle to one row per
-    # (block, bucket) instead of one per member.
+    # bucket's (id, fingerprint) members — bounded at max_bucket by the
+    # guard above — and generate the intra-bucket pairs in place. The
+    # self-join shape recomputed the md5+simhash fingerprint lineage
+    # once per plan consumer (Spark's ReuseExchange does not fire
+    # across DeduplicateRelations' cloned subtrees): measured 19s ->
+    # ~4s at sf0.1. Map-side partial aggregation also shrinks the
+    # shuffle to one row per (block, bucket) instead of one per member.
     grouped = ex.groupBy("block_id", "block_val").agg(
         F.collect_list(F.struct("id", "fingerprint")).alias("m")
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("m") <= max_bucket)
     pair = (
         "flatten(transform(m, (x, i) -> "
         "transform(slice(m, i + 2, size(m)), y -> struct("
@@ -425,13 +460,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = WORDGRAM_N,
     min_jaccard: float = MIN_WORDGRAM_JACCARD,
-    max_df: int | None = None,
+    max_df: int | None = MAX_GRAM_DF,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard via inverted-index join.
 
     ``max_df`` drops grams appearing in more than max_df docs
     (stop-gram guard — bounds the per-gram join fan-out, the scale
-    lever for boilerplate-heavy corpora).
+    lever for boilerplate-heavy corpora). ON by default
+    (MAX_GRAM_DF): a gram shared by >max_df docs contributes a
+    quadratic pair expansion, so leaving the guard opt-in made the
+    default call unsafe at scale. Union sizes still count the FULL
+    gram set per doc (sizes are taken before the guard), so surviving
+    pairs' jaccard is unchanged by the guard unless they relied on a
+    stop-gram for intersection. The DuckDB twin mirrors the guard.
     """
     grams = (
         _spread(df)
@@ -447,11 +488,21 @@ def ngram_jaccard_pairs(
         "id", F.size("_g").alias("sz"), F.explode("_g").alias("gram")
     )
     if max_df is not None:
-        freq = ex.groupBy("gram").count()
-        ex = ex.join(freq.filter(F.col("count") <= max_df).drop("count"), "gram")
-    # co-partition the inverted index by gram: colocated self-join,
-    # per-gram pair expansion spread across tasks
-    ex = ex.repartition(F.col("gram"))
+        # Window-count stop-gram guard (the DuckDB twin's QUALIFY):
+        # spillable sorter bounds memory on any gram's posting list,
+        # reuses the gram lineage (a freq-count join recomputes it),
+        # and its shuffle already co-partitions the index by gram for
+        # the self-join below — no separate repartition needed.
+        w = Window.partitionBy("gram")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    else:
+        # co-partition the inverted index by gram: colocated self-join,
+        # per-gram pair expansion spread across tasks
+        ex = ex.repartition(F.col("gram"))
     a = ex.select(F.col("id").alias("doc_a"), F.col("sz").alias("_za"), "gram")
     b = ex.select(F.col("id").alias("doc_b"), F.col("sz").alias("_zb"), "gram")
     return (

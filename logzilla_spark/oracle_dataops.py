@@ -21,6 +21,7 @@ from logzilla_spark.operators.dedup import (
     COSINE_THRESHOLD,
     LSH_BANDS,
     LSH_ROWS,
+    MAX_GRAM_DF,
     MAX_LSH_BUCKET,
     MAX_SIMHASH_HAMMING,
     MIN_EST_SIM,
@@ -193,20 +194,29 @@ FROM kept_blocks a JOIN kept_blocks b
 WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {MAX_SIMHASH_HAMMING}"""
 
 
-def ngram_jaccard_pairs_sql(docs_path: str) -> str:
+def ngram_jaccard_pairs_sql(docs_path: str, max_df: int | None = MAX_GRAM_DF) -> str:
     n = WORDGRAM_N
     grams = (
         f"list_distinct([array_to_string(t[i:i + {n - 1}], ' ') "
         f"FOR i IN range(1, greatest(len(t) - {n - 1}, 1) + 1)])"
     )
+    # Stop-gram guard mirror (dedup.MAX_GRAM_DF): drop grams appearing
+    # in more than max_df docs BEFORE the self-join; union sizes still
+    # count the full gram set (sizes CTE is taken pre-guard), exactly
+    # like the Spark side.
+    guard = (
+        f"\nkept AS (SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY gram) <= {max_df}),"
+        if max_df is not None
+        else "\nkept AS (SELECT * FROM ex),"
+    )
     return f"""WITH {_docs_cte(docs_path)},
 toks AS (SELECT id, string_split(n, ' ') AS t FROM docs),
 grams AS (SELECT id, {grams} AS g FROM toks),
 sizes AS (SELECT id, len(g) AS sz FROM grams),
-ex AS (SELECT id, unnest(g) AS gram FROM grams),
+ex AS (SELECT id, unnest(g) AS gram FROM grams),{guard}
 inter AS (
   SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS inter_n
-  FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter_n,

@@ -83,6 +83,53 @@ def test_ngram_jaccard_planted(spark):
     assert (4, 5) not in pairs
 
 
+def test_ngram_stop_gram_guard_default_on():
+    # the scale guard must be ON by default — an opt-in guard is an
+    # unsafe default at corpus scale (VERDICT r2)
+    import inspect
+
+    sig = inspect.signature(dedup.ngram_jaccard_pairs)
+    assert sig.parameters["max_df"].default == dedup.MAX_GRAM_DF
+    assert dedup.MAX_GRAM_DF is not None
+
+
+def test_ngram_stop_gram_guard_boilerplate_corpus(spark):
+    # 8 docs sharing ONLY a boilerplate footer (df=8 > max_df=3), plus
+    # one planted near-dup pair with unique content (df=2 <= max_df).
+    footer = "subscribe to our newsletter for weekly updates and offers"
+    uniq = [
+        "alpha bravo charlie delta echo foxtrot golf",
+        "hotel india juliet kilo lima mike november",
+        "oscar papa quebec romeo sierra tango uniform",
+        "victor whiskey xray yankee zulu one two",
+        "three four five six seven eight nine",
+        "apple banana cherry date elderberry fig grape",
+        "red orange yellow green blue indigo violet",
+        "north south east west up down sideways",
+    ]
+    rows = [(i + 1, f"{u} {footer}") for i, u in enumerate(uniq)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(df, max_df=3).collect()
+    }
+    # boilerplate-only pairs are gone: their shared grams were dropped
+    assert not any(a <= 8 and b <= 8 for a, b in got)
+    # the genuine near-dup (unique grams, df=2) survives the guard
+    assert (100, 101) in got
+    # without the guard, the boilerplate pairs WOULD pair up — proves
+    # the guard (not the threshold) is what removed them
+    unguarded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(df, max_df=None).collect()
+    }
+    assert any(a <= 8 and b <= 8 for a, b in unguarded)
+
+
 def _emb(spark):
     dim = 64
     e1 = [1.0] + [0.0] * (dim - 1)
