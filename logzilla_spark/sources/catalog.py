@@ -156,6 +156,70 @@ class LocalCatalog:
         groups = [{"base": self._data_dir(name), "files": new_files}]
         return self._commit(name, groups, "overwrite", summary or {})
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: str,
+        partition_values: list[str],
+        summary: dict | None = None,
+    ) -> int:
+        """MERGE-shaped partition-scoped overwrite (Iceberg's dynamic
+        partition overwrite / ``MERGE INTO`` analog): replace ONLY the
+        named partition directories; every data file outside them
+        carries over into the new snapshot untouched — a metadata-only
+        operation for the unchanged partitions. This is what keeps a
+        streaming upsert O(changed partitions) instead of O(table):
+        rewriting the whole table per micro-batch re-writes all of
+        history to touch a handful of windows.
+
+        ``df`` must contain exactly the merged content of the touched
+        partitions (partition column included)."""
+        new_files = self._stage_write(df, name, [partition_by])
+        tokens = {f"{partition_by}={v}" for v in partition_values}
+
+        def untouched(path: str) -> bool:
+            return not any(t in path.split(os.sep) for t in tokens)
+
+        prev = self.last_snapshot_id(name)
+        prev_groups = self._groups(name, prev) if prev else []
+        kept = [
+            {"base": g["base"], "files": [f for f in g["files"] if untouched(f)]}
+            for g in prev_groups
+        ]
+        kept = [g for g in kept if g["files"]]
+        groups = kept + [{"base": self._data_dir(name), "files": new_files}]
+        return self._commit(name, groups, "overwrite_partitions", summary or {})
+
+    def read_partitions(
+        self,
+        spark: SparkSession,
+        name: str,
+        partition_by: str,
+        partition_values: list[str],
+    ) -> DataFrame | None:
+        """Read only the named partition directories of the latest
+        snapshot (file-list pruning in the catalog layer — no data
+        outside the touched partitions is listed, opened, or scanned).
+        Returns None when no committed file belongs to them."""
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            return None
+        tokens = {f"{partition_by}={v}" for v in partition_values}
+        groups = [
+            {
+                "base": g["base"],
+                "files": [
+                    f for f in g["files"] if any(t in f.split(os.sep) for t in tokens)
+                ],
+            }
+            for g in self._groups(name, sid)
+        ]
+        groups = [g for g in groups if g["files"]]
+        if not groups:
+            return None
+        return self._read_groups(spark, groups)
+
     def exists(self, name: str) -> bool:
         return self.last_snapshot_id(name) is not None
 

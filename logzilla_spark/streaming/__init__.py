@@ -4,6 +4,7 @@ from .stream_pipeline import (
     start_routing_stream,
     stream_pages,
     streaming_windowed_counts,
+    upsert_agg_batch,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "start_routing_stream",
     "start_agg_stream",
     "route_batch",
+    "upsert_agg_batch",
 ]

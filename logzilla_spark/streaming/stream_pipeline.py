@@ -86,14 +86,47 @@ def streaming_windowed_counts(
     )
 
 
-def _already_committed(cat: LocalCatalog, table: str, query_id: str, batch_id: int) -> bool:
+def _committed_map(cat: LocalCatalog, table: str) -> dict[str, int]:
+    """Latest committed batch id per streaming query, from the snapshot
+    head. Every streaming commit carries a CUMULATIVE ``committed`` map
+    in its summary, so on the steady path this reads exactly ONE
+    snapshot summary — O(1) per micro-batch regardless of table age.
+    The walk below only runs across snapshots written by non-streaming
+    paths (batch appends carry no map) or pre-map history, and stops at
+    the first cumulative map it finds."""
+    merged: dict[str, int] = {}
     sid = cat.last_snapshot_id(table)
     while sid is not None and sid >= 1:
         s = cat.snapshot_summary(table, sid)
-        if s.get("query_id") == query_id and s.get("batch_id") is not None:
-            return int(s["batch_id"]) >= batch_id
+        if (
+            s.get("query_id") is not None
+            and s.get("batch_id") is not None
+            and s["query_id"] not in merged
+        ):
+            merged[s["query_id"]] = int(s["batch_id"])
+        if "committed" in s:
+            for q, b in s["committed"].items():
+                if q not in merged:
+                    merged[q] = int(b)
+            break  # cumulative — nothing older can supersede it
         sid -= 1
-    return False
+    return merged
+
+
+def _committed_summary(
+    committed: dict[str, int], query_id: str, batch_id: int
+) -> dict:
+    """Snapshot summary for a streaming commit: the per-epoch identity
+    plus the cumulative head pointer (see _committed_map)."""
+    return {
+        "query_id": query_id,
+        "batch_id": batch_id,
+        "committed": {**committed, query_id: batch_id},
+    }
+
+
+def _already_committed(cat: LocalCatalog, table: str, query_id: str, batch_id: int) -> bool:
+    return _committed_map(cat, table).get(query_id, -1) >= batch_id
 
 
 def route_batch(
@@ -117,16 +150,16 @@ def route_batch(
 
     from ..operators.route import sink_name, write_partitioned_tables
 
+    committed = {c: _committed_map(cat, sink_name(c)) for c in CATEGORIES}
     pending = [
-        c for c in CATEGORIES
-        if not _already_committed(cat, sink_name(c), query_id, batch_id)
+        c for c in CATEGORIES if committed[c].get(query_id, -1) < batch_id
     ]
     routed: dict[str, int] = {c: -1 for c in CATEGORIES if c not in pending}
     if not pending:
         return routed  # fully replayed epoch
     snaps = write_partitioned_tables(
         batch, cat, "category", sink_name, pending,
-        summary_for=lambda c: {"query_id": query_id, "batch_id": batch_id},
+        summary_for=lambda c: _committed_summary(committed[c], query_id, batch_id),
     )
     for c, sid in snaps.items():
         group = cat._groups(sink_name(c), sid)[-1]
@@ -165,6 +198,49 @@ def start_routing_stream(
     return writer.start()
 
 
+def upsert_agg_batch(
+    spark: SparkSession,
+    cat: LocalCatalog,
+    batch: DataFrame,
+    batch_id: int,
+    query_id: str = "agg",
+    table: str = "stream_agg",
+) -> bool:
+    """Keyed-merge one epoch of changed windows into the agg table.
+
+    The table is partitioned by window month (``agg_month``); only the
+    partitions containing this epoch's changed windows are read,
+    merged, and rewritten — every other month's files carry over into
+    the new snapshot untouched (catalog.overwrite_partitions). Returns
+    False for an already-committed (replayed) epoch.
+    """
+    committed = _committed_map(cat, table)
+    if committed.get(query_id, -1) >= batch_id:
+        return False
+    batch = batch.withColumn("agg_month", F.date_format("window_start", "yyyyMM"))
+    # the changed-window month set is tiny (one or two entries per
+    # epoch under any sane watermark) — driver-side by construction
+    months = [r.agg_month for r in batch.select("agg_month").distinct().collect()]
+    old = cat.read_partitions(spark, table, "agg_month", months)
+    if old is not None:
+        # partition-column type inference reads agg_month back as int;
+        # re-cast so the union with this epoch's string column is exact
+        old = old.withColumn("agg_month", F.col("agg_month").cast("string"))
+        merged = old.join(
+            batch.select(*AGG_KEYS), AGG_KEYS, "left_anti"
+        ).unionByName(batch)
+    else:
+        merged = batch
+    cat.overwrite_partitions(
+        merged,
+        table,
+        "agg_month",
+        months,
+        summary=_committed_summary(committed, query_id, batch_id),
+    )
+    return True
+
+
 def start_agg_stream(
     spark: SparkSession,
     pages_dir: str,
@@ -178,9 +254,17 @@ def start_agg_stream(
 
     Update output mode: each epoch emits only windows whose counts
     changed; the sink upserts them into the ``stream_agg`` table by
-    (window, category, level) key. Late rows within the watermark
-    revise their window; rows later than the watermark are dropped —
-    defined semantics where the reference has none.
+    (window, category, level) key via a KEYED MERGE: the table is
+    partitioned by window month (``agg_month``, the months(warc_ts)
+    layout every other sink already uses) and each epoch rewrites ONLY
+    the partitions containing its changed windows — all other months
+    carry over metadata-only (catalog.overwrite_partitions). The
+    previous shape (read whole table -> anti-join -> full overwrite)
+    was O(table) I/O per micro-batch: at scale each epoch re-wrote all
+    of aggregate history to touch a handful of windows. Late rows
+    within the watermark revise their window; rows later than the
+    watermark are dropped — defined semantics where the reference has
+    none.
     """
     cat = LocalCatalog(warehouse)
     pages = stream_pages(spark, pages_dir)
@@ -188,18 +272,7 @@ def start_agg_stream(
     agg = streaming_windowed_counts(records, watermark=watermark)
 
     def _upsert(batch: DataFrame, batch_id: int) -> None:
-        if _already_committed(cat, "stream_agg", "agg", batch_id):
-            return
-        if cat.exists("stream_agg"):
-            old = cat.read(spark, "stream_agg")
-            merged = old.join(
-                batch.select(*AGG_KEYS), AGG_KEYS, "left_anti"
-            ).unionByName(batch)
-        else:
-            merged = batch
-        cat.overwrite(
-            merged, "stream_agg", summary={"query_id": "agg", "batch_id": batch_id}
-        )
+        upsert_agg_batch(batch.sparkSession, cat, batch, batch_id)
 
     writer = (
         agg.writeStream.outputMode("update")

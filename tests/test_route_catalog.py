@@ -72,3 +72,79 @@ def test_route_is_single_upstream_pass(spark, tmp_path):
     n_pages = pages.count()
     # one materialization (plus zero re-reads thanks to persist)
     assert acc.value == n_pages, f"upstream evaluated {acc.value / n_pages:.1f}x"
+
+
+def test_overwrite_partitions_is_metadata_only_for_untouched(spark, tmp_path):
+    """Partition-scoped overwrite must carry untouched partitions'
+    files into the new snapshot verbatim (no rewrite), and replace
+    only the named partitions."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame(
+        [("202401", 1, 10), ("202401", 2, 20), ("202402", 3, 30)],
+        "agg_month string, k int, n int",
+    )
+    cat.overwrite_partitions(df1, "t", "agg_month", ["202401", "202402"])
+    s1_files = {
+        f for g in cat._groups("t", cat.last_snapshot_id("t")) for f in g["files"]
+    }
+    jan_files_s1 = {f for f in s1_files if "agg_month=202401" in f}
+    assert jan_files_s1
+
+    # epoch 2 touches ONLY February
+    df2 = spark.createDataFrame(
+        [("202402", 3, 99), ("202402", 4, 40)], "agg_month string, k int, n int"
+    )
+    cat.overwrite_partitions(df2, "t", "agg_month", ["202402"])
+    s2_files = {
+        f for g in cat._groups("t", cat.last_snapshot_id("t")) for f in g["files"]
+    }
+    jan_files_s2 = {f for f in s2_files if "agg_month=202401" in f}
+    feb_files_s2 = {f for f in s2_files if "agg_month=202402" in f}
+    # January files are the SAME paths — carried over, not rewritten
+    assert jan_files_s2 == jan_files_s1
+    # February files are all new
+    assert not feb_files_s2 & s1_files
+    got = {
+        (str(r.agg_month), r.k): r.n for r in cat.read(spark, "t").collect()
+    }
+    assert got == {("202401", 1): 10, ("202401", 2): 20,
+                   ("202402", 3): 99, ("202402", 4): 40}
+    # partition-pruned read lists only the asked-for partition's files
+    jan = cat.read_partitions(spark, "t", "agg_month", ["202401"])
+    assert {r.k for r in jan.collect()} == {1, 2}
+    assert cat.read_partitions(spark, "t", "agg_month", ["209901"]) is None
+
+
+def test_committed_map_is_o1_at_snapshot_head(tmp_path, monkeypatch):
+    """The streaming exactly-once lookup must read O(1) snapshot
+    summaries per micro-batch, not walk the table's whole history
+    (a 1,000-snapshot table would otherwise cost 1,000 driver-side
+    file reads per epoch per category)."""
+    from logzilla_spark.streaming import stream_pipeline as sp
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    # 1,000 streaming commits, each carrying the cumulative map
+    committed = {}
+    for b in range(1000):
+        cat._commit(
+            "t", [], "append", sp._committed_summary(committed, "agg", b)
+        )
+        committed = {"agg": b}
+    reads = []
+    orig = LocalCatalog.snapshot_summary
+
+    def counting(self, name, sid):
+        reads.append(sid)
+        return orig(self, name, sid)
+
+    monkeypatch.setattr(LocalCatalog, "snapshot_summary", counting)
+    assert sp._already_committed(cat, "t", "agg", 998)
+    assert not sp._already_committed(cat, "t", "agg", 1000)
+    assert len(reads) == 2  # one summary read per lookup — the head
+
+    # legacy / batch-append snapshots on top: walk stops at the first
+    # cumulative map, not the beginning of history
+    cat._commit("t", [], "append", {"note": "batch append, no map"})
+    reads.clear()
+    assert sp._already_committed(cat, "t", "agg", 999)
+    assert len(reads) == 2  # head (no map) + first mapped snapshot

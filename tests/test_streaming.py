@@ -158,3 +158,56 @@ def test_streaming_restart_resumes_from_checkpoint(spark, staged_pages):
     # each sink advanced exactly one commit in the second run
     for c in CATEGORIES:
         assert cat.last_snapshot_id(sink_name(c)) == snap_after_first[c] + 1
+
+
+def test_agg_upsert_touches_only_changed_month(spark, tmp_path):
+    """VERDICT r2 #2: a micro-batch touching one window must rewrite
+    only that window's month partition; other months' files carry over
+    into the new snapshot verbatim (metadata-only)."""
+    from logzilla_spark.streaming import upsert_agg_batch
+
+    from datetime import datetime
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "category string, level string, n long",
+    )
+    jan = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5))
+    feb = (datetime(2024, 2, 1, 0, 0), datetime(2024, 2, 1, 0, 5))
+    assert upsert_agg_batch(
+        spark, cat, mk([(jan[0], jan[1], "json", "INFO", 5),
+                        (feb[0], feb[1], "json", "INFO", 7)]), 0
+    )
+    s1_files = {
+        f for g in cat._groups("stream_agg", cat.last_snapshot_id("stream_agg"))
+        for f in g["files"]
+    }
+    jan_s1 = {f for f in s1_files if "agg_month=202401" in f}
+    assert jan_s1
+    # epoch 1 revises ONLY the February window (late rows arrived)
+    assert upsert_agg_batch(
+        spark, cat, mk([(feb[0], feb[1], "json", "INFO", 9)]), 1
+    )
+    s2_files = {
+        f for g in cat._groups("stream_agg", cat.last_snapshot_id("stream_agg"))
+        for f in g["files"]
+    }
+    jan_s2 = {f for f in s2_files if "agg_month=202401" in f}
+    feb_s2 = {f for f in s2_files if "agg_month=202402" in f}
+    assert jan_s2 == jan_s1            # January carried over, not rewritten
+    assert not feb_s2 & s1_files       # February replaced
+    got = {
+        (str(r.window_start), r.category, r.level): r.n
+        for r in cat.read(spark, "stream_agg").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "json", "INFO"): 5,
+        ("2024-02-01 00:00:00", "json", "INFO"): 9,
+    }
+    # replayed epoch is a no-op
+    assert not upsert_agg_batch(
+        spark, cat, mk([(feb[0], feb[1], "json", "INFO", 123)]), 1
+    )
+    assert cat.last_snapshot_id("stream_agg") == 2
