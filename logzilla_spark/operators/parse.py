@@ -582,14 +582,25 @@ def _json_map_fields(m: Column) -> dict[str, Column]:
 
     message must be a JSON string, else '' (json.go:70-72); from_json
     stringifies scalars, so gate on the raw text like level above.
+
+    Defense for the regex-only routing verdict: if SIMPLE_JSON_RE ever
+    admits a line Jackson rejects (future regex edits, Jackson
+    StreamReadConstraints), ``m`` is NULL on a claimed row. level
+    already falls through parse_level_col's UNKNOWN path and message
+    coalesces to ''; metadata coalesces to the EMPTY map here so the
+    claimed branch can never emit NULL metadata — a conservative
+    envelope instead of a silent contract break.
     """
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
     return {
         "level": parse_level_col(m["level"]),
         "message": F.when(
             F.col("line").rlike(r'"message"\s*:\s*"'),
             F.coalesce(m["message"], F.lit("")),
         ).otherwise(F.lit("")),
-        "metadata": F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+        "metadata": F.coalesce(
+            F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)), empty_map
+        ),
     }
 
 

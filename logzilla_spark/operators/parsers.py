@@ -108,17 +108,42 @@ class GrokParser:
     message_groups: tuple[str, ...] = ()
 
     def plan(self, lines: DataFrame, claimed: Column):
+        if self.ts_group and not self.ts_format_spark:
+            raise ValueError(f"{self.name}: ts_group needs ts_format_spark")
         line = F.col("line")
         spark_re, idx = _spark_pattern(self.pattern)
+        n = len(idx)
+        # ONE regex evaluation per row (the repo's materialization rule,
+        # parse.py block comment: Spark does not deduplicate non-cheap
+        # expressions, so per-group regexp_extract costs N+1 regex runs
+        # per row). A full-line regexp_replace substitutes every group
+        # in one pass — sentinel first, groups joined by an ASCII
+        # separator — and the fields are attribute references into the
+        # split array, materialized as a helper column.
+        #
+        # Match detection without a second regex: on no-match
+        # regexp_replace returns the line unchanged, which fails the
+        # sentinel/arity checks below unless the line itself is shaped
+        # like "\x1d\x1e<g1>\x1e..." (requires control characters in the
+        # log line). A group VALUE containing the separator fails the
+        # arity check. Both degenerate cases fail CLOSED — the line is
+        # left unclaimed for the rest of the chain, never claimed with
+        # garbage fields.
+        sep, mark = "\x1e", "\x1d"
+        repl = mark + sep + sep.join(f"${i}" for i in range(1, n + 1))
+        wrapped = f"^.*?(?:{spark_re}).*$"
+        arr_col = f"_gk_{self.name}"
+        lines = lines.withColumn(
+            arr_col, F.split(F.regexp_replace(line, wrapped, repl), sep, -1)
+        )
+        arr = F.col(arr_col)
+        ok = (F.size(arr) == n + 1) & (F.element_at(arr, 1) == mark)
 
         def g(name: str) -> Column:
-            return F.regexp_extract(line, spark_re, idx[name])
+            return F.element_at(arr, idx[name] + 1)
 
-        ok = line.rlike(spark_re)
         ts: Column | None = None
         if self.ts_group:
-            if not self.ts_format_spark:
-                raise ValueError(f"{self.name}: ts_group needs ts_format_spark")
             ts = F.try_to_timestamp(g(self.ts_group), F.lit(self.ts_format_spark))
             ok = ok & ts.isNotNull()
         level = (
@@ -132,7 +157,7 @@ class GrokParser:
             else F.lit("")
         )
         metadata = F.create_map(
-            *_it_chain.from_iterable((F.lit(n), g(n)) for n in idx)
+            *_it_chain.from_iterable((F.lit(n_), g(n_)) for n_ in idx)
         )
         return lines, {
             "ok": ok, "ts": ts, "level": level,
@@ -243,7 +268,13 @@ class _JsonBuiltin:
                 j["message"],
             ),
             "metadata": pick(
-                F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+                # coalesce: if the regex-only verdict ever admits a line
+                # Jackson rejects, the claimed row gets the EMPTY map,
+                # never NULL metadata (see parse._json_map_fields)
+                F.coalesce(
+                    F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
+                    F.from_json(F.lit("{}"), _EMPTY_MAP),
+                ),
                 F.from_json(j["metadata_json"], _EMPTY_MAP),
             ),
         }

@@ -165,3 +165,23 @@ def test_html_text_byte_identity(spark):
     a = sortable(parse_records(pages, impl="native", use_html=True))
     b = sortable(parse_records(pages, impl="native", use_html=False))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_json_map_fields_null_map_defense(spark):
+    """ADVICE r2: if the regex-only routing verdict ever claims a line
+    whose from_json comes back NULL (future regex edits, Jackson
+    limits), the claimed branch must emit UNKNOWN/''/{} — never NULL
+    metadata."""
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.operators.parse import _json_map_fields
+
+    df = spark.createDataFrame([('{"level":"info"}',)], "line string").withColumn(
+        "m", F.from_json(F.lit(None).cast("string"), "map<string,string>")
+    )
+    ex = _json_map_fields(F.col("m"))
+    r = df.select(
+        ex["level"].alias("lv"), ex["message"].alias("msg"),
+        ex["metadata"].alias("md"),
+    ).first()
+    assert r.lv == "UNKNOWN" and r.msg == "" and r.md == {}

@@ -134,3 +134,46 @@ def test_registry_errors(spark):
         P.GrokParser(name="x", pattern=r"(?P<a>\d+)", ts_group="a").plan(
             _pages(spark), F.lit(False)
         )
+
+
+def test_grok_single_regex_eval_in_plan(spark):
+    """VERDICT r2 #5: the grok extraction must run its regex ONCE per
+    row (one regexp_replace into a split array), not once per captured
+    group — per the repo's materialization rule (parse.py)."""
+    P.register_parser(
+        P.GrokParser(
+            name="evalcount",
+            pattern=r"^(?P<a>\w+) (?P<b>\w+) (?P<c>\w+) (?P<d>\d+)$",
+            level_static="INFO", message_groups=("a", "b"),
+        ),
+        replace=True,
+    )
+    df = P.parse_records_chain(_pages(spark), chain=("evalcount",))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the pattern body appears exactly once in the whole plan: inside
+    # the one regexp_replace. Per-group regexp_extract would repeat it
+    # once per group (+1 for the rlike verdict).
+    assert plan.count(r"(\w+) (\w+) (\w+)") == 1, plan
+
+
+def test_grok_separator_in_value_fails_closed(spark):
+    """A group value containing the join separator must leave the line
+    UNCLAIMED (arity check fails) — never claimed with garbage fields."""
+    rows = [
+        ("u1", T0, None, "ok 42", "en", "s", 0, "ok 42"),
+        ("u2", T0, None, "o\x1ek 42", "en", "s", 0, "o\x1ek 42"),
+    ]
+    lines = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string, pos int, line string",
+    )
+    P.register_parser(
+        P.GrokParser(name="sepcase", pattern=r"^(?P<w>.+) (?P<n>\d+)$",
+                     level_static="INFO", message_groups=("w",)),
+        replace=True,
+    )
+    out = {r.url: r.category for r in P.records_from_lines(
+        lines, chain=("sepcase",)).collect()}
+    assert out["u1"] == "sepcase"
+    assert out["u2"] == "unparsed"  # fails closed, not garbage
