@@ -462,11 +462,17 @@ it, which is why the reported figure is the MEDIAN of per-round
 adjacent-in-time ratios.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Per-run file: BENCH/BASELINE.md is hand-curated (multi-pair
+    # headline + attribution, cited by COVERAGE.md) — a run must never
+    # truncate it. Each --scaling run writes BASELINE_{n}v{4n}.md;
+    # merge into the curated doc by hand.
+    out_path = os.path.join(REPO, "BENCH", f"BASELINE_{n}v{4 * n}.md")
+    with open(out_path, "w") as f:
         f.write(md)
     print(json.dumps({"n": n, "docs_per_sec_n": tn, "docs_per_sec_4n": t4n,
                       "efficiency": round(eff, 3),
-                      "efficiency_steal_adjusted": round(eff_adj, 3)}))
+                      "efficiency_steal_adjusted": round(eff_adj, 3),
+                      "report": out_path}))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,13 @@ deliberately thin: all decode/validate/search logic lives in
 maps envelopes to HTTP status codes the way the reference's fault
 codes do (bad input -> 400, internal panic -> recovered 500, else 200).
 
+TLS + CORS parity (api/server.go:57-64, api/middleware.go:18-40):
+``cert_file``/``key_file`` switch the listener to TLS exactly like the
+reference's ListenAndServeTLS when both are configured; trusted-origin
+CORS echoes Access-Control-Allow-Origin only for configured origins and
+answers preflight OPTIONS (with Access-Control-Request-Method) using
+the reference's own allow lists, byte-for-byte.
+
 Driver-side by design: a search collects at most ``limit`` rows
 (MAX_LIMIT-capped) — the heavy lifting stays on the executors; handler
 threads may issue concurrent Spark actions (the scheduler is
@@ -23,6 +30,7 @@ from __future__ import annotations
 
 import json
 import logging
+import ssl
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -41,10 +49,23 @@ def _envelope(success: bool, message: str = "", data=None, metadata=None) -> dic
 class _Handler(BaseHTTPRequestHandler):
     server_version = "logzilla-spark"
     records: DataFrame  # bound by make_server
+    trusted_origins: tuple[str, ...] = ()  # bound by make_server
+
+    def _cors_headers(self) -> None:
+        """Trusted-origin CORS, the reference's corsMiddleware
+        (api/middleware.go:18-40): Vary on every response; echo
+        Allow-Origin only when the Origin header matches a configured
+        trusted origin exactly."""
+        self.send_header("Vary", "Origin")
+        self.send_header("Vary", "Access-Control-Request-Method")
+        origin = self.headers.get("Origin", "")
+        if origin and origin in self.trusted_origins:
+            self.send_header("Access-Control-Allow-Origin", origin)
 
     def _write(self, status: int, payload: dict) -> None:
         body = json.dumps(payload, default=str).encode("utf-8")
         self.send_response(status)
+        self._cors_headers()
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
@@ -52,6 +73,30 @@ class _Handler(BaseHTTPRequestHandler):
 
     def log_message(self, fmt, *args):  # middleware.go logging analog
         log.info("%s %s", self.address_string(), fmt % args)
+
+    def do_OPTIONS(self):  # noqa: N802
+        # Preflight for a trusted origin: the reference answers with its
+        # fixed allow lists and an empty 200 (api/middleware.go:26-33).
+        origin = self.headers.get("Origin", "")
+        if (
+            origin
+            and origin in self.trusted_origins
+            and self.headers.get("Access-Control-Request-Method")
+        ):
+            self.send_response(200)
+            self._cors_headers()
+            self.send_header(
+                "Access-Control-Allow-Methods", "OPTIONS, PUT, PATCH, DELETE"
+            )
+            self.send_header(
+                "Access-Control-Allow-Headers", "Authorization, Content-Type"
+            )
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        # non-preflight OPTIONS falls through to routing, like the
+        # reference's mux (no OPTIONS route registered)
+        self._write(404, _envelope(False, f"no route: OPTIONS {self.path}"))
 
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
         if self.path == "/healthcheck":
@@ -80,21 +125,45 @@ class _Handler(BaseHTTPRequestHandler):
             self._write(500, _envelope(False, f"internal error: {type(e).__name__}"))
 
 
-def make_server(records: DataFrame, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    records: DataFrame,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    cert_file: str | None = None,
+    key_file: str | None = None,
+    trusted_origins: tuple[str, ...] = (),
+) -> ThreadingHTTPServer:
     """Build (not start) the server bound to a records DataFrame.
 
-    ``port=0`` picks a free port (``server.server_address[1]``)."""
-    handler = type("BoundHandler", (_Handler,), {"records": records})
-    return ThreadingHTTPServer((host, port), handler)
+    ``port=0`` picks a free port (``server.server_address[1]``).
+    TLS is enabled exactly like the reference (api/server.go:57-64):
+    only when BOTH cert_file and key_file are configured."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"records": records, "trusted_origins": tuple(trusted_origins)},
+    )
+    srv = ThreadingHTTPServer((host, port), handler)
+    if cert_file and key_file:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile=cert_file, keyfile=key_file)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+        log.info("starting server with TLS")
+    return srv
 
 
-def serve_background(records: DataFrame, host: str = "127.0.0.1",
-                     port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:
+def serve_background(
+    records: DataFrame,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    cert_file: str | None = None,
+    key_file: str | None = None,
+    trusted_origins: tuple[str, ...] = (),
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the serve loop on a daemon thread; returns (server, thread).
 
     Shut down with ``server.shutdown()`` (joins the loop)."""
-    srv = make_server(records, host, port)
+    srv = make_server(records, host, port, cert_file, key_file, trusted_origins)
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="logzilla-http")
     t.start()

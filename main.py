@@ -62,6 +62,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(POST /api/logs/search, GET /healthcheck) over the "
                         "warehouse's routed sinks — the reference's second "
                         "binary (cmd/server/main.go)")
+    p.add_argument("--tls-cert", default=None,
+                   help="TLS certificate file; with --tls-key switches the "
+                        "listener to TLS (api/server.go:57-64)")
+    p.add_argument("--tls-key", default=None, help="TLS private key file")
+    p.add_argument("--cors-origin", action="append", default=[],
+                   help="trusted CORS origin, repeatable "
+                        "(api/middleware.go:18-40)")
     return p
 
 
@@ -101,7 +108,11 @@ def main(argv: list[str] | None = None) -> int:
         from logzilla_spark.server import make_server
 
         records = read_all_sinks(spark, pipe.cat, pipe.categories)
-        srv = make_server(records, host="0.0.0.0", port=args.serve)
+        srv = make_server(
+            records, host="0.0.0.0", port=args.serve,
+            cert_file=args.tls_cert, key_file=args.tls_key,
+            trusted_origins=tuple(args.cors_origin),
+        )
         print(json.dumps({"serving": list(srv.server_address)}), flush=True)
         srv.serve_forever()
         return 0

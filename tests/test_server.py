@@ -65,3 +65,117 @@ def test_healthcheck_and_404(live_server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(f"{live_server}/nope")
     assert exc.value.code == 404
+
+
+def _selfsigned(tmp_path):
+    """Self-signed localhost cert via the cryptography lib."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.IPAddress(
+                __import__("ipaddress").ip_address("127.0.0.1"))]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_p, key_p = str(tmp_path / "crt.pem"), str(tmp_path / "key.pem")
+    with open(cert_p, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_p, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        ))
+    return cert_p, key_p
+
+
+def test_tls_loopback(spark, records_sf0001, tmp_path):
+    """cert+key configured -> the listener serves TLS, like the
+    reference's ListenAndServeTLS (api/server.go:57-64)."""
+    import ssl
+
+    cert_p, key_p = _selfsigned(tmp_path)
+    srv, _t = serve_background(records_sf0001, cert_file=cert_p, key_file=key_p)
+    try:
+        ctx = ssl.create_default_context(cafile=cert_p)
+        url = f"https://127.0.0.1:{srv.server_address[1]}/healthcheck"
+        with urllib.request.urlopen(url, context=ctx) as r:
+            assert r.status == 200
+            assert json.loads(r.read())["success"]
+        # plaintext against the TLS port fails the handshake client-side
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_address[1]}/healthcheck",
+                timeout=5,
+            )
+    finally:
+        srv.shutdown()
+
+
+def test_cors_trusted_origin_and_preflight(spark, records_sf0001):
+    """Trusted-origin CORS parity (api/middleware.go:18-40): echo
+    Allow-Origin only for configured origins; answer preflight with the
+    reference's fixed allow lists; always Vary."""
+    srv, _t = serve_background(
+        records_sf0001, trusted_origins=("https://app.example",)
+    )
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # trusted origin echoed
+        req = urllib.request.Request(
+            f"{base}/healthcheck", headers={"Origin": "https://app.example"}
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "https://app.example"
+            assert "Origin" in r.headers.get_all("Vary")
+        # untrusted origin NOT echoed (but Vary still present)
+        req = urllib.request.Request(
+            f"{base}/healthcheck", headers={"Origin": "https://evil.example"}
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Access-Control-Allow-Origin"] is None
+            assert "Origin" in r.headers.get_all("Vary")
+        # preflight
+        req = urllib.request.Request(
+            f"{base}/api/logs/search",
+            headers={
+                "Origin": "https://app.example",
+                "Access-Control-Request-Method": "POST",
+            },
+            method="OPTIONS",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.headers["Access-Control-Allow-Methods"] == (
+                "OPTIONS, PUT, PATCH, DELETE"
+            )
+            assert r.headers["Access-Control-Allow-Headers"] == (
+                "Authorization, Content-Type"
+            )
+        # OPTIONS without preflight header: routed like any other verb
+        req = urllib.request.Request(
+            f"{base}/api/logs/search",
+            headers={"Origin": "https://app.example"},
+            method="OPTIONS",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 404
+    finally:
+        srv.shutdown()
