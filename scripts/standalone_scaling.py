@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Fleet-shaped scaling evidence: a REAL multi-executor Spark cluster.
+
+The local[N]-vs-local[4N] harness (bench.py --scaling) emulates two
+cluster sizes inside one JVM, which leaves open the objection that the
+measured efficiency reflects single-JVM scheduling rather than the
+PLAN. This script removes that objection with the closest thing to a
+fleet this sandbox can host (BASELINE.json north_rule: "run via
+spark-submit --py-files on a multi-executor cluster at two cluster
+sizes (N and 4N executors)"):
+
+- a Spark STANDALONE master plus four worker daemons, each worker
+  taskset-pinned to its own disjoint 8-core cpuset (a node-sized
+  container) with its own 20 GiB budget;
+- the package shipped to executors as a zip via ``--py-files``
+  semantics (``spark.submit.pyFiles``) — executors import
+  ``logzilla_spark`` from the shipped artifact, not a shared checkout;
+- the N leg = ONE 8-core executor, the 4N leg = FOUR 8-core executors
+  (``spark.cores.max`` 8 vs 32 with ``spark.executor.cores`` 8) —
+  executor JVMs, shuffle/broadcast transport, and Python worker pools
+  are genuinely separate processes per executor, as on a fleet;
+- interleaved ABBA rounds ((N, 4N, 4N, N); compare within-round sums)
+  because the sandbox host's absolute throughput drifts ±30-60% on
+  ~5-10 min timescales; each leg block is a fresh APPLICATION (fresh
+  executor JVMs), so every block runs one JIT warm-up trial before its
+  measured trial — both legs pay identical warm-up, and only warm
+  trials are compared (a 1000-executor fleet runs warm).
+
+Usage:
+    python scripts/standalone_scaling.py              # full run
+    python scripts/standalone_scaling.py --rounds 3
+    python scripts/standalone_scaling.py --app 8 <out.json>   # internal
+
+Writes BENCH/BASELINE_standalone_1x8_vs_4x8.md and prints one JSON
+line with both throughputs and the efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+MASTER_URL = "spark://127.0.0.1:7077"
+WORKER_CORES = 8
+N_WORKERS = 4
+SF_DIR = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/repo/.cache/sfdir/sf16")
+WH_ROOT = "/dev/shm/logzilla_standalone" if os.path.isdir("/dev/shm") else os.path.join(REPO, ".cache", "standalone_wh")
+
+
+def _spark_class() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-class")
+
+
+def _start_daemon(cmd: list[str], log_path: str, pattern: str, timeout: int = 60) -> subprocess.Popen:
+    logf = open(log_path, "w")
+    p = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT)
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        with open(log_path) as f:
+            if pattern in f.read():
+                return p
+        if p.poll() is not None:
+            raise RuntimeError(f"daemon died: {cmd} (see {log_path})")
+        time.sleep(0.5)
+    raise TimeoutError(f"{pattern!r} not seen in {log_path}")
+
+
+def start_cluster(tmp: str) -> list[subprocess.Popen]:
+    """Master + N_WORKERS pinned workers. Worker k owns cores
+    [8k, 8k+8) — its executor JVM AND that executor's Python UDF
+    workers inherit the cpuset (CPU affinity is inherited on fork),
+    exactly like a node-sized container."""
+    have_taskset = shutil.which("taskset") is not None
+    procs = [
+        _start_daemon(
+            [_spark_class(), "org.apache.spark.deploy.master.Master",
+             "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8081"],
+            os.path.join(tmp, "master.log"),
+            "I have been elected leader",
+        )
+    ]
+    for k in range(N_WORKERS):
+        cmd = [_spark_class(), "org.apache.spark.deploy.worker.Worker",
+               MASTER_URL, "-c", str(WORKER_CORES), "-m", "20g",
+               "-h", "127.0.0.1", "--webui-port", str(8090 + k),
+               "-d", os.path.join(tmp, f"worker{k}")]
+        if have_taskset:
+            lo, hi = WORKER_CORES * k, WORKER_CORES * (k + 1) - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
+        procs.append(
+            _start_daemon(cmd, os.path.join(tmp, f"worker{k}.log"),
+                          "Successfully registered with master")
+        )
+    return procs
+
+
+def run_app(total_cores: int, out_path: str) -> None:
+    """One standalone APPLICATION: cores.max executors x 8 cores; one
+    JIT warm-up trial then one measured trial of the e2e pipeline."""
+    from pyspark.sql import SparkSession
+
+    from bench import _stage_totals, run_pipeline_once
+    from logzilla_spark.session import engine_sql_confs
+    from package import build_zip
+
+    zip_path = build_zip(os.path.join(REPO, "dist", "logzilla_spark.zip"))
+    builder = (
+        SparkSession.builder.master(MASTER_URL)
+        .appName(f"standalone-scaling[{total_cores}]")
+        .config("spark.cores.max", str(total_cores))
+        .config("spark.executor.cores", str(WORKER_CORES))
+        .config("spark.executor.memory", "16g")
+        .config("spark.submit.pyFiles", zip_path)
+        .config("spark.pyspark.python", sys.executable)
+        .config("spark.ui.enabled", "true")
+    )
+    for k, v in engine_sql_confs(shuffle_partitions=total_cores).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(zip_path)
+    wh = os.path.join(WH_ROOT, f"wh_{total_cores}")
+    results = []
+    for trial in range(2):  # warm-up + measured
+        before = _stage_totals(spark)
+        r = run_pipeline_once(spark, SF_DIR, wh)
+        after = _stage_totals(spark)
+        r.update({k: round(after[k] - before[k], 3) for k in after})
+        results.append(r)
+    execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    spark.stop()
+    shutil.rmtree(wh, ignore_errors=True)
+    with open(out_path + ".tmp", "w") as f:
+        json.dump({"cores": total_cores, "n_executors": execs,
+                   "warmup": results[0], "measured": results[1]}, f)
+    os.rename(out_path + ".tmp", out_path)
+
+
+def main(rounds: int = 3) -> None:
+    from logzilla_spark.session import get_spark
+    from logzilla_spark.testdata import ensure_pages_spark
+
+    gen = get_spark(cores=32, app_name="scaling-fixture")
+    ensure_pages_spark(SF_DIR, gen)
+    gen.stop()
+
+    tmp = os.path.join(REPO, ".cache", "standalone")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shutil.rmtree(WH_ROOT, ignore_errors=True)
+    procs = start_cluster(tmp)
+    legs: list[tuple[int, str]] = []
+    try:
+        i = 0
+        for _r in range(rounds):
+            for cores in (WORKER_CORES, 4 * WORKER_CORES,
+                          4 * WORKER_CORES, WORKER_CORES):
+                out = os.path.join(tmp, f"app_{i}_{cores}.json")
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--app", str(cores), out],
+                    check=True, cwd=REPO,
+                    timeout=3600,
+                )
+                legs.append((cores, out))
+                i += 1
+    finally:
+        for p in reversed(procs):
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=20)
+            except Exception:  # noqa: BLE001
+                p.kill()
+
+    data = []
+    for cores, path in legs:
+        with open(path) as f:
+            data.append(json.load(f))
+    n_res = [d for d in data if d["cores"] == WORKER_CORES]
+    w_res = [d for d in data if d["cores"] == 4 * WORKER_CORES]
+    assert all(d["n_executors"] == 1 for d in n_res), n_res
+    assert all(d["n_executors"] == 4 for d in w_res), w_res
+    per_round = []
+    for r in range(rounds):
+        t_n = n_res[2 * r]["measured"]["total_sec"] + n_res[2 * r + 1]["measured"]["total_sec"]
+        t_w = w_res[2 * r]["measured"]["total_sec"] + w_res[2 * r + 1]["measured"]["total_sec"]
+        per_round.append(t_n / t_w / 4)
+    eff = statistics.median(per_round)
+
+    med = lambda xs: round(statistics.median(xs), 3)  # noqa: E731
+    n_t = med([d["measured"]["total_sec"] for d in n_res])
+    w_t = med([d["measured"]["total_sec"] for d in w_res])
+    n_pages = n_res[0]["measured"]["n_pages"]
+    n_dps = med([d["measured"]["docs_per_sec"] for d in n_res])
+    w_dps = med([d["measured"]["docs_per_sec"] for d in w_res])
+    metrics_rows = "\n".join(
+        f"| {label} | {med([d['measured']['executor_cpu_sec'] for d in rs])} "
+        f"| {med([d['measured']['executor_run_sec'] for d in rs])} "
+        f"| {med([d['measured']['jvm_gc_sec'] for d in rs])} |"
+        for label, rs in (("1 executor x 8 cores", n_res),
+                          ("4 executors x 8 cores", w_res))
+    )
+    md = f"""# Standalone-cluster scaling: 1 executor vs 4 executors (8 cores each)
+
+A REAL multi-executor Spark standalone cluster on this box — master +
+four worker daemons, each worker taskset-pinned to its own disjoint
+8-core cpuset with its own memory budget, executors as separate JVMs
+with separate Python UDF worker pools, the package shipped via
+``--py-files`` (spark.submit.pyFiles) — running the identical
+parse->enrich->route->aggregate job on the identical input
+({n_pages:,} pages, sf16). N = 1 executor, 4N = 4 executors
+(spark.cores.max 8 vs 32, spark.executor.cores 8). Every application
+block runs one JIT warm-up trial before its measured trial (fresh
+executor JVMs per app; both legs pay identical warm-up); ABBA rounds
+(N, 4N, 4N, N) compare within-round sums so host drift cancels to
+first order.
+
+| topology | median sec | docs/sec | measured trials (sec) |
+|---|---|---|---|
+| 1 executor x 8 cores (N) | {n_t} | {n_dps} | {[d['measured']['total_sec'] for d in n_res]} |
+| 4 executors x 8 cores (4N) | {w_t} | {w_dps} | {[d['measured']['total_sec'] for d in w_res]} |
+
+**Scaling efficiency = median per-round (T_N/T_4N)/4 = {eff:.3f}**
+(per-round: {', '.join(f'{e:.3f}' for e in per_round)}).
+
+| leg | executor CPU sec | executor run sec | JVM GC sec |
+|---|---|---|---|
+{metrics_rows}
+
+This is the fleet-shaped data point the single-JVM harness cannot
+give: executor-to-executor shuffle crosses process boundaries, each
+executor owns a node-sized cpuset and heap, and the driver schedules
+over 4 independent executor backends. It shares one physical memory
+subsystem and one hypervisor socket with its neighbors, so the same
+DRAM-bandwidth and co-tenancy caveats as BENCH/BASELINE.md's 8v32
+section apply to the 4-executor leg.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_md = os.path.join(REPO, "BENCH", "BASELINE_standalone_1x8_vs_4x8.md")
+    with open(out_md, "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "topology": "standalone 1x8 vs 4x8 executors",
+        "n_total_sec": n_t, "w_total_sec": w_t,
+        "docs_per_sec_n": n_dps, "docs_per_sec_4n": w_dps,
+        "efficiency": round(eff, 3), "per_round": [round(e, 3) for e in per_round],
+        "report": out_md,
+    }))
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    if "--app" in argv:
+        i = argv.index("--app")
+        run_app(int(argv[i + 1]), argv[i + 2])
+    else:
+        rounds = 3
+        if "--rounds" in argv:
+            rounds = int(argv[argv.index("--rounds") + 1])
+        main(rounds)
