@@ -50,7 +50,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 MASTER_URL = "spark://127.0.0.1:7077"
-WORKER_CORES = 8
+WORKER_CORES = int(os.environ.get("SPARK_GRAFT_STANDALONE_WORKER_CORES", "8"))
 N_WORKERS = 4
 SF_DIR = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/repo/.cache/sfdir/sf16")
 WH_ROOT = "/dev/shm/logzilla_standalone" if os.path.isdir("/dev/shm") else os.path.join(REPO, ".cache", "standalone_wh")
@@ -92,7 +92,7 @@ def start_cluster(tmp: str) -> list[subprocess.Popen]:
     ]
     for k in range(N_WORKERS):
         cmd = [_spark_class(), "org.apache.spark.deploy.worker.Worker",
-               MASTER_URL, "-c", str(WORKER_CORES), "-m", "20g",
+               MASTER_URL, "-c", str(WORKER_CORES), "-m", f"{2 * WORKER_CORES + 4}g",
                "-h", "127.0.0.1", "--webui-port", str(8090 + k),
                "-d", os.path.join(tmp, f"worker{k}")]
         if have_taskset:
@@ -120,7 +120,7 @@ def run_app(total_cores: int, out_path: str) -> None:
         .appName(f"standalone-scaling[{total_cores}]")
         .config("spark.cores.max", str(total_cores))
         .config("spark.executor.cores", str(WORKER_CORES))
-        .config("spark.executor.memory", "16g")
+        .config("spark.executor.memory", f"{2 * WORKER_CORES}g")
         .config("spark.submit.pyFiles", zip_path)
         .config("spark.pyspark.python", sys.executable)
         .config("spark.ui.enabled", "true")
@@ -211,7 +211,7 @@ def main(rounds: int = 3) -> None:
         for label, rs in (("1 executor x 8 cores", n_res),
                           ("4 executors x 8 cores", w_res))
     )
-    md = f"""# Standalone-cluster scaling: 1 executor vs 4 executors (8 cores each)
+    md = f"""# Standalone-cluster scaling: 1 executor vs 4 executors ({WORKER_CORES} cores each)
 
 A REAL multi-executor Spark standalone cluster on this box — master +
 four worker daemons, each worker taskset-pinned to its own disjoint
@@ -247,7 +247,7 @@ DRAM-bandwidth and co-tenancy caveats as BENCH/BASELINE.md's 8v32
 section apply to the 4-executor leg.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_md = os.path.join(REPO, "BENCH", "BASELINE_standalone_1x8_vs_4x8.md")
+    out_md = os.path.join(REPO, "BENCH", f"BASELINE_standalone_1x{WORKER_CORES}_vs_4x{WORKER_CORES}.md")
     with open(out_md, "w") as f:
         f.write(md)
     print(json.dumps({
