@@ -208,19 +208,19 @@ def main(rounds: int = 3) -> None:
         f"| {label} | {med([d['measured']['executor_cpu_sec'] for d in rs])} "
         f"| {med([d['measured']['executor_run_sec'] for d in rs])} "
         f"| {med([d['measured']['jvm_gc_sec'] for d in rs])} |"
-        for label, rs in (("1 executor x 8 cores", n_res),
-                          ("4 executors x 8 cores", w_res))
+        for label, rs in ((f"1 executor x {WORKER_CORES} cores", n_res),
+                          (f"4 executors x {WORKER_CORES} cores", w_res))
     )
     md = f"""# Standalone-cluster scaling: 1 executor vs 4 executors ({WORKER_CORES} cores each)
 
 A REAL multi-executor Spark standalone cluster on this box — master +
 four worker daemons, each worker taskset-pinned to its own disjoint
-8-core cpuset with its own memory budget, executors as separate JVMs
+{WORKER_CORES}-core cpuset with its own memory budget, executors as separate JVMs
 with separate Python UDF worker pools, the package shipped via
 ``--py-files`` (spark.submit.pyFiles) — running the identical
 parse->enrich->route->aggregate job on the identical input
 ({n_pages:,} pages, sf16). N = 1 executor, 4N = 4 executors
-(spark.cores.max 8 vs 32, spark.executor.cores 8). Every application
+(spark.cores.max {WORKER_CORES} vs {4 * WORKER_CORES}, spark.executor.cores {WORKER_CORES}). Every application
 block runs one JIT warm-up trial before its measured trial (fresh
 executor JVMs per app; both legs pay identical warm-up); ABBA rounds
 (N, 4N, 4N, N) compare within-round sums so host drift cancels to
@@ -228,8 +228,8 @@ first order.
 
 | topology | median sec | docs/sec | measured trials (sec) |
 |---|---|---|---|
-| 1 executor x 8 cores (N) | {n_t} | {n_dps} | {[d['measured']['total_sec'] for d in n_res]} |
-| 4 executors x 8 cores (4N) | {w_t} | {w_dps} | {[d['measured']['total_sec'] for d in w_res]} |
+| 1 executor x {WORKER_CORES} cores (N) | {n_t} | {n_dps} | {[d['measured']['total_sec'] for d in n_res]} |
+| 4 executors x {WORKER_CORES} cores (4N) | {w_t} | {w_dps} | {[d['measured']['total_sec'] for d in w_res]} |
 
 **Scaling efficiency = median per-round (T_N/T_4N)/4 = {eff:.3f}**
 (per-round: {', '.join(f'{e:.3f}' for e in per_round)}).
@@ -251,7 +251,7 @@ section apply to the 4-executor leg.
     with open(out_md, "w") as f:
         f.write(md)
     print(json.dumps({
-        "topology": "standalone 1x8 vs 4x8 executors",
+        "topology": f"standalone 1x{WORKER_CORES} vs 4x{WORKER_CORES} executors",
         "n_total_sec": n_t, "w_total_sec": w_t,
         "docs_per_sec_n": n_dps, "docs_per_sec_4n": w_dps,
         "efficiency": round(eff, 3), "per_round": [round(e, 3) for e in per_round],
