@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from logzilla_spark.functions.hashing import (
     P31,
@@ -220,12 +221,14 @@ def minhash_lsh_pairs(
     min_est: float = MIN_EST_SIM,
     min_jaccard: float = MIN_JACCARD,
     max_bucket: int | None = MAX_LSH_BUCKET,
+    cache_features: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
-    Pipeline: signature -> band bucket self-join (shuffle key =
-    (band_id, band_hash), uniform) -> distinct pairs -> signature
-    est_sim prefilter -> exact shingle-Jaccard verify.
+    Pipeline: one persisted per-doc feature pass (sig + hashed
+    shingles) -> banded bucket aggregation (shuffle key = (band_id,
+    band_hash), uniform) -> distinct pairs -> signature est_sim
+    prefilter -> exact shingle-Jaccard verify.
 
     Returns (doc_a, doc_b, est_sim, inter_n, union_n, jaccard) with
     jaccard >= min_jaccard. est_sim is an exact multiple of
@@ -244,8 +247,41 @@ def minhash_lsh_pairs(
     sf0.1). collect_list state stays O(max_bucket) because the filter
     runs BEFORE the aggregation.
     """
-    sig = minhash_signatures(df, id_col, text_col)
-    bands = minhash_band_hashes(sig)
+    # Per-doc features — the signature AND the hashed shingle set —
+    # built in ONE lineage (normalize once, md5 once) and PERSISTED:
+    # the plan consumes this table three times (band bucketing, doc_a
+    # verify side, doc_b verify side), and Spark recomputes an
+    # unpersisted lineage once per consumer (ReuseExchange does not
+    # fire across DeduplicateRelations' clones), i.e. three full
+    # normalize+shingle+md5 passes over the corpus. MEMORY_AND_DISK is
+    # the scale-safe level: the feature row (16-long sig + distinct
+    # shingle hashes) is a few KB/doc — smaller than the text it
+    # summarizes — and spills per-executor instead of OOMing; on
+    # executor loss Spark recomputes the lost partitions from lineage
+    # (unlike localCheckpoint, which would fail the job). Measured at
+    # sf0.1: 6.7-13.1s -> 5.2s steady-state, bit-identical output.
+    # ``cache_features=False`` opts out for callers that already
+    # persist/checkpoint their own feature table.
+    feat_sig = F.expr(
+        f"transform({_ab_literal(N_MINHASH)}, "
+        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
+    )
+    feat = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn(
+            "_hs",
+            F.expr(
+                f"transform({_shingles_expr('_n')}, s -> pmod({md5_long_expr('s')}, {P31}))"
+            ),
+        )
+        .select(
+            "id", feat_sig.alias("sig"), F.expr("array_distinct(_hs)").alias("_sh")
+        )
+    )
+    if cache_features:
+        feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = minhash_band_hashes(feat.select("id", "sig"))
     if max_bucket is not None:
         # Pre-aggregation guard: drop pathological buckets (boilerplate)
         # BEFORE collect_list so per-group aggregation state is
@@ -283,14 +319,12 @@ def minhash_lsh_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # Per-doc verify features — the signature AND the hashed shingle
-    # set — built in ONE lineage (normalize once, md5 once) and joined
-    # once per pair side. Verify runs on HASHED shingle sets
-    # (array<long>): 8-byte longs intersect ~3x faster than 5-char
-    # strings; hash collisions (2^-31 per pair) are computed
-    # identically by the DuckDB twin, so the oracle still matches bits.
-    # Measured alternatives, both SLOWER on the dup-heavy documents
-    # corpus where ~70% of candidates survive the est prefilter:
+    # Verify runs on HASHED shingle sets (array<long>): 8-byte longs
+    # intersect ~3x faster than 5-char strings; hash collisions
+    # (2^-31 per pair) are computed identically by the DuckDB twin, so
+    # the oracle still matches bits. Measured alternatives, both SLOWER
+    # on the dup-heavy documents corpus where ~70% of candidates
+    # survive the est prefilter:
     # (a) exact verify via the exploded inverted index (count matching
     #     shingles per pair, the ngram_jaccard_pairs trick) materializes
     #     |pairs| x |shingles/doc| join rows (~140M at sf0.1) — 3x
@@ -301,23 +335,6 @@ def minhash_lsh_pairs(
     #     slower than joining the 5k-row sig table after distinct.
     # Filter-verify funnels only pay off when the filter is selective;
     # here the honest hot path is the verify itself.
-    feat_sig = F.expr(
-        f"transform({_ab_literal(N_MINHASH)}, "
-        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
-    )
-    feat = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
-        .withColumn(
-            "_hs",
-            F.expr(
-                f"transform({_shingles_expr('_n')}, s -> pmod({md5_long_expr('s')}, {P31}))"
-            ),
-        )
-        .select(
-            "id", feat_sig.alias("sig"), F.expr("array_distinct(_hs)").alias("_sh")
-        )
-    )
     fa = feat.select(
         F.col("id").alias("doc_a"), F.col("sig").alias("_sa"), F.col("_sh").alias("_ga")
     )

@@ -66,6 +66,12 @@ def _canon(df):
 
 
 def test_kafka_shaped_stream_through_registry_chain(spark, tmp_path):
+    # another module (e.g. __spark_entry__) may own this name already —
+    # restore rather than delete it on exit
+    try:
+        prev = P.get_parser("legacy")
+    except ValueError:
+        prev = None
     P.register_parser(
         P.GrokParser(
             name="legacy",
@@ -120,4 +126,7 @@ def test_kafka_shaped_stream_through_registry_chain(spark, tmp_path):
         assert "kafka://applogs/0#0000" in ids
         assert len(ids) == 12
     finally:
-        P.unregister_parser("legacy")
+        if prev is not None:
+            P.register_parser(prev, replace=True)
+        else:
+            P.unregister_parser("legacy")
