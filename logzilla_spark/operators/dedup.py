@@ -261,7 +261,13 @@ def minhash_lsh_pairs(
     # (unlike localCheckpoint, which would fail the job). Measured at
     # sf0.1: 6.7-13.1s -> 5.2s steady-state, bit-identical output.
     # ``cache_features=False`` opts out for callers that already
-    # persist/checkpoint their own feature table.
+    # persist/checkpoint their own feature table. Lifetime: the cache
+    # entry lives until Spark's LRU evicts it (MEMORY_AND_DISK, so
+    # eviction is safe) or the caller clears it; a long-lived session
+    # calling this repeatedly should spark.catalog.clearCache()
+    # between corpora or pass cache_features=False — the operator
+    # returns a lazy plan, so it cannot unpersist on the caller's
+    # behalf without forfeiting the reuse it exists to provide.
     feat_sig = F.expr(
         f"transform({_ab_literal(N_MINHASH)}, "
         f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"

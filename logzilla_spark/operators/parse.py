@@ -705,7 +705,7 @@ def parse_records(
     else:
         raise ValueError(f"unknown parse impl: {impl!r}")
     return lines.select(
-        F.concat(F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 4, "0")).alias("id"),
+        F.concat(F.col("url"), F.lit("#"), F.format_string("%04d", F.col("pos"))).alias("id"),
         F.col("source"),
         fields["timestamp"].alias("timestamp"),
         fields["level"].alias("level"),

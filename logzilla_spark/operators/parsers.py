@@ -130,8 +130,15 @@ class GrokParser:
         # left unclaimed for the rest of the chain, never claimed with
         # garbage fields.
         sep, mark = "\x1e", "\x1d"
-        repl = mark + sep + sep.join(f"${i}" for i in range(1, n + 1))
-        wrapped = f"^.*?(?:{spark_re}).*$"
+        # n == 0 (no named groups, pure match test) must yield a
+        # 1-element split, not ['<mark>', ''] — omit the separator.
+        repl = mark + "".join(sep + f"${i}" for i in range(1, n + 1))
+        # The wrapper's .* runs in scoped DOTALL so a message with an
+        # embedded newline (stack trace) can still be claimed when the
+        # user pattern matches inside it — matching the unanchored
+        # rlike this replaced. (?s: ...) is scoped, so the USER
+        # pattern's own '.' semantics are untouched.
+        wrapped = f"^(?s:.*?)(?:{spark_re})(?s:.*)$"
         arr_col = f"_gk_{self.name}"
         lines = lines.withColumn(
             arr_col, F.split(F.regexp_replace(line, wrapped, repl), sep, -1)
@@ -384,7 +391,7 @@ def records_from_lines(
     )
     return lines.select(
         F.concat(
-            F.col("url"), F.lit("#"), F.lpad(F.col("pos").cast("string"), 4, "0")
+            F.col("url"), F.lit("#"), F.format_string("%04d", F.col("pos"))
         ).alias("id"),
         F.col("source"),
         parsed["timestamp"].alias("timestamp"),

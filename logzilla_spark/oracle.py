@@ -76,7 +76,7 @@ classified AS (
 ),
 records AS (
   SELECT
-    url || '#' || lpad(CAST(pos AS VARCHAR), 4, '0') AS id,
+    url || '#' || printf('%04d', pos) AS id,
     source,
     CASE WHEN json_ok THEN {jts_cast}
          WHEN acc_ok THEN {ats}
@@ -120,7 +120,7 @@ def records_custom_sql(pages_path: str) -> str:
     the base records relation."""
     return f"""WITH {records_cte(pages_path)},
 leg AS (
-  SELECT url || '#' || lpad(CAST(pos AS VARCHAR), 4, '0') AS id,
+  SELECT url || '#' || printf('%04d', pos) AS id,
          regexp_matches(line, '{LEGACY_RE_SQL}') AS leg_ok,
          regexp_extract(line, '{LEGACY_RE_SQL}', 1) AS n
   FROM classified WHERE NOT json_ok AND NOT acc_ok

@@ -147,7 +147,15 @@ def make_server(
     if cert_file and key_file:
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(certfile=cert_file, keyfile=key_file)
-        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+        # do_handshake_on_connect=False: accept() runs in the single
+        # serve_forever loop, so an eager handshake there lets one
+        # stalled client (half-open probe, no ClientHello) block every
+        # other connection. Deferred, the handshake happens on first
+        # read INSIDE the per-connection handler thread — the same
+        # per-goroutine shape as the reference's ListenAndServeTLS.
+        srv.socket = ctx.wrap_socket(
+            srv.socket, server_side=True, do_handshake_on_connect=False
+        )
         log.info("starting server with TLS")
     return srv
 

@@ -220,6 +220,22 @@ class LocalCatalog:
             return None
         return self._read_groups(spark, groups)
 
+    def has_unpartitioned_files(self, name: str, partition_by: str) -> bool:
+        """True when the latest snapshot holds any data file NOT under a
+        ``partition_by=<v>`` directory — i.e. the table predates the
+        partitioned layout and a partition-scoped overwrite would
+        silently carry its files forever (and clash on schema). Callers
+        use this to trigger a one-time full-rewrite migration."""
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            return False
+        pref = partition_by + "="
+        return any(
+            not any(part.startswith(pref) for part in f.split(os.sep))
+            for g in self._groups(name, sid)
+            for f in g["files"]
+        )
+
     def exists(self, name: str) -> bool:
         return self.last_snapshot_id(name) is not None
 

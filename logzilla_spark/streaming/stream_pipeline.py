@@ -218,6 +218,31 @@ def upsert_agg_batch(
     if committed.get(query_id, -1) >= batch_id:
         return False
     batch = batch.withColumn("agg_month", F.date_format("window_start", "yyyyMM"))
+    if cat.has_unpartitioned_files(table, "agg_month"):
+        # One-time migration: a table written by the pre-partitioned
+        # code has files outside agg_month= directories (and no
+        # agg_month column). A partition-scoped overwrite would carry
+        # them forever — invisible to the month-token pruning, clashing
+        # on schema at read, double-counting revised windows. Rewrite
+        # the WHOLE table once into the partitioned layout, merged with
+        # this epoch; every later epoch takes the keyed path.
+        whole = cat.read(spark, table)
+        if "agg_month" not in whole.columns:
+            whole = whole.withColumn(
+                "agg_month", F.date_format("window_start", "yyyyMM")
+            )
+        else:
+            whole = whole.withColumn("agg_month", F.col("agg_month").cast("string"))
+        merged = whole.join(
+            batch.select(*AGG_KEYS), AGG_KEYS, "left_anti"
+        ).unionByName(batch)
+        cat.overwrite(
+            merged,
+            table,
+            partition_by=["agg_month"],
+            summary=_committed_summary(committed, query_id, batch_id),
+        )
+        return True
     # the changed-window month set is tiny (one or two entries per
     # epoch under any sane watermark) — driver-side by construction
     months = [r.agg_month for r in batch.select("agg_month").distinct().collect()]

@@ -66,14 +66,26 @@ def _start_daemon(cmd: list[str], log_path: str, pattern: str, timeout: int = 60
     logf = open(log_path, "w")
     p = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT)
     t0 = time.time()
-    while time.time() - t0 < timeout:
-        with open(log_path) as f:
-            if pattern in f.read():
-                return p
-        if p.poll() is not None:
-            raise RuntimeError(f"daemon died: {cmd} (see {log_path})")
-        time.sleep(0.5)
-    raise TimeoutError(f"{pattern!r} not seen in {log_path}")
+    try:
+        while time.time() - t0 < timeout:
+            with open(log_path) as f:
+                if pattern in f.read():
+                    return p
+            if p.poll() is not None:
+                raise RuntimeError(f"daemon died: {cmd} (see {log_path})")
+            time.sleep(0.5)
+        raise TimeoutError(f"{pattern!r} not seen in {log_path}")
+    except BaseException:
+        # never leak a half-started daemon: an orphan master/worker
+        # keeps 7077/webui ports bound and breaks every later run
+        if p.poll() is None:
+            p.terminate()
+            try:
+                p.wait(timeout=10)
+            except Exception:  # noqa: BLE001
+                p.kill()
+        logf.close()
+        raise
 
 
 def start_cluster(tmp: str) -> list[subprocess.Popen]:

@@ -177,3 +177,61 @@ def test_grok_separator_in_value_fails_closed(spark):
         lines, chain=("sepcase",)).collect()}
     assert out["u1"] == "sepcase"
     assert out["u2"] == "unparsed"  # fails closed, not garbage
+
+
+_LINES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "lang string, source string, pos int, line string"
+)
+
+
+def _line_rows(spark, *lines):
+    rows = [(f"u{i}", T0, None, ln, "en", "s", i, ln) for i, ln in enumerate(lines)]
+    return spark.createDataFrame(rows, _LINES_SCHEMA)
+
+
+def test_grok_zero_group_pattern_claims(spark):
+    """A pattern with NO named groups is a pure match test: repl is the
+    bare sentinel, split arity is 1 — the line must still be claimed."""
+    P.register_parser(
+        P.GrokParser(name="zerog", pattern=r"^ERRORLINE\b", level_static="ERROR"),
+        replace=True,
+    )
+    lines = _line_rows(spark, "ERRORLINE disk full", "other line")
+    out = {r.url: r for r in P.records_from_lines(lines, chain=("zerog",)).collect()}
+    assert out["u0"].category == "zerog" and out["u0"].level == "ERROR"
+    assert out["u0"].metadata == {}
+    assert out["u1"].category == "unparsed"
+
+
+def test_grok_embedded_newline_claimed(spark):
+    """An unanchored pattern must claim a message with an embedded
+    newline (stack trace), as the pre-rewrite rlike did: the wrapper's
+    .* runs in scoped DOTALL. A user pattern anchored at both ends
+    still rejects multi-line content (its own anchors, as before)."""
+    multi = "evt=7 sev=2\njava.lang.NullPointerException\n  at X.y(X.java:1)"
+    lines = _line_rows(spark, multi)
+    P.register_parser(
+        P.GrokParser(name="unanch", pattern=r"evt=(?P<evt>\d+)",
+                     level_static="INFO", message_groups=("evt",)),
+        replace=True,
+    )
+    out = P.records_from_lines(lines, chain=("unanch",)).collect()[0]
+    assert out.category == "unanch" and out.metadata == {"evt": "7"}
+    P.register_parser(
+        P.GrokParser(name="anch", pattern=r"^evt=(?P<evt>\d+) sev=\d$",
+                     level_static="INFO"),
+        replace=True,
+    )
+    out = P.records_from_lines(lines, chain=("anch",)).collect()[0]
+    assert out.category == "unparsed"
+
+
+def test_record_id_pos_never_truncates(spark):
+    """pos >= 10000 must widen the id suffix, not truncate it (Spark's
+    lpad shortens over-long strings, colliding ids on any real Kafka
+    offset); the DuckDB twin uses printf the same way."""
+    rows = [("u", T0, None, "x", "en", "s", p, "x") for p in (7, 1234, 12345)]
+    lines = spark.createDataFrame(rows, _LINES_SCHEMA)
+    ids = sorted(r.id for r in P.records_from_lines(lines).collect())
+    assert ids == ["u#0007", "u#1234", "u#12345"]

@@ -124,6 +124,19 @@ def test_tls_loopback(spark, records_sf0001, tmp_path):
                 f"http://127.0.0.1:{srv.server_address[1]}/healthcheck",
                 timeout=5,
             )
+        # a connection that never sends a ClientHello must not block the
+        # accept loop (deferred handshake runs in the handler thread,
+        # not serve_forever): the next real client still gets served
+        import socket as _socket
+
+        stall = _socket.create_connection(
+            ("127.0.0.1", srv.server_address[1]), timeout=10
+        )
+        try:
+            with urllib.request.urlopen(url, context=ctx, timeout=10) as r:
+                assert r.status == 200
+        finally:
+            stall.close()
     finally:
         srv.shutdown()
 

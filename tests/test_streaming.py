@@ -211,3 +211,56 @@ def test_agg_upsert_touches_only_changed_month(spark, tmp_path):
         spark, cat, mk([(feb[0], feb[1], "json", "INFO", 123)]), 1
     )
     assert cat.last_snapshot_id("stream_agg") == 2
+
+
+def test_agg_upsert_migrates_legacy_unpartitioned_table(spark, tmp_path):
+    """A stream_agg table written by the pre-partitioned code (plain
+    overwrite, no agg_month= dirs, no agg_month column) must be
+    migrated in ONE full rewrite on the first keyed upsert — not
+    silently carried forever past the month-token pruning (schema
+    clash + double-counted revised windows)."""
+    from datetime import datetime
+
+    from logzilla_spark.streaming import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "category string, level string, n long",
+    )
+    jan = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5))
+    feb = (datetime(2024, 2, 1, 0, 0), datetime(2024, 2, 1, 0, 5))
+    # legacy layout: whole-table overwrite, unpartitioned
+    cat.overwrite(
+        mk([(jan[0], jan[1], "json", "INFO", 5),
+            (feb[0], feb[1], "json", "INFO", 7)]),
+        "stream_agg",
+    )
+    assert cat.has_unpartitioned_files("stream_agg", "agg_month")
+    # first keyed epoch revises February: migration folds January in
+    assert upsert_agg_batch(
+        spark, cat, mk([(feb[0], feb[1], "json", "INFO", 9)]), 0
+    )
+    assert not cat.has_unpartitioned_files("stream_agg", "agg_month")
+    got = {
+        (str(r.window_start), r.category, r.level): r.n
+        for r in cat.read(spark, "stream_agg").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "json", "INFO"): 5,
+        ("2024-02-01 00:00:00", "json", "INFO"): 9,
+    }
+    # next epoch takes the keyed path: January files carry over
+    before = {
+        f for g in cat._groups("stream_agg", cat.last_snapshot_id("stream_agg"))
+        for f in g["files"] if "agg_month=202401" in f
+    }
+    assert upsert_agg_batch(
+        spark, cat, mk([(feb[0], feb[1], "json", "INFO", 11)]), 1
+    )
+    after = {
+        f for g in cat._groups("stream_agg", cat.last_snapshot_id("stream_agg"))
+        for f in g["files"] if "agg_month=202401" in f
+    }
+    assert after == before
