@@ -253,3 +253,92 @@ def test_hybrid_router_keeps_simple_json_out_of_python(spark):
         if l in claimable:
             continue
         assert got[l] is True, f"nasty line NOT routed to Python: {l}"
+
+
+# --- 3. GrokParser vs a Python-re reference model -----------------------
+
+GROK_SEP, GROK_MARK = "\x1e", "\x1d"
+
+GROK_PATTERNS = [
+    # optional group (non-participating -> empty string)
+    (r"evt=(?P<evt>\d+)(?: sev=(?P<sev>\d))?", ("evt",)),
+    # anchored both ends
+    (r"^(?P<w>\w+) (?P<n>\d+)$", ("w",)),
+    # zero named groups: pure match test
+    (r"ERRORBLOCK", ()),
+]
+
+# ASCII only: Java \d\w are ASCII classes while Python's are Unicode —
+# a real dialect divergence, but not the contract under test here
+GROK_ALPHABET = "evt=sv 0123456789abcERRORBLOCK\n" + GROK_SEP + GROK_MARK + "#w_"
+
+grok_lines = st.one_of(
+    st.text(alphabet=GROK_ALPHABET, max_size=30),
+    st.just("evt=123 sev=4"),
+    st.just("evt=9\njava.lang.Boom\n  at X.y(X.java:1)"),
+    st.just("hello 42"),
+    st.just("ERRORBLOCK rest"),
+    st.just("evt=1" + GROK_SEP + "tail"),
+)
+
+
+def _ref_grok(line: str, pattern: str, message_groups: tuple):
+    """Reference model of GrokParser.plan's claim/extract contract:
+    claim iff the pattern matches (searched anywhere, wrapper crosses
+    newlines) and no captured value contains the join separator
+    (fail-closed); a NON-matching line passes through regexp_replace
+    unchanged, so a line already shaped like the sentinel output is
+    claimed with the raw parts — the documented degenerate case."""
+    import re as _re
+
+    names = _re.findall(r"\(\?P<([A-Za-z_]\w*)>", pattern)
+    m = _re.search(pattern, line)
+    if m:
+        vals = {nm: (m.group(i + 1) or "") for i, nm in enumerate(names)}
+        if any(GROK_SEP in v for v in vals.values()):
+            return None  # arity check fails -> unclaimed
+        return {"message": " ".join(vals[g] for g in message_groups),
+                "metadata": vals}
+    parts = line.split(GROK_SEP)
+    if len(parts) == len(names) + 1 and parts[0] == GROK_MARK:
+        vals = dict(zip(names, parts[1:]))
+        return {"message": " ".join(vals[g] for g in message_groups),
+                "metadata": vals}
+    return None
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(grok_lines, min_size=1, max_size=25))
+def test_grok_parser_matches_python_re_reference(lines, spark):
+    from logzilla_spark.operators import parsers as P
+
+    rows = [(f"u{i}", T0, None, ln, "en", "s", i, ln) for i, ln in enumerate(lines)]
+    frame = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string, pos int, line string",
+    )
+    for pat, msg_groups in GROK_PATTERNS:
+        P.register_parser(
+            P.GrokParser(name="propgrok", pattern=pat,
+                         level_static="NOTICE", message_groups=msg_groups),
+            replace=True,
+        )
+        try:
+            got = {r.id: r for r in
+                   P.records_from_lines(frame, chain=("propgrok",)).collect()}
+        finally:
+            P.unregister_parser("propgrok")
+        for i, ln in enumerate(lines):
+            ref, r = _ref_grok(ln, pat, msg_groups), got[f"u{i}#{i:04d}"]
+            if ref is None:
+                assert r.category == "unparsed", (pat, ln)
+            else:
+                assert r.category == "propgrok", (pat, ln)
+                assert r.level == "NOTICE", (pat, ln)
+                assert r.message == ref["message"], (pat, ln)
+                assert r.metadata == ref["metadata"], (pat, ln)
