@@ -172,6 +172,35 @@ def _ab_literal(n_hashes: int = N_MINHASH) -> str:
     return f"array({structs})"
 
 
+def _minhash_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Per-doc (id, sig, _sh): MinHash signature + distinct hashed
+    shingle set, built in ONE lineage (normalize once, md5 once) — the
+    single source of truth for the signature expression, shared by
+    minhash_signatures and minhash_lsh_pairs so the DuckDB twins track
+    one definition. Catalyst prunes whichever output column a consumer
+    drops, so selecting just (id, sig) pays nothing for _sh."""
+    sig = F.expr(
+        f"transform({_ab_literal(n_hashes)}, "
+        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn(
+            "_hs",
+            F.expr(
+                f"transform({_shingles_expr('_n')}, s -> pmod({md5_long_expr('s')}, {P31}))"
+            ),
+        )
+        .select("id", sig.alias("sig"), F.expr("array_distinct(_hs)").alias("_sh"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -183,17 +212,7 @@ def minhash_signatures(
     One md5 per distinct shingle, then the whole K-function family via
     cheap (a*h+b) mod p arithmetic — single projection, no shuffle.
     """
-    sig = F.expr(
-        f"transform({_ab_literal(n_hashes)}, "
-        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
-    )
-    return (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
-        .withColumn("_sh", F.expr(_shingles_expr("_n")))
-        .withColumn("_hs", F.expr(f"transform(_sh, s -> pmod({md5_long_expr('s')}, {P31}))"))
-        .select("id", sig.alias("sig"))
-    )
+    return _minhash_features(df, id_col, text_col, n_hashes).select("id", "sig")
 
 
 def minhash_band_hashes(sig_df: DataFrame) -> DataFrame:
@@ -268,23 +287,7 @@ def minhash_lsh_pairs(
     # between corpora or pass cache_features=False — the operator
     # returns a lazy plan, so it cannot unpersist on the caller's
     # behalf without forfeiting the reuse it exists to provide.
-    feat_sig = F.expr(
-        f"transform({_ab_literal(N_MINHASH)}, "
-        f"ab -> array_min(transform(_hs, h -> pmod(ab.a * h + ab.b, {P31}))))"
-    )
-    feat = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
-        .withColumn(
-            "_hs",
-            F.expr(
-                f"transform({_shingles_expr('_n')}, s -> pmod({md5_long_expr('s')}, {P31}))"
-            ),
-        )
-        .select(
-            "id", feat_sig.alias("sig"), F.expr("array_distinct(_hs)").alias("_sh")
-        )
-    )
+    feat = _minhash_features(df, id_col, text_col)
     if cache_features:
         feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
     bands = minhash_band_hashes(feat.select("id", "sig"))

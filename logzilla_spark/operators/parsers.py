@@ -113,6 +113,16 @@ class GrokParser:
         line = F.col("line")
         spark_re, idx = _spark_pattern(self.pattern)
         n = len(idx)
+        # Fail fast on the documented precondition instead of silently
+        # extracting the WRONG groups: an unnamed capturing group shifts
+        # every $i reference (names map to group order among named
+        # groups, but $i counts ALL capturing groups).
+        if re.compile(self.pattern).groups != n:
+            raise ValueError(
+                f"{self.name}: every capturing group must be named — "
+                f"pattern has {re.compile(self.pattern).groups} capturing "
+                f"groups but {n} named; use (?:...) for grouping"
+            )
         # ONE regex evaluation per row (the repo's materialization rule,
         # parse.py block comment: Spark does not deduplicate non-cheap
         # expressions, so per-group regexp_extract costs N+1 regex runs
@@ -140,11 +150,17 @@ class GrokParser:
         # pattern's own '.' semantics are untouched.
         wrapped = f"^(?s:.*?)(?:{spark_re})(?s:.*)$"
         arr_col = f"_gk_{self.name}"
+        # LineParser contract: no work on already-claimed lines — the
+        # regex (the expensive part) runs only where claimed is false;
+        # claimed rows get a null array and the coalesced ok is false.
         lines = lines.withColumn(
-            arr_col, F.split(F.regexp_replace(line, wrapped, repl), sep, -1)
+            arr_col,
+            F.when(~claimed, F.split(F.regexp_replace(line, wrapped, repl), sep, -1)),
         )
         arr = F.col(arr_col)
-        ok = (F.size(arr) == n + 1) & (F.element_at(arr, 1) == mark)
+        ok = F.coalesce(
+            (F.size(arr) == n + 1) & (F.element_at(arr, 1) == mark), F.lit(False)
+        )
 
         def g(name: str) -> Column:
             return F.element_at(arr, idx[name] + 1)

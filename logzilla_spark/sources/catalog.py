@@ -220,6 +220,35 @@ class LocalCatalog:
             return None
         return self._read_groups(spark, groups)
 
+    def read_layout_split(
+        self, spark: SparkSession, name: str, partition_by: str
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """Latest snapshot split by layout: (files under a
+        ``partition_by=`` directory, files outside one). Each side reads
+        with its own schema — the legacy side has no recovered partition
+        column — so callers can reconcile them instead of tripping over
+        a mixed-schema union. Either side is None when empty."""
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            return None, None
+        pref = partition_by + "="
+
+        def in_layout(f: str) -> bool:
+            return any(part.startswith(pref) for part in f.split(os.sep))
+
+        part_groups, legacy_groups = [], []
+        for g in self._groups(name, sid):
+            p = [f for f in g["files"] if in_layout(f)]
+            l = [f for f in g["files"] if not in_layout(f)]
+            if p:
+                part_groups.append({"base": g["base"], "files": p})
+            if l:
+                legacy_groups.append({"base": g["base"], "files": l})
+        return (
+            self._read_groups(spark, part_groups) if part_groups else None,
+            self._read_groups(spark, legacy_groups) if legacy_groups else None,
+        )
+
     def has_unpartitioned_files(self, name: str, partition_by: str) -> bool:
         """True when the latest snapshot holds any data file NOT under a
         ``partition_by=<v>`` directory — i.e. the table predates the

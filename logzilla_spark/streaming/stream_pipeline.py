@@ -198,6 +198,23 @@ def start_routing_stream(
     return writer.start()
 
 
+# Tables confirmed fully-partitioned (or freshly migrated): the manifest
+# scan behind has_unpartitioned_files is O(data files) and its verdict
+# can never flip back to True after the migration's overwrite, so pay it
+# once per (warehouse, table) per process, not per micro-batch.
+_MIGRATION_DONE: set[tuple[str, str]] = set()
+
+
+def _needs_layout_migration(cat: LocalCatalog, table: str) -> bool:
+    key = (cat.warehouse, table)
+    if key in _MIGRATION_DONE:
+        return False
+    if cat.has_unpartitioned_files(table, "agg_month"):
+        return True
+    _MIGRATION_DONE.add(key)
+    return False
+
+
 def upsert_agg_batch(
     spark: SparkSession,
     cat: LocalCatalog,
@@ -218,21 +235,35 @@ def upsert_agg_batch(
     if committed.get(query_id, -1) >= batch_id:
         return False
     batch = batch.withColumn("agg_month", F.date_format("window_start", "yyyyMM"))
-    if cat.has_unpartitioned_files(table, "agg_month"):
+    if _needs_layout_migration(cat, table):
         # One-time migration: a table written by the pre-partitioned
         # code has files outside agg_month= directories (and no
         # agg_month column). A partition-scoped overwrite would carry
         # them forever — invisible to the month-token pruning, clashing
         # on schema at read, double-counting revised windows. Rewrite
         # the WHOLE table once into the partitioned layout, merged with
-        # this epoch; every later epoch takes the keyed path.
-        whole = cat.read(spark, table)
-        if "agg_month" not in whole.columns:
-            whole = whole.withColumn(
-                "agg_month", F.date_format("window_start", "yyyyMM")
+        # this epoch; every later epoch takes the keyed path. The two
+        # layouts are read SEPARATELY (mixed tables exist when keyed
+        # epochs already ran against a legacy table): the partitioned
+        # side is newer by construction, so where both hold a window
+        # key the partitioned row wins and the stale legacy row drops.
+        part, legacy = cat.read_layout_split(spark, table, "agg_month")
+        legacy = (
+            legacy.withColumn("agg_month", F.date_format("window_start", "yyyyMM"))
+            if legacy is not None
+            else None
+        )
+        if part is not None:
+            part = part.withColumn("agg_month", F.col("agg_month").cast("string"))
+            whole = (
+                part
+                if legacy is None
+                else legacy.join(
+                    part.select(*AGG_KEYS), AGG_KEYS, "left_anti"
+                ).unionByName(part)
             )
         else:
-            whole = whole.withColumn("agg_month", F.col("agg_month").cast("string"))
+            whole = legacy
         merged = whole.join(
             batch.select(*AGG_KEYS), AGG_KEYS, "left_anti"
         ).unionByName(batch)
@@ -242,6 +273,7 @@ def upsert_agg_batch(
             partition_by=["agg_month"],
             summary=_committed_summary(committed, query_id, batch_id),
         )
+        _MIGRATION_DONE.add((cat.warehouse, table))
         return True
     # the changed-window month set is tiny (one or two entries per
     # epoch under any sane watermark) — driver-side by construction

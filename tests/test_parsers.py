@@ -235,3 +235,39 @@ def test_record_id_pos_never_truncates(spark):
     lines = spark.createDataFrame(rows, _LINES_SCHEMA)
     ids = sorted(r.id for r in P.records_from_lines(lines).collect())
     assert ids == ["u#0007", "u#1234", "u#12345"]
+
+
+def test_grok_rejects_unnamed_capturing_groups(spark):
+    """An unnamed capturing group shifts every replacement reference —
+    silent wrong-field extraction — so plan() must fail fast."""
+    P.register_parser(
+        P.GrokParser(name="badgroups", pattern=r"(\d+) (?P<a>\w+)",
+                     level_static="INFO"),
+        replace=True,
+    )
+    try:
+        with pytest.raises(ValueError, match="must be named"):
+            P.records_from_lines(_line_rows(spark, "42 abc"),
+                                 chain=("badgroups",))
+    finally:
+        P.unregister_parser("badgroups")
+
+
+def test_grok_skips_already_claimed_lines(spark):
+    """LineParser contract: a later grok must not claim (or spend its
+    regex on) lines an earlier parser already claimed."""
+    line = '{"timestamp":"2024-01-02T03:04:05Z","level":"warn","message":"evt=5"}'
+    P.register_parser(
+        P.GrokParser(name="greedy", pattern=r"evt=(?P<evt>\d+)",
+                     level_static="NOTICE"),
+        replace=True,
+    )
+    try:
+        out = P.records_from_lines(
+            _line_rows(spark, line, "evt=5 plain"), chain=("json", "greedy")
+        ).collect()
+    finally:
+        P.unregister_parser("greedy")
+    by_url = {r.id.split("#")[0]: r for r in out}
+    assert by_url["u0"].category == "json"      # json got it first
+    assert by_url["u1"].category == "greedy"    # unclaimed tail still claimed

@@ -264,3 +264,56 @@ def test_agg_upsert_migrates_legacy_unpartitioned_table(spark, tmp_path):
         for f in g["files"] if "agg_month=202401" in f
     }
     assert after == before
+
+
+def test_agg_upsert_migrates_mixed_layout_table(spark, tmp_path):
+    """A table with BOTH layouts — legacy unpartitioned files plus
+    agg_month= partitions written by keyed epochs that ran against it —
+    must migrate without a schema-clash union, and where both layouts
+    hold a window key the (newer) partitioned row must win."""
+    from datetime import datetime
+
+    from logzilla_spark.streaming import upsert_agg_batch
+    from logzilla_spark.streaming.stream_pipeline import _MIGRATION_DONE
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "category string, level string, n long",
+    )
+    jan = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5))
+    feb = (datetime(2024, 2, 1, 0, 0), datetime(2024, 2, 1, 0, 5))
+    mar = (datetime(2024, 3, 1, 0, 0), datetime(2024, 3, 1, 0, 5))
+    # legacy layout holds stale Jan + Feb
+    cat.overwrite(
+        mk([(jan[0], jan[1], "json", "INFO", 5),
+            (feb[0], feb[1], "json", "INFO", 7)]),
+        "stream_agg",
+    )
+    # an intermediate keyed epoch revised Feb into a partitioned file,
+    # carrying the legacy files forward untouched (the damaged state)
+    cat.overwrite_partitions(
+        mk([(feb[0], feb[1], "json", "INFO", 9)]).withColumn(
+            "agg_month", F.date_format("window_start", "yyyyMM")
+        ),
+        "stream_agg",
+        "agg_month",
+        ["202402"],
+    )
+    assert cat.has_unpartitioned_files("stream_agg", "agg_month")
+    _MIGRATION_DONE.discard((cat.warehouse, "stream_agg"))
+    # first epoch after the fix: migration reconciles both layouts
+    assert upsert_agg_batch(
+        spark, cat, mk([(mar[0], mar[1], "json", "INFO", 2)]), 0
+    )
+    assert not cat.has_unpartitioned_files("stream_agg", "agg_month")
+    got = {
+        (str(r.window_start), r.category, r.level): r.n
+        for r in cat.read(spark, "stream_agg").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "json", "INFO"): 5,   # legacy-only row kept
+        ("2024-02-01 00:00:00", "json", "INFO"): 9,   # partitioned row wins
+        ("2024-03-01 00:00:00", "json", "INFO"): 2,   # this epoch
+    }
