@@ -260,6 +260,15 @@ section apply to the 4-executor leg.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_md = os.path.join(REPO, "BENCH", f"BASELINE_standalone_1x{WORKER_CORES}_vs_4x{WORKER_CORES}.md")
+    # never clobber a curated report (same rule as bench.py --scaling):
+    # an existing file may hold merged multi-run analysis
+    k = 2
+    while os.path.exists(out_md):
+        out_md = os.path.join(
+            REPO, "BENCH",
+            f"BASELINE_standalone_1x{WORKER_CORES}_vs_4x{WORKER_CORES}_run{k}.md",
+        )
+        k += 1
     with open(out_md, "w") as f:
         f.write(md)
     print(json.dumps({
