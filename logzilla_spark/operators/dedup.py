@@ -393,11 +393,18 @@ def simhash_fingerprints(
     5.7 s on the same corpus, bit-identical output. The groupBy
     shuffle is map-side-complete (each doc's tokens are co-located by
     explode, so partial aggregation reduces to ``bits`` longs per doc
-    before the exchange)."""
+    before the exchange).
+
+    ``explode_outer``, not ``explode``: a NULL-text doc has a NULL
+    token array, which plain explode would DROP from the output, while
+    the nested-lambda form (and the DuckDB twin) emit fingerprint 0
+    for it (every NULL-guarded vote falls to -1, so no bit is set).
+    explode_outer keeps one NULL-token row, whose NULL hash votes -1
+    on every bit — same fingerprint 0, row preserved."""
     ex = (
         _spread(df)
         .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
-        .select("id", F.explode(F.split("_n", " ")).alias("_t"))
+        .select("id", F.explode_outer(F.split("_n", " ")).alias("_t"))
         .withColumn("_h", F.expr(md5_long_expr("_t")))
     )
     aggs = [

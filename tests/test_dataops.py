@@ -73,6 +73,23 @@ def test_simhash_planted_neardup(spark):
     assert pairs.get((1, 3)) == 0
 
 
+def test_simhash_null_and_empty_text_rows_survive(spark):
+    # The explode/groupBy fingerprint shape must not DROP degenerate
+    # docs: the nested-lambda form (and the DuckDB twin) emit
+    # fingerprint 0 for NULL text (every NULL-guarded vote falls to
+    # -1), and the empty string hashes like a single "" token. A plain
+    # explode would silently lose the NULL-text row.
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text here")],
+        "doc_id INT, text STRING",
+    )
+    fps = {r.id: r.fingerprint for r in dedup.simhash_fingerprints(df).collect()}
+    assert set(fps) == {1, 2, 3, 4}
+    assert fps[1] == 0
+    assert fps[2] == fps[3]  # whitespace normalizes to "" -> same vote
+    assert fps[4] not in (None,)
+
+
 def test_ngram_jaccard_planted(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
