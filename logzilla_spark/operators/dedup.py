@@ -537,6 +537,12 @@ def ngram_jaccard_pairs(
     """
     grams = (
         _spread(df)
+        # NULL-text docs have no grams and participate in NO pairs
+        # (matching the DuckDB twin, where the NULL gram list unnests
+        # to zero rows). Without this filter Spark's concat_ws swallows
+        # the NULL slice into an "" gram, spuriously pairing NULL-text
+        # docs with empty-text docs at jaccard 1.0.
+        .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .withColumn("_t", F.split("_n", " "))
         .select("id", F.expr(_wordgrams_expr("_t", n)).alias("_g"))

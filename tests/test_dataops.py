@@ -90,6 +90,20 @@ def test_simhash_null_and_empty_text_rows_survive(spark):
     assert fps[4] not in (None,)
 
 
+def test_ngram_jaccard_null_text_pairs_nothing(spark):
+    # A NULL-text doc has no grams and must pair with NOTHING — the
+    # DuckDB twin unnests its NULL gram list to zero rows. Spark's
+    # concat_ws would otherwise swallow the NULL slice into an ""
+    # gram and pair NULL-text docs with empty-text docs at 1.0.
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c d"), (5, "a b c e")],
+        "doc_id INT, text STRING",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(df).collect()}
+    assert all(1 not in p for p in pairs)
+    assert (2, 3) in pairs  # empty normalizes equal on both sides
+
+
 def test_ngram_jaccard_planted(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
