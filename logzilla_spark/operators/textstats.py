@@ -101,8 +101,15 @@ def quality_score(
         )
         .withColumn(
             "digit_ratio",
-            F.expr(f"size(regexp_extract_all(_n, '[0-9]', 0))").cast("double")
-            / F.col("n_chars").cast("double"),
+            # try_divide: an empty/whitespace-only doc has n_chars=0 and
+            # ANSI `/` would THROW mid-corpus; the DuckDB twin returns
+            # NULL for x/0, so try_divide is the bit-matching form. The
+            # n_words divisions above stay plain `/`: split() never
+            # returns an empty array (min is [""]), so n_words >= 1.
+            F.try_divide(
+                F.expr("size(regexp_extract_all(_n, '[0-9]', 0))").cast("double"),
+                F.col("n_chars").cast("double"),
+            ),
         )
     )
     score = (
@@ -135,7 +142,11 @@ def token_counts(
         .withColumn("n_chars", F.length("_n"))
         .withColumn(
             "chars_per_token",
-            F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"),
+            # try_divide: empty docs have zero BPE tokens; ANSI `/`
+            # throws, the DuckDB twin returns NULL for x/0.
+            F.try_divide(
+                F.col("n_chars").cast("double"), F.col("bpe_tokens").cast("double")
+            ),
         )
         .select("id", "ws_tokens", "bpe_tokens", "n_chars", "chars_per_token")
     )

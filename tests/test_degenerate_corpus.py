@@ -1,0 +1,114 @@
+"""Differential oracle over a degenerate / adversarial documents corpus.
+
+The sf* documents tables are well-formed web text; this corpus is the
+hostile tail a 100 TB crawl actually contains — NULL text, empty and
+whitespace-only docs, unicode (CJK, emoji, combining marks), a
+pathological single-token doc, control characters. Every dedup and
+textstats operator must (a) not crash (Spark 4 ANSI mode turns
+divide-by-zero and bad casts into runtime errors mid-corpus) and
+(b) still match its DuckDB twin bit-for-bit.
+
+Bugs this file has caught: quality_score / token_counts ANSI
+DIVIDE_BY_ZERO on empty docs (oracle returns NULL: try_divide);
+simhash explode dropping NULL-text docs (twin emits fingerprint 0);
+ngram_jaccard pairing NULL-text docs with empty docs at jaccard 1.0
+(concat_ws swallows the NULL slice; twin emits nothing).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from logzilla_spark import oracle_dataops as od
+from logzilla_spark.operators import dedup, textstats
+from tests.conftest import canon_rows
+
+import duckdb
+
+
+DOCS = [
+    (1, None),
+    (2, ""),
+    (3, "   "),
+    (4, "café naïve résumé 中文文本 \U0001f600\U0001f600"),
+    (5, "a" * 5000),
+    (6, "tab\tsep\nnewline\rcarriage"),
+    (7, "éé combining"),
+    (8, "the quick brown fox jumps over the lazy dog"),
+    (9, "the quick brown fox jumps over the lazy dog again and again"),
+    (10, "the quick brown fox jumps over the lazy dog again and again!"),
+    (11, "12345 67890 111213"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_path(tmp_path_factory):
+    p = os.path.join(str(tmp_path_factory.mktemp("degenerate")), "docs.parquet")
+    pd.DataFrame(DOCS, columns=["doc_id", "text"]).to_parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, docs_path):
+    return spark.read.parquet(docs_path)
+
+
+def _assert_twin(sdf, sql):
+    sp = canon_rows(sdf.toPandas())
+    o = canon_rows(duckdb.sql(sql).df())
+    assert sp == o
+
+
+def test_exact_dedup_twin(docs_df, docs_path):
+    _assert_twin(dedup.exact_dedup_groups(docs_df), od.exact_dedup_sql(docs_path))
+
+
+def test_minhash_signatures_twin(docs_df, docs_path):
+    from pyspark.sql import functions as F
+
+    flat = dedup.minhash_signatures(docs_df).select(
+        "id",
+        *[
+            F.element_at("sig", j + 1).alias(f"s{j:02d}")
+            for j in range(dedup.N_MINHASH)
+        ],
+    )
+    _assert_twin(flat, od.minhash_signatures_sql(docs_path))
+
+
+def test_minhash_pairs_twin(docs_df, docs_path):
+    _assert_twin(dedup.minhash_lsh_pairs(docs_df), od.minhash_lsh_pairs_sql(docs_path))
+
+
+def test_simhash_fingerprints_twin(docs_df, docs_path):
+    _assert_twin(
+        dedup.simhash_fingerprints(docs_df), od.simhash_fingerprints_sql(docs_path)
+    )
+
+
+def test_simhash_pairs_twin(docs_df, docs_path):
+    _assert_twin(dedup.simhash_pairs(docs_df), od.simhash_pairs_sql(docs_path))
+
+
+def test_ngram_jaccard_twin(docs_df, docs_path):
+    _assert_twin(
+        dedup.ngram_jaccard_pairs(docs_df), od.ngram_jaccard_pairs_sql(docs_path)
+    )
+
+
+def test_language_id_twin(docs_df, docs_path):
+    _assert_twin(textstats.language_id(docs_df), od.language_id_sql(docs_path))
+
+
+def test_quality_score_twin(docs_df, docs_path):
+    # empty docs: ANSI divide-by-zero must NOT throw; NULL like the twin
+    _assert_twin(textstats.quality_score(docs_df), od.quality_score_sql(docs_path))
+
+
+def test_token_counts_twin(docs_df, docs_path):
+    _assert_twin(textstats.token_counts(docs_df), od.token_counts_sql(docs_path))
+
+
+def test_fingerprints_twin(docs_df, docs_path):
+    _assert_twin(textstats.fingerprints(docs_df), od.fingerprints_sql(docs_path))
