@@ -601,6 +601,11 @@ def cosine_expr(a_col: str, b_col: str) -> str:
     zip_with multiplies pairwise (after exact float->double casts),
     then a left-to-right aggregate sums: IEEE-754 evaluation order is
     pinned, so Spark and the oracle produce the same double bits.
+
+    try_divide, not ``/``: a zero vector has norm 0 and ANSI division
+    THROWS mid-corpus; DuckDB returns NULL for x/0, so try_divide is
+    the bit-matching form (the NULL cosine then fails any >= threshold
+    filter in both engines, dropping the pair).
     """
 
     def dot(x: str, y: str) -> str:
@@ -610,7 +615,7 @@ def cosine_expr(a_col: str, b_col: str) -> str:
         )
 
     return (
-        f"{dot(a_col, b_col)} / sqrt({dot(a_col, a_col)} * {dot(b_col, b_col)})"
+        f"try_divide({dot(a_col, b_col)}, sqrt({dot(a_col, a_col)} * {dot(b_col, b_col)}))"
     )
 
 
@@ -648,7 +653,8 @@ def embedding_neardup_pairs(
     )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.expr(f"{dot_ab} / sqrt(_da * _db)"))
+        # try_divide: zero vectors have norm 0 (see cosine_expr note)
+        .withColumn("cosine", F.expr(f"try_divide({dot_ab}, sqrt(_da * _db))"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

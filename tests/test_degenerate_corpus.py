@@ -112,3 +112,66 @@ def test_token_counts_twin(docs_df, docs_path):
 
 def test_fingerprints_twin(docs_df, docs_path):
     _assert_twin(textstats.fingerprints(docs_df), od.fingerprints_sql(docs_path))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: zero vector (norm 0 -> ANSI divide-by-zero without
+# try_divide) and NULL embedding (must drop everywhere, both engines).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_path(tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, list(map(float, rng.randn(64).astype(np.float32)))) for i in range(1, 9)
+    ]
+    rows.append((9, [0.0] * 64))  # zero vector: cosine undefined
+    rows.append((10, None))  # NULL embedding
+    p = os.path.join(str(tmp_path_factory.mktemp("degenerate_emb")), "emb.parquet")
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, emb_path):
+    return spark.read.parquet(emb_path)
+
+
+def test_embedding_neardup_twin(emb_df, emb_path):
+    _assert_twin(dedup.embedding_neardup_pairs(emb_df), od.embedding_neardup_sql(emb_path))
+
+
+def test_embedding_neardup_lsh_twin(emb_df, emb_path):
+    from logzilla_spark.operators import similarity
+
+    _assert_twin(
+        similarity.embedding_neardup_lsh(emb_df),
+        od.embedding_neardup_lsh_sql(emb_path),
+    )
+
+
+def test_cosine_topk_twin(emb_df, emb_path):
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.operators import similarity
+
+    probes = emb_df.filter(F.col("vec_id") % 5 == 0)  # id 5 real, id 10 NULL
+    _assert_twin(
+        similarity.cosine_topk(emb_df, probes, k=5),
+        od.cosine_topk_sql(emb_path, k=5, probe_mod=5),
+    )
+
+
+def test_cosine_topk_lsh_twin(emb_df, emb_path):
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.operators import similarity
+
+    probes = emb_df.filter(F.col("vec_id") % 5 == 0)
+    _assert_twin(
+        similarity.cosine_topk_lsh(emb_df, probes, k=5),
+        od.cosine_topk_lsh_sql(emb_path, k=5, probe_mod=5),
+    )
