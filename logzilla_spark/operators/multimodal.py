@@ -59,6 +59,13 @@ def _byte_sum(payload: bytes) -> int:
     return int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64)) % P31
 
 
+def _byte_sum_safe(payload: bytes | None) -> int | None:
+    """None-propagating byte sum: a corrupt row (NULL payload) yields
+    NULL stats instead of killing the job — the exact semantics of the
+    DuckDB twin, where decode(NULL) folds to NULL."""
+    return None if payload is None else _byte_sum(payload)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Byte-level stats per asset via Arrow-batched mapInPandas.
 
@@ -69,6 +76,9 @@ def media_stats(media: DataFrame) -> DataFrame:
     cols = media.select("media_id", "kind", "payload")
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads yield NULL stats (nullable Int64, None-safe
+        # maps) — one corrupt asset must not fail the corpus pass, and
+        # the DuckDB twin keeps the row with NULL-folded values.
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -76,13 +86,19 @@ def media_stats(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "header": payloads.map(
-                        lambda b: b[:HEADER_LEN].decode("ascii", errors="replace")
+                        lambda b: None
+                        if b is None
+                        else b[:HEADER_LEN].decode("ascii", errors="replace")
                     ),
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(_byte_sum).astype("int64"),
+                    "byte_len": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
+                    "checksum": payloads.map(_byte_sum_safe).astype("Int64"),
                     "body_checksum": payloads.map(
-                        lambda b: _byte_sum(b[HEADER_LEN:])
-                    ).astype("int64"),
+                        lambda b: _byte_sum_safe(
+                            None if b is None else b[HEADER_LEN:]
+                        )
+                    ).astype("Int64"),
                 }
             )
 
@@ -117,17 +133,25 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                     "valid image bytes; not exercised in this sandbox"
                 )
             payloads = pdf["payload"]
-            lens = payloads.map(len).astype("int64")
-            sums = payloads.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
+            # nullable Int dtypes: NULL meta stays NULL (the fixture
+            # meta struct is sparse by kind), NULL/empty payloads get
+            # NULL mean (the twin's x // 0 is NULL) instead of raising.
+            lens = payloads.map(lambda b: None if b is None else len(b)).astype(
+                "Int64"
             )
+            sums = payloads.map(
+                lambda b: None
+                if b is None
+                else int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
+            ).astype("Int64")
+            mean = (sums * 1000).floordiv(lens.where(lens != 0))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": pdf["width"].astype("int32"),
-                    "height": pdf["height"].astype("int32"),
+                    "width": pdf["width"].astype("Int32"),
+                    "height": pdf["height"].astype("Int32"),
                     "byte_len": lens,
-                    "mean_byte_milli": (sums * 1000 // lens).astype("int64"),
+                    "mean_byte_milli": mean.astype("Int64"),
                     "decoder": decoder,
                 }
             )
@@ -149,18 +173,25 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = AUDIO_FRAME_MS) -> Data
     )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # nullable Int dtypes + None-safe slicing: corrupt assets
+        # (NULL payload / NULL meta) yield NULL fields, same as the
+        # DuckDB twin's NULL folds — never a job-killing exception.
         for pdf in batches:
-            n_frames = (pdf["duration_ms"] // frame_ms).astype("int64")
+            n_frames = (pdf["duration_ms"].astype("Int64") // frame_ms)
             slice_len = 64  # bytes per sampled frame slice (fixture-scale)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "sample_rate": pdf["sample_rate"].astype("int32"),
-                    "duration_ms": pdf["duration_ms"].astype("int32"),
+                    "sample_rate": pdf["sample_rate"].astype("Int32"),
+                    "duration_ms": pdf["duration_ms"].astype("Int32"),
                     "n_frames": n_frames,
                     "frame0_checksum": pdf["payload"].map(
-                        lambda b: _byte_sum(b[HEADER_LEN : HEADER_LEN + slice_len])
-                    ).astype("int64"),
+                        lambda b: _byte_sum_safe(
+                            None
+                            if b is None
+                            else b[HEADER_LEN : HEADER_LEN + slice_len]
+                        )
+                    ).astype("Int64"),
                 }
             )
 

@@ -165,6 +165,77 @@ def test_cosine_topk_twin(emb_df, emb_path):
     )
 
 
+# ---------------------------------------------------------------------------
+# Media: NULL payload (corrupt asset), empty payload, sub-header
+# payload, NULL meta fields. One bad row must not kill the corpus
+# pass; NULL-folded outputs must match the twin.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_path(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_t = pa.struct(
+        [
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("duration_ms", pa.int32()),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "kind": pa.array(["image", "image", "audio", "image", "audio"]),
+            "payload": pa.array(
+                [b"IMGAabcdef", b"", None, b"IM", b"AUD"], pa.binary()
+            ),
+            "meta": pa.array(
+                [
+                    {"width": 8, "height": 4, "sample_rate": None, "duration_ms": None},
+                    {"width": 0, "height": 0, "sample_rate": None, "duration_ms": None},
+                    {"width": None, "height": None, "sample_rate": 16000, "duration_ms": 1000},
+                    {"width": None, "height": None, "sample_rate": None, "duration_ms": None},
+                    {"width": None, "height": None, "sample_rate": 8000, "duration_ms": 0},
+                ],
+                meta_t,
+            ),
+        }
+    )
+    p = os.path.join(str(tmp_path_factory.mktemp("degenerate_media")), "media.parquet")
+    pq.write_table(tbl, p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, media_path):
+    return spark.read.parquet(media_path)
+
+
+def test_media_stats_twin(media_df, media_path):
+    from logzilla_spark.operators import multimodal
+
+    _assert_twin(multimodal.media_stats(media_df), od.media_stats_sql(media_path))
+
+
+def test_image_features_twin(media_df, media_path):
+    from logzilla_spark.operators import multimodal
+
+    _assert_twin(
+        multimodal.decode_image_features(media_df), od.image_features_sql(media_path)
+    )
+
+
+def test_audio_frames_twin(media_df, media_path):
+    from logzilla_spark.operators import multimodal
+
+    _assert_twin(
+        multimodal.audio_frame_sample(media_df), od.audio_frames_sql(media_path)
+    )
+
+
 def test_cosine_topk_lsh_twin(emb_df, emb_path):
     from pyspark.sql import functions as F
 
