@@ -96,17 +96,34 @@ def run_pipeline_once(spark, sf_dir: str, warehouse: str) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(
+    spark, sf_dir: str, trials: int = 2
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Time each registered query; (best-of-``trials``, cold-first-run).
+
+    Same methodology as the pipeline half (main_single docstring): the
+    first execution of a plan pays one-time JIT/codegen-compile cost
+    (measured 15.1s -> 6.0s on q_dedup_minhash_pairs at sf0.1, 32
+    cores), while a long-running executor fleet at 100 TB runs every
+    plan steady-state. Best-of is the headline; the cold map is kept in
+    the output for transparency. Caches are cleared between trials so
+    persisted feature tables (dedup.py) are rebuilt per trial — the
+    delta is JIT, not cache reuse.
+    """
     import __spark_entry__ as entry
 
-    out = {}
+    best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in sorted(entry.queries().items()):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        _ = n
-    return out
+        times = []
+        for _ in range(max(1, trials)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(round(time.perf_counter() - t0, 3))
+        best[name] = min(times)
+        cold[name] = times[0]
+    return best, cold
 
 
 def main_single(
@@ -126,7 +143,9 @@ def main_single(
     wh = os.path.join(wh_root, f"bench_wh_{cpus}")
     runs = [run_pipeline_once(spark, sf_dir, wh) for _ in range(max(1, trials))]
     pipe = min(runs, key=lambda r: r["total_sec"])
-    queries = bench_queries(spark, sf_dir) if include_queries else {}
+    queries, queries_cold = (
+        bench_queries(spark, sf_dir) if include_queries else ({}, {})
+    )
     spark.stop()
     shutil.rmtree(wh, ignore_errors=True)
     return {
@@ -134,6 +153,7 @@ def main_single(
         "value": pipe["total_sec"],
         "unit": "sec",
         "queries": queries,
+        "queries_cold_sec": queries_cold,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "cpus": cpus,
         "trial_totals_sec": [r["total_sec"] for r in runs],
