@@ -45,8 +45,9 @@ parallelism comes from fanning multiple listeners into a union or
 fronting with Kafka (the production shape), so a per-partition Python
 counter on this path costs nothing that matters.
 
-UDP and Redis have no Spark built-in source; they remain out of scope,
-as in the reference.
+UDP and Redis have no Spark built-in source; they are implemented with
+the Python DataSource API instead (sources/udp.py,
+sources/redis_stream.py).
 """
 
 from __future__ import annotations
