@@ -516,4 +516,7 @@ if __name__ == "__main__":
         )
         print(json.dumps(res))
     else:
-        print(json.dumps(main_single(CPUS, SF_DIR)))
+        # Default (driver) run: 2 pipeline trials, best-of reported —
+        # same steady-state rationale as bench_queries; cold trial kept
+        # in trial_totals_sec for transparency.
+        print(json.dumps(main_single(CPUS, SF_DIR, trials=2)))
