@@ -383,6 +383,11 @@ def simhash_fingerprints(
     """Per-doc ``bits``-wide SimHash over whitespace tokens (term
     frequency weighted — duplicate tokens vote once each, Charikar '02).
 
+    KEYED by id: one output row per distinct ``id_col`` value.
+    Duplicate-id input rows merge into a single fingerprint over their
+    combined token multiset (the groupBy's natural semantics — the
+    DuckDB twin mirrors it with the same GROUP BY).
+
     Shape: explode tokens -> md5 -> groupBy(id) with ``bits``
     conditional SUM votes -> reassemble the fingerprint. The obvious
     one-projection form (nested ``aggregate`` lambdas over the token
@@ -396,11 +401,14 @@ def simhash_fingerprints(
     before the exchange).
 
     ``explode_outer``, not ``explode``: a NULL-text doc has a NULL
-    token array, which plain explode would DROP from the output, while
-    the nested-lambda form (and the DuckDB twin) emit fingerprint 0
-    for it (every NULL-guarded vote falls to -1, so no bit is set).
-    explode_outer keeps one NULL-token row, whose NULL hash votes -1
-    on every bit — same fingerprint 0, row preserved."""
+    token array, which plain explode would DROP from the output —
+    explode_outer keeps one NULL-token row per such doc. That row
+    votes ZERO on every bit (a NULL doc has no tokens): a solo NULL
+    doc sums to 0 everywhere → fingerprint 0 (the twin's LEFT JOIN
+    emits the same), and a NULL row merged under a duplicate id
+    contributes nothing — a -1 vote here would cancel the real rows'
+    votes, diverging from the twin (whose unnest yields no row at
+    all for NULL text)."""
     ex = (
         _spread(df)
         .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
@@ -409,15 +417,21 @@ def simhash_fingerprints(
     )
     aggs = [
         F.sum(
-            F.when(F.expr(f"(shiftright(_h, {i}) & 1) = 1"), 1).otherwise(-1)
+            F.when(F.col("_h").isNull(), 0)
+            .when(F.expr(f"(shiftright(_h, {i}) & 1) = 1"), 1)
+            .otherwise(-1)
         ).alias(f"_v{i}")
         for i in range(bits)
     ]
     g = ex.groupBy("id").agg(*aggs)
     fp: Column | None = None
     for i in range(bits):
+        # bit 63 is the long's sign bit: 1 << 63 overflows LongType as
+        # a literal, -(1 << 63) IS that bit pattern. Sum assembly stays
+        # exact — each bit contributes once, so no carry can occur.
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
         term = (
-            F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long"))
+            F.when(F.col(f"_v{i}") > 0, F.lit(bit_val).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
         fp = term if fp is None else fp + term

@@ -90,6 +90,16 @@ _G_IP, _G_TS, _G_METHOD, _G_PATH, _G_PROTO, _G_STATUS, _G_SIZE = 1, 2, 3, 4, 5, 
 
 ENVELOPE_KEYS = ("timestamp", "level", "message")
 
+
+def empty_metadata() -> Column:
+    """The records contract's empty metadata map (never-NULL defense).
+
+    ONE definition shared by every parse path (native/arrow/hybrid and
+    the registry chain in parsers.py) — the paths are bit-identical
+    twins, so the defense must not be able to desynchronize between
+    them."""
+    return F.from_json(F.lit("{}"), "map<string,string>")
+
 # --- hybrid-v2 routing: which JSON lines is from_json PROVABLY byte-exact
 # for?  A line is "simple" when it is one flat JSON object whose keys are
 # plain identifiers and whose values are backslash-free strings, integers,
@@ -591,7 +601,7 @@ def _json_map_fields(m: Column) -> dict[str, Column]:
     claimed branch can never emit NULL metadata — a conservative
     envelope instead of a silent contract break.
     """
-    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    empty_map = empty_metadata()
     return {
         "level": parse_level_col(m["level"]),
         "message": F.when(
@@ -614,7 +624,7 @@ def _assembled_fields(
     cheap; each branch's value exprs are evaluated per-row only when
     that branch claims the row.
     """
-    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    empty_map = empty_metadata()
     fallback = {
         "ts": F.col("warc_ts"),
         "level": F.lit("UNKNOWN"),

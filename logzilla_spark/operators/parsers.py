@@ -48,6 +48,7 @@ from .parse import (
     _access_exprs,
     _parse_json_only_udf,
     _simple_ok_from,
+    empty_metadata,
     explode_lines,
 )
 
@@ -296,7 +297,7 @@ class _JsonBuiltin:
                 # never NULL metadata (see parse._json_map_fields)
                 F.coalesce(
                     F.map_filter(m, lambda k, _: ~k.isin(*ENVELOPE_KEYS)),
-                    F.from_json(F.lit("{}"), _EMPTY_MAP),
+                    empty_metadata(),
                 ),
                 F.from_json(j["metadata_json"], _EMPTY_MAP),
             ),
@@ -396,7 +397,7 @@ def records_from_lines(
         cat = F.when(ok, name) if cat is None else cat.when(ok, name)
     cat = cat.otherwise(F.lit("unparsed")) if cat is not None else F.lit("unparsed")
 
-    empty_map = F.from_json(F.lit("{}"), _EMPTY_MAP)
+    empty_map = empty_metadata()
     parsed = F.struct(
         fold("ts", F.col("warc_ts")).alias("timestamp"),
         fold("level", F.lit("UNKNOWN")).alias("level"),

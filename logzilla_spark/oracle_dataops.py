@@ -151,20 +151,35 @@ WHERE CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) >= {MIN_JACCARD}"""
 
 
 def _fps_cte(docs_path: str) -> str:
-    inner = (
-        "list_sum(list_transform(ths, h -> "
-        "CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))"
+    # Grouped-by-id, mirroring dedup.simhash_fingerprints' keyed
+    # semantics exactly: duplicate-id rows merge into ONE fingerprint
+    # over the combined token multiset (one output row per id), instead
+    # of the old per-row form that emitted N diverging rows for N
+    # duplicates. NULL-text docs vanish from the unnest, so the LEFT
+    # JOIN from the distinct-id set restores them: every vote column is
+    # NULL, every CASE falls to 0, fingerprint 0 — the same result as
+    # Spark's explode_outer NULL-token row voting -1 on every bit.
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
     )
-    fp = (
-        f"CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i -> "
-        f"CASE WHEN {inner} > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+    # bit 63 is BIGINT's sign bit: the literal mirrors dedup.py's
+    # -(1 << 63) handling (exact for any bits <= 64).
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN ({(1 << i) if i < 63 else -(1 << 63)}::BIGINT) "
+        "ELSE 0::BIGINT END"
+        for i in range(SIMHASH_BITS)
     )
     return f"""{_docs_cte(docs_path)},
 toks AS (
-  SELECT id, list_transform(string_split(n, ' '), t -> {md5_long_sql('t')}) AS ths
-  FROM docs
+  SELECT id, {md5_long_sql('t')} AS h
+  FROM (SELECT id, unnest(string_split(n, ' ')) AS t FROM docs)
 ),
-fps AS (SELECT id, {fp} AS fingerprint FROM toks)"""
+votes AS (SELECT id, {votes} FROM toks GROUP BY id),
+fps AS (
+  SELECT d.id, CAST({fp} AS BIGINT) AS fingerprint
+  FROM (SELECT DISTINCT id FROM docs) d LEFT JOIN votes USING (id)
+)"""
 
 
 def simhash_fingerprints_sql(docs_path: str) -> str:

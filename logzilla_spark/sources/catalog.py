@@ -30,9 +30,14 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# One lock for all tables: commits are metadata-only JSON writes
+# (microseconds), so finer granularity buys nothing.
+_COMMIT_LOCK = threading.RLock()
 
 
 class SnapshotError(RuntimeError):
@@ -72,26 +77,39 @@ class LocalCatalog:
         with open(path) as f:
             return json.load(f)
 
-    def _commit(self, name: str, groups: list[dict], operation: str, summary: dict) -> int:
+    def _commit(self, name: str, groups: list[dict], operation: str, summary) -> int:
         """Publish a snapshot. ``groups`` = [{"base": dir, "files": [...]}]:
         each group is read with its own basePath, so a snapshot can mix
         normal appends with externally-staged partitioned directories
-        (the single-pass routing fan-out)."""
-        snap_dir = self._snap_dir(name)
-        os.makedirs(snap_dir, exist_ok=True)
-        new_id = (self.last_snapshot_id(name) or 0) + 1
-        manifest = {
-            "snapshot_id": new_id,
-            "operation": operation,
-            "groups": groups,
-            "summary": summary,
-        }
-        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(snap_dir, f"snap-{new_id:08d}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, final)  # atomic publish
-        return new_id
+        (the single-pass routing fan-out).
+
+        Commits are serialized under a process-wide lock (snapshot-id
+        allocation and publish are read-modify-write). ``summary`` may
+        be a zero-arg callable, resolved INSIDE the critical section:
+        a summary that derives from current table state (the streaming
+        layer's cumulative committed map) sees the true predecessor
+        snapshot, never a state read before a concurrent writer's
+        commit landed. Concurrent writers across PROCESSES are out of
+        scope for a local-FS catalog (single writer per table per
+        host), as for any non-transactional file catalog."""
+        with _COMMIT_LOCK:
+            if callable(summary):
+                summary = summary()
+            snap_dir = self._snap_dir(name)
+            os.makedirs(snap_dir, exist_ok=True)
+            new_id = (self.last_snapshot_id(name) or 0) + 1
+            manifest = {
+                "snapshot_id": new_id,
+                "operation": operation,
+                "groups": groups,
+                "summary": summary,
+            }
+            tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+            final = os.path.join(snap_dir, f"snap-{new_id:08d}.json")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, final)  # atomic publish
+            return new_id
 
     def _groups(self, name: str, snapshot_id: int) -> list[dict]:
         m = self._load_snapshot(name, snapshot_id)
@@ -123,10 +141,17 @@ class LocalCatalog:
     ) -> int:
         """Stage parquet then atomically publish a new snapshot."""
         new_files = self._stage_write(df, name, partition_by)
-        prev = self.last_snapshot_id(name)
-        prev_groups = self._groups(name, prev) if prev else []
-        groups = prev_groups + [{"base": self._data_dir(name), "files": new_files}]
-        return self._commit(name, groups, "append", summary or {})
+        # prev-groups read + commit under ONE lock hold: two concurrent
+        # appenders both reading prev=N would each publish groups
+        # missing the other's files (lost append). Staging (the Spark
+        # job) stays outside — only the metadata RMW serializes.
+        with _COMMIT_LOCK:
+            prev = self.last_snapshot_id(name)
+            prev_groups = self._groups(name, prev) if prev else []
+            groups = prev_groups + [
+                {"base": self._data_dir(name), "files": new_files}
+            ]
+            return self._commit(name, groups, "append", summary or {})
 
     def append_external(
         self,
@@ -140,10 +165,11 @@ class LocalCatalog:
         rewriting them — the Iceberg add_files / metadata-only append.
         ``base_path`` is the staging root, so partition-dir columns
         (``category=<c>``) are recovered at read time."""
-        prev = self.last_snapshot_id(name)
-        prev_groups = self._groups(name, prev) if prev else []
-        groups = prev_groups + [{"base": base_path, "files": sorted(files)}]
-        return self._commit(name, groups, "append", summary or {})
+        with _COMMIT_LOCK:  # prev-groups read + commit: one RMW (see append)
+            prev = self.last_snapshot_id(name)
+            prev_groups = self._groups(name, prev) if prev else []
+            groups = prev_groups + [{"base": base_path, "files": sorted(files)}]
+            return self._commit(name, groups, "append", summary or {})
 
     def overwrite(
         self,
@@ -174,22 +200,39 @@ class LocalCatalog:
         history to touch a handful of windows.
 
         ``df`` must contain exactly the merged content of the touched
-        partitions (partition column included)."""
+        partitions (partition column included) — enforced: a staged
+        file landing OUTSIDE the named partitions would otherwise be
+        committed alongside the same partition's carried-over old
+        files, silently double-counting its rows at read."""
         new_files = self._stage_write(df, name, [partition_by])
         tokens = {f"{partition_by}={v}" for v in partition_values}
+        stray = {
+            part
+            for f in new_files
+            for part in f.split(os.sep)
+            if part.startswith(f"{partition_by}=") and part not in tokens
+        }
+        if stray:
+            raise ValueError(
+                f"overwrite_partitions({name}): df contains partitions "
+                f"{sorted(stray)} not listed in partition_values "
+                f"{sorted(tokens)} — committing them would double-count "
+                "against the carried-over files of the same partitions"
+            )
 
         def untouched(path: str) -> bool:
             return not any(t in path.split(os.sep) for t in tokens)
 
-        prev = self.last_snapshot_id(name)
-        prev_groups = self._groups(name, prev) if prev else []
-        kept = [
-            {"base": g["base"], "files": [f for f in g["files"] if untouched(f)]}
-            for g in prev_groups
-        ]
-        kept = [g for g in kept if g["files"]]
-        groups = kept + [{"base": self._data_dir(name), "files": new_files}]
-        return self._commit(name, groups, "overwrite_partitions", summary or {})
+        with _COMMIT_LOCK:  # prev-groups read + commit: one RMW (see append)
+            prev = self.last_snapshot_id(name)
+            prev_groups = self._groups(name, prev) if prev else []
+            kept = [
+                {"base": g["base"], "files": [f for f in g["files"] if untouched(f)]}
+                for g in prev_groups
+            ]
+            kept = [g for g in kept if g["files"]]
+            groups = kept + [{"base": self._data_dir(name), "files": new_files}]
+            return self._commit(name, groups, "overwrite_partitions", summary or {})
 
     def read_partitions(
         self,

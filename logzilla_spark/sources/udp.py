@@ -75,8 +75,15 @@ class _UDPSimpleReader(SimpleDataSourceStreamReader):
     @property
     def sock(self) -> socket.socket:
         if self._sock is None:
+            # Deliberately NO SO_REUSEADDR: for UDP unicast it would let
+            # a second reader bind the same port alongside a lingering
+            # one (the API has no stop() hook to close ours — its
+            # lifetime is the runner process's), and Linux then delivers
+            # each datagram to only ONE of the two sockets — silent
+            # partial loss. Without it the second bind fails loudly
+            # with EADDRINUSE instead. UDP has no TIME_WAIT, so a
+            # closed port rebinds immediately anyway.
             s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, self.rcvbuf)
             s.bind((self.host, self.port))
             s.setblocking(False)

@@ -93,7 +93,10 @@ def _committed_map(cat: LocalCatalog, table: str) -> dict[str, int]:
     snapshot summary — O(1) per micro-batch regardless of table age.
     The walk below only runs across snapshots written by non-streaming
     paths (batch appends carry no map) or pre-map history, and stops at
-    the first cumulative map it finds."""
+    the first cumulative map it finds. Stopping is sound because every
+    streaming commit builds its map INSIDE the catalog's commit
+    critical section (_summary_at_publish), so the newest map can never
+    be stale for a concurrently-committing query."""
     merged: dict[str, int] = {}
     sid = cat.last_snapshot_id(table)
     while sid is not None and sid >= 1:
@@ -123,6 +126,17 @@ def _committed_summary(
         "batch_id": batch_id,
         "committed": {**committed, query_id: batch_id},
     }
+
+
+def _summary_at_publish(cat: LocalCatalog, table: str, query_id: str, batch_id: int):
+    """Publish-time summary builder (passed as a callable; the catalog
+    resolves it inside its commit critical section). The cumulative map
+    is re-read from the TRUE predecessor snapshot there, so a commit by
+    another query between this epoch's start and its publish cannot be
+    shadowed by a map read at epoch start — the head map stays
+    complete, which is what lets _committed_map stop at the first
+    cumulative map it sees."""
+    return lambda: _committed_summary(_committed_map(cat, table), query_id, batch_id)
 
 
 def _already_committed(cat: LocalCatalog, table: str, query_id: str, batch_id: int) -> bool:
@@ -159,7 +173,9 @@ def route_batch(
         return routed  # fully replayed epoch
     snaps = write_partitioned_tables(
         batch, cat, "category", sink_name, pending,
-        summary_for=lambda c: _committed_summary(committed[c], query_id, batch_id),
+        summary_for=lambda c: _summary_at_publish(
+            cat, sink_name(c), query_id, batch_id
+        ),
     )
     for c, sid in snaps.items():
         group = cat._groups(sink_name(c), sid)[-1]
@@ -271,7 +287,7 @@ def upsert_agg_batch(
             merged,
             table,
             partition_by=["agg_month"],
-            summary=_committed_summary(committed, query_id, batch_id),
+            summary=_summary_at_publish(cat, table, query_id, batch_id),
         )
         _MIGRATION_DONE.add((cat.warehouse, table))
         return True
@@ -293,7 +309,7 @@ def upsert_agg_batch(
         table,
         "agg_month",
         months,
-        summary=_committed_summary(committed, query_id, batch_id),
+        summary=_summary_at_publish(cat, table, query_id, batch_id),
     )
     return True
 

@@ -73,6 +73,33 @@ def test_simhash_planted_neardup(spark):
     assert pairs.get((1, 3)) == 0
 
 
+def test_simhash_64_bit_sign_bit(spark):
+    # bits=64 (the standard SimHash width): 1 << 63 overflows a
+    # LongType literal, so the bit-63 term must be assembled as
+    # -(1 << 63) — previously the plan CRASHED at construction for any
+    # bits > 63 before a single row was read. With single-token docs
+    # every hash-bit vote wins, so fingerprint == md5_long(token)
+    # exactly (md5_long is 60-bit, so bits 60-63 vote -1 and stay 0 —
+    # the sign-bit term is exercised structurally, not by data).
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.functions.hashing import md5_long_expr
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["alpha", "bravo", "charlie"])],
+        "doc_id INT, text STRING",
+    )
+    want = {
+        r.doc_id: r.h
+        for r in df.withColumn("h", F.expr(md5_long_expr("text"))).collect()
+    }
+    got = {
+        r.id: r.fingerprint
+        for r in dedup.simhash_fingerprints(df, bits=64).collect()
+    }
+    assert got == want
+
+
 def test_simhash_null_and_empty_text_rows_survive(spark):
     # The explode/groupBy fingerprint shape must not DROP degenerate
     # docs: the nested-lambda form (and the DuckDB twin) emit

@@ -91,6 +91,29 @@ def test_simhash_pairs_twin(docs_df, docs_path):
     _assert_twin(dedup.simhash_pairs(docs_df), od.simhash_pairs_sql(docs_path))
 
 
+def test_simhash_duplicate_ids_keyed(spark, tmp_path):
+    """Fingerprints are KEYED by id: duplicate-id rows merge into one
+    fingerprint over the combined token multiset — one output row per
+    id, Spark and the DuckDB twin agreeing bit-for-bit (the twin's old
+    per-row form emitted N diverging rows for N duplicates). A
+    NULL-text duplicate contributes only -1 votes, so it cannot set
+    bits its twin row didn't."""
+    p = os.path.join(str(tmp_path), "dup.parquet")
+    pd.DataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (1, "delta epsilon"),
+            (2, "alpha beta gamma"),
+            (3, None),
+            (3, "zeta"),
+        ],
+        columns=["doc_id", "text"],
+    ).to_parquet(p)
+    sdf = dedup.simhash_fingerprints(spark.read.parquet(p))
+    assert sdf.count() == 3  # one row per id, not per input row
+    _assert_twin(sdf, od.simhash_fingerprints_sql(p))
+
+
 def test_ngram_jaccard_twin(docs_df, docs_path):
     _assert_twin(
         dedup.ngram_jaccard_pairs(docs_df), od.ngram_jaccard_pairs_sql(docs_path)

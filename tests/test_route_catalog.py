@@ -148,3 +148,45 @@ def test_committed_map_is_o1_at_snapshot_head(tmp_path, monkeypatch):
     reads.clear()
     assert sp._already_committed(cat, "t", "agg", 999)
     assert len(reads) == 2  # head (no map) + first mapped snapshot
+
+
+def test_committed_map_fresh_under_interleaved_queries(tmp_path):
+    """Two queries committing to the SAME table, interleaved: a summary
+    built from state read at epoch START would embed a stale batch id
+    for the other query; _committed_map would then stop at that stale
+    head map and treat the other query's newest epoch as uncommitted —
+    re-appending a replayed micro-batch (duplicate rows). Publish-time
+    summary callables (resolved inside the catalog's commit lock) keep
+    the head map complete."""
+    from logzilla_spark.streaming import stream_pipeline as sp
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    t = "shared"
+    # query B commits batch 5
+    cat._commit(t, [], "append", sp._summary_at_publish(cat, t, "B", 5))
+    # query A's epoch begins HERE (old code captured the map now: B->5)
+    # ... then B commits batch 6 before A publishes
+    cat._commit(t, [], "append", sp._summary_at_publish(cat, t, "B", 6))
+    # A publishes; its head map must show B at 6, not 5
+    cat._commit(t, [], "append", sp._summary_at_publish(cat, t, "A", 0))
+    assert sp._already_committed(cat, t, "B", 6)  # replayed epoch detected
+    assert sp._already_committed(cat, t, "A", 0)
+    head = cat.snapshot_summary(t, cat.last_snapshot_id(t))
+    assert head["committed"] == {"B": 6, "A": 0}
+
+
+def test_overwrite_partitions_rejects_stray_partitions(spark, tmp_path):
+    """df carrying a partition value NOT named in partition_values must
+    fail fast: committing its files alongside the same partition's
+    carried-over old files would silently double-count every row."""
+    import pytest
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "202401"), (2, "202402")], "v INT, m STRING")
+    cat.overwrite(df, "t", partition_by=["m"])
+    with pytest.raises(ValueError, match="202402"):
+        cat.overwrite_partitions(df, "t", "m", ["202401"])
+    # the correct subset call still works
+    ok = df.filter("m = '202401'")
+    cat.overwrite_partitions(ok, "t", "m", ["202401"])
+    assert cat.read(spark, "t").count() == 2
