@@ -213,9 +213,9 @@ def _cursor_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q2)
 
 
-def _cursor_page2_sql() -> str:
+def _cursor_page2_sql(pages: str = None) -> str:
     return (
-        f"WITH {oracle.records_cte(_P01)}\n"
+        f"WITH {oracle.records_cte(pages or _P01)}\n"
         f"SELECT {', '.join(_SEARCH_COLS_SQL)} FROM records\n"
         f"WHERE \"timestamp\" >= TIMESTAMP '2024-01-01 00:00:00'\n"
         f"  AND \"timestamp\" <= TIMESTAMP '2024-01-08 00:00:00'\n"
@@ -224,12 +224,12 @@ def _cursor_page2_sql() -> str:
     )
 
 
-def _search_sql(q: Query) -> str:
+def _search_sql(q: Query, pages: str = None) -> str:
     import copy
 
     qq = copy.deepcopy(q)
     return (
-        f"WITH {oracle.records_cte(_P01)}\n"
+        f"WITH {oracle.records_cte(pages or _P01)}\n"
         + search_oracle_sql(
             "records", qq, time_column='"timestamp"', select_sql=_SEARCH_COLS_SQL
         )
@@ -330,8 +330,9 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _dataops_oracle_sql() -> dict[str, str]:
+def _dataops_oracle_sql(media: str = None) -> dict[str, str]:
     docs, emb = "documents", "embeddings"
+    media = media or _MEDIA01
     return {
         "q_dedup_exact": oracle_dataops.exact_dedup_sql(docs),
         "q_dedup_minhash_sig": oracle_dataops.minhash_signatures_sql(docs),
@@ -347,9 +348,9 @@ def _dataops_oracle_sql() -> dict[str, str]:
         "q_text_quality": oracle_dataops.quality_score_sql(docs),
         "q_text_tokens": oracle_dataops.token_counts_sql(docs),
         "q_text_fingerprint": oracle_dataops.fingerprints_sql(docs),
-        "q_media_stats": oracle_dataops.media_stats_sql(_MEDIA01),
-        "q_media_image_features": oracle_dataops.image_features_sql(_MEDIA01),
-        "q_media_audio_frames": oracle_dataops.audio_frames_sql(_MEDIA01),
+        "q_media_stats": oracle_dataops.media_stats_sql(media),
+        "q_media_image_features": oracle_dataops.image_features_sql(media),
+        "q_media_audio_frames": oracle_dataops.audio_frames_sql(media),
     }
 
 
@@ -472,19 +473,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = SF01) -> dict[str, str]:
+    """DuckDB twins for every queries() entry.
+
+    The driver calls this with no argument (sf0.01, its correctness
+    gate). ``scripts/verify_oracle.py`` passes the SF it actually runs
+    at, so the pages/media oracle paths follow the corpus instead of
+    silently pinning to the sf0.01 cache.
+    """
+    d = ensure_pages(sf_dir)
+    p = f"{d}/pages.parquet"
+    media = ensure_media(sf_dir)
     lvl = level_sql_case("event_type")
     sql = {
-        "q_pipeline_records": oracle.records_sql(_P01),
-        "q_pipeline_records_native": oracle.records_sql(_P01),
-        "q_pipeline_records_hybrid": oracle.records_sql(_P01),
-        "q_pipeline_records_custom": oracle.records_custom_sql(_P01),
-        "q_parse_fidelity": oracle.fidelity_sql(_P01),
-        "q_pipeline_window_agg": oracle.windowed_counts_sql(_P01),
-        "q_pipeline_window_agg_salted": oracle.windowed_counts_sql(_P01),
-        "q_pipeline_route_counts": oracle.route_counts_sql(_P01),
+        "q_pipeline_records": oracle.records_sql(p),
+        "q_pipeline_records_native": oracle.records_sql(p),
+        "q_pipeline_records_hybrid": oracle.records_sql(p),
+        "q_pipeline_records_custom": oracle.records_custom_sql(p),
+        "q_parse_fidelity": oracle.fidelity_sql(p),
+        "q_pipeline_window_agg": oracle.windowed_counts_sql(p),
+        "q_pipeline_window_agg_salted": oracle.windowed_counts_sql(p),
+        "q_pipeline_route_counts": oracle.route_counts_sql(p),
         "q_pipeline_enrich_agg": oracle.enrich_sql(
-            _P01, f"{_D01}/dim_lang.parquet", f"{_D01}/dim_severity.parquet"
+            p, f"{d}/dim_lang.parquet", f"{d}/dim_severity.parquet"
         ),
         "q_events_level_norm": f"""
 SELECT event_type, {lvl} AS level, CAST(count(*) AS BIGINT) AS n,
@@ -496,7 +507,7 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1""",
         "q_window_rank_top_sources": f"""
-WITH {oracle.records_cte(_P01)},
+WITH {oracle.records_cte(p)},
 counts AS (
   SELECT category, source, CAST(count(*) AS BIGINT) AS n
   FROM records GROUP BY 1, 2
@@ -508,13 +519,13 @@ ranked AS (
 )
 SELECT category, source, n, rnk FROM ranked WHERE rnk <= 3""",
         "q_setop_sources_both": f"""
-WITH {oracle.records_cte(_P01)}
+WITH {oracle.records_cte(p)}
 SELECT DISTINCT source FROM records WHERE category = 'json'
 INTERSECT
 SELECT DISTINCT source FROM records WHERE category = 'access'""",
-        "q_fulltext_scan": oracle.fulltext_sql(_P01, "disk svc3"),
-        "q_fulltext_index": oracle.fulltext_sql(_P01, "disk svc3"),
-        "q_multiline_reassembly": oracle.multiline_sql(_P01),
+        "q_fulltext_scan": oracle.fulltext_sql(p, "disk svc3"),
+        "q_fulltext_index": oracle.fulltext_sql(p, "disk svc3"),
+        "q_multiline_reassembly": oracle.multiline_sql(p),
         "q_events_sessions": sessionize_sql("events"),
         "q_events_hourly": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -536,7 +547,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
     }
     for name, sq in _search_queries().items():
-        sql[name] = _search_sql(sq)
-    sql["q_search_cursor_page2"] = _cursor_page2_sql()
-    sql.update(_dataops_oracle_sql())
+        sql[name] = _search_sql(sq, p)
+    sql["q_search_cursor_page2"] = _cursor_page2_sql(p)
+    sql.update(_dataops_oracle_sql(media))
     return sql

@@ -2,7 +2,8 @@
 """Driver-style correctness gate: every queries() entry vs its DuckDB oracle.
 
 Mirrors the per-round CORRECTNESS check: for each query name, run the
-Spark callable at sf0.01 AND the oracle SQL on the same parquet tables,
+Spark callable AND the oracle SQL on the same parquet tables (SF from
+$SPARK_GRAFT_VERIFY_SF, default sf0.01 — oracle paths follow the SF),
 then compare row count, sorted column names, and an order-insensitive
 stringified value multiset. Queries without an oracle entry get a
 rows-only smoke check. Usage:
@@ -50,7 +51,7 @@ def main() -> int:
     from logzilla_spark.session import get_spark
 
     spark = get_spark(cores=8, app_name="verify-oracle")
-    qs, osql = entry.queries(), entry.oracle_sql()
+    qs, osql = entry.queries(), entry.oracle_sql(SF_DIR)
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
     con = duckdb.connect()
     for t in TABLES:
