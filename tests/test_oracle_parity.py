@@ -41,3 +41,29 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "window_start" in df.columns
+
+
+def test_oracle_sql_follows_sf_dir():
+    """oracle_sql(sf_dir) must embed that SF's pages/media cache paths
+    in every corpus-backed statement (the no-arg default stays sf0.01,
+    the driver's gate), so scripts/verify_oracle.py compares Spark and
+    DuckDB over the SAME bytes at any scale."""
+    from logzilla_spark.testdata import ensure_media, ensure_pages
+
+    default = entry.oracle_sql()
+    alt = entry.oracle_sql("/root/testdata/sf0.001")
+    assert set(default) == set(alt)
+    p001 = f"{ensure_pages('/root/testdata/sf0.001')}/pages.parquet"
+    m001 = ensure_media("/root/testdata/sf0.001")
+    for name, want in [
+        ("q_pipeline_records", p001),
+        ("q_search_cursor_page2", p001),
+        ("q_search_backward", p001),
+        ("q_media_stats", m001),
+    ]:
+        assert want in alt[name], name
+        assert want not in default[name], name
+    # relational/docs-table statements are SF-independent text: the
+    # verify harness rebinds their DuckDB views instead
+    assert default["q_tpch_q1"] == alt["q_tpch_q1"]
+    assert default["q_dedup_exact"] == alt["q_dedup_exact"]
