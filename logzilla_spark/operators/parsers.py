@@ -50,6 +50,7 @@ from .parse import (
     _simple_ok_from,
     empty_metadata,
     explode_lines,
+    record_id,
 )
 
 _EMPTY_MAP = 'map<string,string>'
@@ -407,9 +408,7 @@ def records_from_lines(
         (cat != "unparsed").alias("parse_ok"),
     )
     return lines.select(
-        F.concat(
-            F.col("url"), F.lit("#"), F.format_string("%04d", F.col("pos"))
-        ).alias("id"),
+        record_id().alias("id"),
         F.col("source"),
         parsed["timestamp"].alias("timestamp"),
         parsed["level"].alias("level"),
