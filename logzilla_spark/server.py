@@ -110,7 +110,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._write(404, _envelope(False, f"no route: POST {self.path}"))
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
+            # malformed / negative Content-Length is a CLIENT error:
+            # int() garbage must not fall into the 500 recover path, and
+            # a negative value would turn rfile.read(n) into read-to-EOF
+            # (one slow client pinning a handler thread)
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._write(400, _envelope(False, "invalid Content-Length"))
+                return
+            if length < 0:
+                self._write(400, _envelope(False, "invalid Content-Length"))
+                return
             if length > MAX_BODY_BYTES:
                 self._write(400, _envelope(
                     False, f"Body must not be larger than {MAX_BODY_BYTES} bytes."))

@@ -59,6 +59,27 @@ def test_bad_input_maps_to_400(live_server):
     assert body["success"] is False and "start" in body["message"]
 
 
+def test_invalid_content_length_is_client_error(live_server):
+    """Garbage or negative Content-Length must map to 400, not the 500
+    recover path — and a negative value must never reach rfile.read()
+    (read(-n) means read-to-EOF: one slow client pins a handler
+    thread)."""
+    import http.client
+
+    host, port = live_server.removeprefix("http://").split(":")
+    for bad in ("banana", "-5"):
+        conn = http.client.HTTPConnection(host, int(port), timeout=10)
+        conn.putrequest("POST", "/api/logs/search")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", bad)
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 400, bad
+        assert body["success"] is False and "Content-Length" in body["message"]
+        conn.close()
+
+
 def test_healthcheck_and_404(live_server):
     with urllib.request.urlopen(f"{live_server}/healthcheck") as r:
         assert r.status == 200 and json.loads(r.read())["success"]
