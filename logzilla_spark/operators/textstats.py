@@ -42,18 +42,11 @@ def _hits_expr(tokens_col: str, words: list[str]) -> str:
     return f"size(filter({tokens_col}, t -> array_contains({lit}, t)))"
 
 
-def language_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Stopword-hit language classifier (n-gram heuristic).
-
-    Counts per-language stopword hits over whitespace tokens; predicts
-    the max-hit language with a fixed priority tie-break. Returns
-    (id, hits_<lang>..., pred_lang).
-    """
-    base = df.select(
-        F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
-    ).withColumn("_t", F.split("_n", " "))
+def _with_lang_pred(base: DataFrame) -> DataFrame:
+    """Add hits_<lang> columns and the priority-tie-break prediction to
+    a frame carrying ``_t`` (whitespace tokens of the normalized text).
+    ONE builder shared by language_id and curate_corpus so the composed
+    curation pass cannot drift from the unit operator."""
     for lang in LANG_PRIORITY:
         base = base.withColumn(
             f"hits_{lang}", F.expr(_hits_expr("_t", STOPWORDS[lang]))
@@ -68,8 +61,23 @@ def language_id(
         (F.col("hits_es") >= F.col("hits_de")) & (F.col("hits_es") >= F.col("hits_fr")),
         F.lit("es"),
     ).when(F.col("hits_de") >= F.col("hits_fr"), F.lit("de")).otherwise(F.lit("fr"))
-    return base.select(
-        "id", *[f"hits_{lang}" for lang in LANG_PRIORITY], pred.alias("pred_lang")
+    return base.withColumn("pred_lang", pred)
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-hit language classifier (n-gram heuristic).
+
+    Counts per-language stopword hits over whitespace tokens; predicts
+    the max-hit language with a fixed priority tie-break. Returns
+    (id, hits_<lang>..., pred_lang).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+    ).withColumn("_t", F.split("_n", " "))
+    return _with_lang_pred(base).select(
+        "id", *[f"hits_{lang}" for lang in LANG_PRIORITY], "pred_lang"
     )
 
 
@@ -84,10 +92,22 @@ def quality_score(
     All terms are exact int/int divisions combined in a fixed order —
     bit-portable to the oracle.
     """
-    base = (
+    base = _with_quality(
         df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .withColumn("_t", F.split("_n", " "))
-        .withColumn("n_chars", F.length("_n"))
+    )
+    return base.select(
+        "id", "n_chars", "n_words", "avg_word_len",
+        "stop_ratio", "digit_ratio", "quality", "quality_band",
+    )
+
+
+def _with_quality(base: DataFrame) -> DataFrame:
+    """Add the quality columns (n_chars..quality_band) to a frame
+    carrying ``_n``/``_t``. Shared by quality_score and curate_corpus
+    (same non-drift rationale as _with_lang_pred)."""
+    base = (
+        base.withColumn("n_chars", F.length("_n"))
         .withColumn("n_words", F.size("_t"))
         .withColumn(
             "avg_word_len",
@@ -117,15 +137,11 @@ def quality_score(
         + F.col("stop_ratio") * F.lit(0.3)
         + (F.lit(1.0) - F.col("digit_ratio")) * F.lit(0.2)
     )
-    banded = base.withColumn("quality", score).withColumn(
+    return base.withColumn("quality", score).withColumn(
         "quality_band",
         F.when(F.col("quality") >= 0.6, "high")
         .when(F.col("quality") >= 0.4, "medium")
         .otherwise("low"),
-    )
-    return banded.select(
-        "id", "n_chars", "n_words", "avg_word_len",
-        "stop_ratio", "digit_ratio", "quality", "quality_band",
     )
 
 
@@ -173,5 +189,57 @@ def fingerprints(
             "id",
             md5_long(F.col("_n")).alias("fp_md5"),
             roll.alias("fp_roll"),
+        )
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.4,
+) -> DataFrame:
+    """One-pass corpus curation: the canonical LLM training-data shape
+    (language gate -> quality gate -> exact-dedup keep-first), composed
+    from the SAME expression builders as the unit operators.
+
+    Plan shape for 100 TB: a single narrow projection computes language
+    hits, quality and BPE token counts together (one scan, column-
+    pruned to (id, text), fully codegen), the gates filter BEFORE the
+    only shuffle, and the keep-first dedup is a window over the content
+    hash of the surviving minority — no joins, no second scan. The
+    reference has no curation pass; this is the graft-mandated
+    training-data extension (SURVEY.md §2 G-block context).
+
+    Returns surviving docs: (id, pred_lang, quality, quality_band,
+    bpe_tokens, n_copies) where n_copies counts the gated rows sharing
+    the survivor's content hash (its duplicates were dropped).
+    """
+    from pyspark.sql.window import Window
+
+    base = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("_t", F.split("_n", " "))
+        .withColumn(
+            "bpe_tokens", F.expr(f"size(regexp_extract_all(_n, '{BPE_RE}', 0))")
+        )
+    )
+    gated = _with_quality(_with_lang_pred(base)).filter(
+        (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy(F.md5("_n"))
+    # both window functions in ONE select: separate withColumns leave a
+    # Project between the Window operators, defeating CollapseWindow —
+    # the same partition spec then shuffles and sorts TWICE
+    return (
+        gated.select(
+            "id", "pred_lang", "quality", "quality_band", "bpe_tokens",
+            F.min("id").over(w).alias("_keeper"),
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+        )
+        .filter(F.col("id") == F.col("_keeper"))
+        .select(
+            "id", "pred_lang", "quality", "quality_band", "bpe_tokens", "n_copies"
         )
     )

@@ -420,6 +420,53 @@ SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
 FROM docs"""
 
 
+def curate_corpus_sql(
+    docs_path: str, lang: str = "en", min_quality: float = 0.4
+) -> str:
+    """Twin of textstats.curate_corpus: language gate + quality gate +
+    exact-dedup keep-first in one statement. The quality/pred_lang
+    expressions are the SAME text as language_id_sql/quality_score_sql
+    (shared constants); dedup is QUALIFY over the content hash."""
+    hit_cols = ", ".join(
+        f"CAST({_hits(STOPWORDS[lg])} AS INT) AS hits_{lg}" for lg in LANG_PRIORITY
+    )
+    quality = (
+        "CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5"
+        " + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2"
+    )
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, n, string_split(n, ' ') AS t FROM docs),
+feat AS (
+  SELECT id, n, {hit_cols},
+         CAST(len(regexp_extract_all(n, '{BPE_RE}')) AS INT) AS bpe_tokens,
+         CAST(length(n) AS INT) AS n_chars,
+         CAST(len(t) AS INT) AS n_words,
+         CAST({_hits(STOPWORDS['en'])} AS DOUBLE) / CAST(len(t) AS DOUBLE)
+           AS stop_ratio,
+         CAST(len(regexp_extract_all(n, '[0-9]')) AS DOUBLE)
+           / CAST(length(n) AS DOUBLE) AS digit_ratio
+  FROM toks
+),
+scored AS (
+  SELECT id, n, bpe_tokens, {quality} AS quality,
+         CASE WHEN {quality} >= 0.6 THEN 'high'
+              WHEN {quality} >= 0.4 THEN 'medium'
+              ELSE 'low' END AS quality_band,
+         CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+              WHEN hits_de >= hits_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM feat
+),
+gated AS (
+  SELECT * FROM scored WHERE pred_lang = '{lang}' AND quality >= {min_quality}
+)
+SELECT id, pred_lang, quality, quality_band, bpe_tokens,
+       CAST(count(*) OVER (PARTITION BY md5(n)) AS BIGINT) AS n_copies
+FROM gated
+QUALIFY id = min(id) OVER (PARTITION BY md5(n))"""
+
+
 # --------------------------------------------------------------------------
 # multimodal twins
 # --------------------------------------------------------------------------

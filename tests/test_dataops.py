@@ -292,3 +292,31 @@ def test_simhash_block_geometry():
     assert dedup.SIMHASH_BITS == 60
     assert dedup.SIMHASH_BLOCKS * dedup.SIMHASH_BLOCK_BITS == dedup.SIMHASH_BITS
     assert dedup.SIMHASH_BLOCK_MASK == (1 << dedup.SIMHASH_BLOCK_BITS) - 1
+
+
+def test_curate_corpus_semantics_and_plan(spark):
+    """Composed curation: en-gate + quality-gate + keep-first dedup in
+    one pass. Semantics on a hand corpus, and the plan must stay the
+    single-pass shape: one parquet-free scan, ONE Exchange (the dedup
+    window — separate withColumns would shuffle twice), gates applied
+    below it."""
+    rows = [
+        # two identical high-quality english docs -> one survivor, n_copies=2
+        (1, "the quick brown fox is on the hill with a friend of the pack"),
+        (2, "the quick brown fox is on the hill with a friend of the pack"),
+        # distinct english doc -> survives alone
+        (3, "a log engine for the data of the future is on the way to you"),
+        # spanish doc -> gated out by language
+        (4, "el perro de la casa que corre en un parque con los gatos del barrio"),
+        # digit soup -> gated out by quality
+        (5, "1234567890 999 888 777 666 555 444 333 222 111 000 42 43 44 45"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in textstats.curate_corpus(df).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_copies == 2 and out[3].n_copies == 1
+    assert out[1].pred_lang == "en" and out[1].quality >= 0.4
+
+    plan = textstats.curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    assert plan.count("Window") == 1, plan
