@@ -213,7 +213,7 @@ def _cursor_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q2)
 
 
-def _cursor_page2_sql(pages: str = None) -> str:
+def _cursor_page2_sql(pages: str | None = None) -> str:
     return (
         f"WITH {oracle.records_cte(pages or _P01)}\n"
         f"SELECT {', '.join(_SEARCH_COLS_SQL)} FROM records\n"
@@ -224,7 +224,7 @@ def _cursor_page2_sql(pages: str = None) -> str:
     )
 
 
-def _search_sql(q: Query, pages: str = None) -> str:
+def _search_sql(q: Query, pages: str | None = None) -> str:
     import copy
 
     qq = copy.deepcopy(q)
@@ -332,7 +332,7 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _dataops_oracle_sql(media: str = None) -> dict[str, str]:
+def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
     docs, emb = "documents", "embeddings"
     media = media or _MEDIA01
     return {
@@ -484,9 +484,17 @@ def oracle_sql(sf_dir: str = SF01) -> dict[str, str]:
     at, so the pages/media oracle paths follow the corpus instead of
     silently pinning to the sf0.01 cache.
     """
+    import os
+
+    def duck_path(path: str) -> str:
+        # Spark-generated corpora (scaling SFs) are parquet DIRECTORIES;
+        # DuckDB's read_parquet needs the part-file glob for those,
+        # while single-file SFs stay as-is.
+        return f"{path}/*.parquet" if os.path.isdir(path) else path
+
     d = ensure_pages(sf_dir)
-    p = f"{d}/pages.parquet"
-    media = ensure_media(sf_dir)
+    p = duck_path(f"{d}/pages.parquet")
+    media = duck_path(ensure_media(sf_dir))
     lvl = level_sql_case("event_type")
     sql = {
         "q_pipeline_records": oracle.records_sql(p),

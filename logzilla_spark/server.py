@@ -114,14 +114,13 @@ class _Handler(BaseHTTPRequestHandler):
             # int() garbage must not fall into the 500 recover path, and
             # a negative value would turn rfile.read(n) into read-to-EOF
             # (one slow client pinning a handler thread)
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-            except ValueError:
+            raw_len = self.headers.get("Content-Length", "0")
+            # RFC 7230: 1*DIGIT — int() alone also accepts '+100',
+            # ' 100 ', '1_000' and unicode digits
+            if not (raw_len.isascii() and raw_len.isdigit()):
                 self._write(400, _envelope(False, "invalid Content-Length"))
                 return
-            if length < 0:
-                self._write(400, _envelope(False, "invalid Content-Length"))
-                return
+            length = int(raw_len)
             if length > MAX_BODY_BYTES:
                 self._write(400, _envelope(
                     False, f"Body must not be larger than {MAX_BODY_BYTES} bytes."))

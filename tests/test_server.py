@@ -67,7 +67,7 @@ def test_invalid_content_length_is_client_error(live_server):
     import http.client
 
     host, port = live_server.removeprefix("http://").split(":")
-    for bad in ("banana", "-5"):
+    for bad in ("banana", "-5", "1_000", "+100"):
         conn = http.client.HTTPConnection(host, int(port), timeout=10)
         conn.putrequest("POST", "/api/logs/search")
         conn.putheader("Content-Type", "application/json")
