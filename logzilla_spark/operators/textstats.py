@@ -207,17 +207,19 @@ def curate_corpus(
     Plan shape for 100 TB: a single narrow projection computes language
     hits, quality and BPE token counts together (one scan, column-
     pruned to (id, text), fully codegen), the gates filter BEFORE the
-    only shuffle, and the keep-first dedup is a window over the content
-    hash of the surviving minority — no joins, no second scan. The
-    reference has no curation pass; this is the graft-mandated
+    only shuffle, and the keep-first dedup is min_by over the content
+    hash — ONE hash aggregation with map-side partial aggregation, so a
+    hot duplicate (crawl boilerplate, the exact case dedup exists for)
+    collapses to one partial row per map task instead of shipping every
+    copy to a single reducer (a window over the hash would do exactly
+    that, and AQE cannot split window skew). No joins, no second scan.
+    The reference has no curation pass; this is the graft-mandated
     training-data extension (SURVEY.md §2 G-block context).
 
     Returns surviving docs: (id, pred_lang, quality, quality_band,
     bpe_tokens, n_copies) where n_copies counts the gated rows sharing
     the survivor's content hash (its duplicates were dropped).
     """
-    from pyspark.sql.window import Window
-
     base = (
         df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .withColumn("_t", F.split("_n", " "))
@@ -228,18 +230,12 @@ def curate_corpus(
     gated = _with_quality(_with_lang_pred(base)).filter(
         (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
     )
-    w = Window.partitionBy(F.md5("_n"))
-    # both window functions in ONE select: separate withColumns leave a
-    # Project between the Window operators, defeating CollapseWindow —
-    # the same partition spec then shuffles and sorts TWICE
+    out_cols = ["id", "pred_lang", "quality", "quality_band", "bpe_tokens"]
     return (
-        gated.select(
-            "id", "pred_lang", "quality", "quality_band", "bpe_tokens",
-            F.min("id").over(w).alias("_keeper"),
-            F.count(F.lit(1)).over(w).alias("n_copies"),
+        gated.groupBy(F.md5("_n").alias("_h"))
+        .agg(
+            F.min_by(F.struct(*out_cols), F.col("id")).alias("_k"),
+            F.count(F.lit(1)).alias("n_copies"),
         )
-        .filter(F.col("id") == F.col("_keeper"))
-        .select(
-            "id", "pred_lang", "quality", "quality_band", "bpe_tokens", "n_copies"
-        )
+        .select(*[F.col(f"_k.{c}").alias(c) for c in out_cols], "n_copies")
     )

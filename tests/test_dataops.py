@@ -297,9 +297,10 @@ def test_simhash_block_geometry():
 def test_curate_corpus_semantics_and_plan(spark):
     """Composed curation: en-gate + quality-gate + keep-first dedup in
     one pass. Semantics on a hand corpus, and the plan must stay the
-    single-pass shape: one parquet-free scan, ONE Exchange (the dedup
-    window — separate withColumns would shuffle twice), gates applied
-    below it."""
+    single-pass skew-immune shape: ONE Exchange, keep-first via min_by
+    hash aggregation with a MAP-SIDE partial (a window over the content
+    hash would ship every copy of a hot duplicate to one reducer), and
+    no Window operator at all."""
     rows = [
         # two identical high-quality english docs -> one survivor, n_copies=2
         (1, "the quick brown fox is on the hill with a friend of the pack"),
@@ -319,4 +320,7 @@ def test_curate_corpus_semantics_and_plan(spark):
 
     plan = textstats.curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
-    assert plan.count("Window") == 1, plan
+    assert "Window" not in plan, plan
+    # partial + final aggregate pair around the one exchange
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") \
+        + plan.count("SortAggregate") >= 2, plan
