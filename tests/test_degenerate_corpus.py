@@ -269,3 +269,30 @@ def test_cosine_topk_lsh_twin(emb_df, emb_path):
         similarity.cosine_topk_lsh(emb_df, probes, k=5),
         od.cosine_topk_lsh_sql(emb_path, k=5, probe_mod=5),
     )
+
+
+def test_curate_corpus_twin(docs_df, docs_path):
+    _assert_twin(textstats.curate_corpus(docs_df), od.curate_corpus_sql(docs_path))
+
+
+def test_curate_corpus_mass_duplicate(spark):
+    """Boilerplate pathology: one english page duplicated 50,000 times
+    plus a handful of distinct docs. The min_by keep-first collapses
+    the hot content hash map-side (one partial row per task); the old
+    window shape would ship all 50k copies to one reducer. Asserts the
+    result AND that it completes with the corpus spread over many
+    partitions."""
+    from pyspark.sql import functions as F
+
+    boiler = "the quick brown fox is on the hill with a friend of the pack"
+    dups = spark.range(0, 50_000).select(
+        (F.col("id") + 100).alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    distinct = spark.createDataFrame(
+        [(1, "a log engine for the data of the future is on the way to you")],
+        "doc_id long, text string",
+    )
+    df = distinct.unionByName(dups).repartition(32)
+    out = {r.id: r for r in textstats.curate_corpus(df).collect()}
+    assert set(out) == {1, 100}
+    assert out[100].n_copies == 50_000 and out[1].n_copies == 1
