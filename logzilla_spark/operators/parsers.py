@@ -134,13 +134,14 @@ class GrokParser:
         # split array, materialized as a helper column.
         #
         # Match detection without a second regex: on no-match
-        # regexp_replace returns the line unchanged, which fails the
-        # sentinel/arity checks below unless the line itself is shaped
-        # like "\x1d\x1e<g1>\x1e..." (requires control characters in the
-        # log line). A group VALUE containing the separator fails the
-        # arity check. Both degenerate cases fail CLOSED — the line is
-        # left unclaimed for the rest of the chain, never claimed with
-        # garbage fields.
+        # regexp_replace returns the line UNCHANGED, so ok requires
+        # replaced != line in addition to the sentinel/arity checks —
+        # a line that is itself shaped like "\x1d\x1e<g1>\x1e..."
+        # (binary garbage in a log feed) equals its own no-match output
+        # and fails CLOSED, exactly like the rlike this replaced. A
+        # group VALUE containing the separator fails the arity check.
+        # (The inverse freak case — a pattern whose replacement equals
+        # the original line — also fails closed to the chain fallback.)
         sep, mark = "\x1e", "\x1d"
         # n == 0 (no named groups, pure match test) must yield a
         # 1-element split, not ['<mark>', ''] — omit the separator.
@@ -151,17 +152,21 @@ class GrokParser:
         # rlike this replaced. (?s: ...) is scoped, so the USER
         # pattern's own '.' semantics are untouched.
         wrapped = f"^(?s:.*?)(?:{spark_re})(?s:.*)$"
-        arr_col = f"_gk_{self.name}"
+        rep_col, arr_col = f"_gr_{self.name}", f"_gk_{self.name}"
         # LineParser contract: no work on already-claimed lines — the
         # regex (the expensive part) runs only where claimed is false;
         # claimed rows get a null array and the coalesced ok is false.
+        # Both the replaced string and its split are materialized as
+        # helper columns: one regex eval + one 1-char split per row.
         lines = lines.withColumn(
-            arr_col,
-            F.when(~claimed, F.split(F.regexp_replace(line, wrapped, repl), sep, -1)),
-        )
+            rep_col, F.when(~claimed, F.regexp_replace(line, wrapped, repl))
+        ).withColumn(arr_col, F.split(F.col(rep_col), sep, -1))
         arr = F.col(arr_col)
         ok = F.coalesce(
-            (F.size(arr) == n + 1) & (F.element_at(arr, 1) == mark), F.lit(False)
+            (F.col(rep_col) != line)
+            & (F.size(arr) == n + 1)
+            & (F.element_at(arr, 1) == mark),
+            F.lit(False),
         )
 
         def g(name: str) -> Column:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import uuid
@@ -38,6 +39,32 @@ from pyspark.sql import DataFrame, SparkSession
 # One lock for all tables: commits are metadata-only JSON writes
 # (microseconds), so finer granularity buys nothing.
 _COMMIT_LOCK = threading.RLock()
+
+# Tables confirmed fully-partitioned for a given partition column. The
+# manifest scan behind has_unpartitioned_files is O(data files); its
+# verdict can only flip back through drop()+recreate, so the cache
+# lives HERE where drop() can invalidate it (a caller-side cache went
+# stale exactly there). Keyed (warehouse, table, partition_by).
+_FULLY_PARTITIONED: set[tuple[str, str, str]] = set()
+
+# Partition-scoped operations match raw 'col=value' directory tokens,
+# but Spark HIVE-ESCAPES special characters in partition dir names
+# (' ' -> '%20', NULL -> __HIVE_DEFAULT_PARTITION__): an escaped value
+# would be spuriously rejected as stray on write and silently invisible
+# on read. Restrict to the unescaped charset and fail LOUDLY.
+_SAFE_PART_VALUE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _check_partition_values(partition_by: str, values: list[str]) -> None:
+    bad = [v for v in values
+           if not isinstance(v, str) or not _SAFE_PART_VALUE.match(v)]
+    if bad:
+        raise ValueError(
+            f"partition values {bad!r} for {partition_by!r} fall outside "
+            "[A-Za-z0-9._-]+: Spark hive-escapes such values in partition "
+            "directory names, which this catalog's raw token matching "
+            "does not decode — rejected instead of silently mismatching"
+        )
 
 
 class SnapshotError(RuntimeError):
@@ -204,6 +231,7 @@ class LocalCatalog:
         file landing OUTSIDE the named partitions would otherwise be
         committed alongside the same partition's carried-over old
         files, silently double-counting its rows at read."""
+        _check_partition_values(partition_by, partition_values)
         new_files = self._stage_write(df, name, [partition_by])
         tokens = {f"{partition_by}={v}" for v in partition_values}
         stray = {
@@ -245,6 +273,7 @@ class LocalCatalog:
         snapshot (file-list pruning in the catalog layer — no data
         outside the touched partitions is listed, opened, or scanned).
         Returns None when no committed file belongs to them."""
+        _check_partition_values(partition_by, partition_values)
         sid = self.last_snapshot_id(name)
         if sid is None:
             return None
@@ -307,6 +336,21 @@ class LocalCatalog:
             for g in self._groups(name, sid)
             for f in g["files"]
         )
+
+    def confirmed_fully_partitioned(self, name: str, partition_by: str) -> bool:
+        """has_unpartitioned_files == False, cached per process once it
+        holds for an EXISTING table (a nonexistent table is not cached:
+        a legacy writer could still create it unpartitioned). drop()
+        invalidates, so a dropped-and-recreated legacy table is
+        re-checked instead of silently skipping its migration."""
+        key = (self.warehouse, name, partition_by)
+        if key in _FULLY_PARTITIONED:
+            return True
+        if self.has_unpartitioned_files(name, partition_by):
+            return False
+        if self.exists(name):
+            _FULLY_PARTITIONED.add(key)
+        return True
 
     def exists(self, name: str) -> bool:
         return self.last_snapshot_id(name) is not None
@@ -372,6 +416,9 @@ class LocalCatalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tbl(name), ignore_errors=True)
+        for k in [k for k in _FULLY_PARTITIONED
+                  if k[0] == self.warehouse and k[1] == name]:
+            _FULLY_PARTITIONED.discard(k)
 
 
 def iceberg_ddl(catalog: str = "local", db: str = "logzilla") -> dict[str, str]:

@@ -55,6 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lines import lines_shape
+
 
 def _with_pos(raw: DataFrame) -> DataFrame:
     """Add (``_pid``, ``pos``): partition id + dense in-partition line
@@ -80,18 +82,18 @@ def socket_raw_to_lines(raw: DataFrame, host: str, port: int) -> DataFrame:
     single-column frame.
     """
     src = f"tcp://{host}:{port}"
-    return _with_pos(raw).select(
-        F.concat(
+    return lines_shape(
+        _with_pos(raw),
+        url=F.concat(
             F.lit(src + "/"),
             F.unix_micros(F.current_timestamp()).cast("string"),
             F.lit("/"),
             F.col("_pid").cast("string"),
-        ).alias("url"),
-        F.current_timestamp().alias("warc_ts"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(src).alias("source"),
-        F.col("pos"),
-        F.col("value").alias("line"),
+        ),
+        warc_ts=F.current_timestamp(),
+        source=src,
+        pos=F.col("pos"),
+        line=F.col("value"),
     )
 
 

@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
+from .lines import lines_shape
+
 MAX_ENTRIES_PER_BATCH = 100_000
 
 
@@ -229,15 +231,13 @@ def redis_raw_to_lines(
     across retries and restarts (module docstring).
     """
     src = f"redis://{host}:{port}/{key}"
-    return raw.select(
-        F.concat(
-            F.lit(src + "/"), F.col("ms").cast("string")
-        ).alias("url"),
-        F.timestamp_millis(F.col("ms")).alias("warc_ts"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(src).alias("source"),
-        F.col("seq").alias("pos"),
-        F.col("value").alias("line"),
+    return lines_shape(
+        raw,
+        url=F.concat(F.lit(src + "/"), F.col("ms").cast("string")),
+        warc_ts=F.timestamp_millis(F.col("ms")),
+        source=src,
+        pos=F.col("seq"),
+        line=F.col("value"),
     )
 
 

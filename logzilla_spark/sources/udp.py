@@ -51,6 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
+from .lines import lines_shape
+
 DEFAULT_RCVBUF = 4 * 1024 * 1024
 MAX_DATAGRAMS_PER_BATCH = 100_000
 MAX_DGRAM = 65_535
@@ -144,17 +146,17 @@ def udp_raw_to_lines(raw: DataFrame, host: str, port: int) -> DataFrame:
     parity with the TCP source, not for identity.
     """
     src = f"udp://{host}:{port}"
-    return raw.select(
-        F.concat(
+    return lines_shape(
+        raw,
+        url=F.concat(
             F.lit(src + "/"),
             F.unix_micros(F.current_timestamp()).cast("string"),
             F.lit("/0"),
-        ).alias("url"),
-        F.current_timestamp().alias("warc_ts"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(src).alias("source"),
-        F.col("seq").alias("pos"),
-        F.col("value").alias("line"),
+        ),
+        warc_ts=F.current_timestamp(),
+        source=src,
+        pos=F.col("seq"),
+        line=F.col("value"),
     )
 
 

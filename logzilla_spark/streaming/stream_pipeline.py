@@ -33,6 +33,8 @@ either way.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -214,21 +216,31 @@ def start_routing_stream(
     return writer.start()
 
 
-# Tables confirmed fully-partitioned (or freshly migrated): the manifest
-# scan behind has_unpartitioned_files is O(data files) and its verdict
-# can never flip back to True after the migration's overwrite, so pay it
-# once per (warehouse, table) per process, not per micro-batch.
-_MIGRATION_DONE: set[tuple[str, str]] = set()
-
-
 def _needs_layout_migration(cat: LocalCatalog, table: str) -> bool:
-    key = (cat.warehouse, table)
-    if key in _MIGRATION_DONE:
-        return False
-    if cat.has_unpartitioned_files(table, "agg_month"):
-        return True
-    _MIGRATION_DONE.add(key)
-    return False
+    # O(1) per micro-batch on the steady path: the catalog caches the
+    # fully-partitioned verdict per (warehouse, table) and invalidates
+    # it on drop(), so a dropped-and-recreated legacy table is
+    # re-checked instead of skipping its migration on a stale cache.
+    return not cat.confirmed_fully_partitioned(table, "agg_month")
+
+
+# One upsert at a time per (warehouse, table): the read-merge-commit in
+# upsert_agg_batch is a data-level read-modify-write — two queries
+# upserting the SAME table concurrently would each read partition state
+# at the same snapshot, merge only their own batch, and the second
+# commit's overwrite_partitions would replace the first's files,
+# silently losing its rows (the catalog's _COMMIT_LOCK serializes only
+# the manifest RMW, not the data merge). Lock scope is in-process, the
+# same scope as every other guarantee of the local-FS catalog.
+_UPSERT_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_UPSERT_LOCKS_GUARD = threading.Lock()
+
+
+def _upsert_lock(cat: LocalCatalog, table: str) -> threading.Lock:
+    with _UPSERT_LOCKS_GUARD:
+        return _UPSERT_LOCKS.setdefault(
+            (cat.warehouse, table), threading.Lock()
+        )
 
 
 def upsert_agg_batch(
@@ -246,7 +258,23 @@ def upsert_agg_batch(
     merged, and rewritten — every other month's files carry over into
     the new snapshot untouched (catalog.overwrite_partitions). Returns
     False for an already-committed (replayed) epoch.
+
+    Serialized per (warehouse, table): see _upsert_lock — the whole
+    read-merge-commit is a data-level RMW, so concurrent upserts of
+    one table from different queries would lose rows without it.
     """
+    with _upsert_lock(cat, table):
+        return _upsert_agg_batch_locked(spark, cat, batch, batch_id, query_id, table)
+
+
+def _upsert_agg_batch_locked(
+    spark: SparkSession,
+    cat: LocalCatalog,
+    batch: DataFrame,
+    batch_id: int,
+    query_id: str,
+    table: str,
+) -> bool:
     committed = _committed_map(cat, table)
     if committed.get(query_id, -1) >= batch_id:
         return False
@@ -289,7 +317,9 @@ def upsert_agg_batch(
             partition_by=["agg_month"],
             summary=_summary_at_publish(cat, table, query_id, batch_id),
         )
-        _MIGRATION_DONE.add((cat.warehouse, table))
+        # warms the catalog's fully-partitioned cache (one manifest
+        # scan over the freshly-migrated table)
+        cat.confirmed_fully_partitioned(table, "agg_month")
         return True
     # the changed-window month set is tiny (one or two entries per
     # epoch under any sane watermark) — driver-side by construction

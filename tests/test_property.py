@@ -279,32 +279,36 @@ grok_lines = st.one_of(
     st.just("hello 42"),
     st.just("ERRORBLOCK rest"),
     st.just("evt=1" + GROK_SEP + "tail"),
+    # forged sentinel shape (binary garbage): must stay unclaimed
+    st.just(GROK_MARK + GROK_SEP + "a1" + GROK_SEP + "42"),
+    st.just(GROK_MARK),
 )
 
 
 def _ref_grok(line: str, pattern: str, message_groups: tuple):
     """Reference model of GrokParser.plan's claim/extract contract:
     claim iff the pattern matches (searched anywhere, wrapper crosses
-    newlines) and no captured value contains the join separator
-    (fail-closed); a NON-matching line passes through regexp_replace
-    unchanged, so a line already shaped like the sentinel output is
-    claimed with the raw parts — the documented degenerate case."""
+    newlines), no captured value contains the join separator, AND the
+    sentinel replacement differs from the original line (the
+    replaced != line guard: a NON-matching line passes through
+    regexp_replace unchanged, so a line already shaped like the
+    sentinel output — binary garbage — must fail CLOSED, and the
+    inverse freak case, a match whose replacement reproduces the line,
+    falls closed too)."""
     import re as _re
 
     names = _re.findall(r"\(\?P<([A-Za-z_]\w*)>", pattern)
     m = _re.search(pattern, line)
-    if m:
-        vals = {nm: (m.group(i + 1) or "") for i, nm in enumerate(names)}
-        if any(GROK_SEP in v for v in vals.values()):
-            return None  # arity check fails -> unclaimed
-        return {"message": " ".join(vals[g] for g in message_groups),
-                "metadata": vals}
-    parts = line.split(GROK_SEP)
-    if len(parts) == len(names) + 1 and parts[0] == GROK_MARK:
-        vals = dict(zip(names, parts[1:]))
-        return {"message": " ".join(vals[g] for g in message_groups),
-                "metadata": vals}
-    return None
+    if not m:
+        return None
+    vals = {nm: (m.group(i + 1) or "") for i, nm in enumerate(names)}
+    if any(GROK_SEP in v for v in vals.values()):
+        return None  # arity check fails -> unclaimed
+    replaced = GROK_MARK + "".join(GROK_SEP + vals[nm] for nm in names)
+    if replaced == line:
+        return None  # replaced != line guard -> unclaimed
+    return {"message": " ".join(vals[g] for g in message_groups),
+            "metadata": vals}
 
 
 @settings(

@@ -190,3 +190,19 @@ def test_overwrite_partitions_rejects_stray_partitions(spark, tmp_path):
     ok = df.filter("m = '202401'")
     cat.overwrite_partitions(ok, "t", "m", ["202401"])
     assert cat.read(spark, "t").count() == 2
+
+
+def test_partition_values_outside_safe_charset_rejected(spark, tmp_path):
+    """Values Spark would hive-escape in directory names (spaces etc.)
+    must be rejected loudly: raw token matching would otherwise reject
+    legitimate writes as stray and silently return None on read."""
+    import pytest as _pytest
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([("a b", 1)], "k string, v int")
+    with _pytest.raises(ValueError, match="hive-escapes"):
+        cat.overwrite_partitions(df, "t", "k", ["a b"])
+    with _pytest.raises(ValueError, match="hive-escapes"):
+        cat.read_partitions(spark, "t", "k", ["a b"])

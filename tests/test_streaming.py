@@ -274,7 +274,6 @@ def test_agg_upsert_migrates_mixed_layout_table(spark, tmp_path):
     from datetime import datetime
 
     from logzilla_spark.streaming import upsert_agg_batch
-    from logzilla_spark.streaming.stream_pipeline import _MIGRATION_DONE
 
     cat = LocalCatalog(str(tmp_path / "wh"))
     mk = lambda rows: spark.createDataFrame(
@@ -302,7 +301,6 @@ def test_agg_upsert_migrates_mixed_layout_table(spark, tmp_path):
         ["202402"],
     )
     assert cat.has_unpartitioned_files("stream_agg", "agg_month")
-    _MIGRATION_DONE.discard((cat.warehouse, "stream_agg"))
     # first epoch after the fix: migration reconciles both layouts
     assert upsert_agg_batch(
         spark, cat, mk([(mar[0], mar[1], "json", "INFO", 2)]), 0
@@ -317,3 +315,79 @@ def test_agg_upsert_migrates_mixed_layout_table(spark, tmp_path):
         ("2024-02-01 00:00:00", "json", "INFO"): 9,   # partitioned row wins
         ("2024-03-01 00:00:00", "json", "INFO"): 2,   # this epoch
     }
+
+
+def test_agg_upsert_remigates_after_drop_and_legacy_recreate(spark, tmp_path):
+    """The fully-partitioned verdict is cached in the CATALOG and
+    invalidated by drop(): a table dropped and recreated in legacy
+    layout in the same process must migrate again, not skip on a stale
+    caller-side cache (the old _MIGRATION_DONE failure)."""
+    from datetime import datetime
+
+    from logzilla_spark.streaming import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "category string, level string, n long",
+    )
+    jan = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5))
+    feb = (datetime(2024, 2, 1, 0, 0), datetime(2024, 2, 1, 0, 5))
+    # first life: keyed epoch confirms+caches the partitioned layout
+    assert upsert_agg_batch(spark, cat, mk([(jan[0], jan[1], "json", "INFO", 1)]), 0)
+    assert not cat.has_unpartitioned_files("stream_agg", "agg_month")
+    # drop, recreate in LEGACY (unpartitioned) layout
+    cat.drop("stream_agg")
+    cat.overwrite(mk([(jan[0], jan[1], "json", "INFO", 5)]), "stream_agg")
+    assert cat.has_unpartitioned_files("stream_agg", "agg_month")
+    # next epoch must take the migration path, not the stale cache
+    assert upsert_agg_batch(spark, cat, mk([(feb[0], feb[1], "json", "INFO", 2)]), 0)
+    assert not cat.has_unpartitioned_files("stream_agg", "agg_month")
+    got = {
+        (str(r.window_start), r.category, r.level): r.n
+        for r in cat.read(spark, "stream_agg").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "json", "INFO"): 5,
+        ("2024-02-01 00:00:00", "json", "INFO"): 2,
+    }
+
+
+def test_agg_upsert_concurrent_queries_lose_no_rows(spark, tmp_path):
+    """Two streaming queries upserting DIFFERENT keys of the same table
+    and month concurrently: without the per-table upsert lock both read
+    partition state at the same snapshot and the later commit replaces
+    the earlier one's files (silent row loss, while the committed map
+    still marks both batches done)."""
+    import threading
+    from datetime import datetime
+
+    from logzilla_spark.streaming import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "category string, level string, n long",
+    )
+    jan = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5))
+    errs = []
+
+    def run(qid, level, n):
+        try:
+            upsert_agg_batch(
+                spark, cat, mk([(jan[0], jan[1], "json", level, n)]), 0,
+                query_id=qid,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(f"agg-{i}", f"L{i}", i)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    got = {r.level: r.n for r in cat.read(spark, "stream_agg").collect()}
+    assert got == {f"L{i}": i for i in range(4)}
