@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lines import lines_shape
+
 # the line-shape contract consumed by operators.parsers.records_from_lines
 LINES_COLUMNS = ("url", "warc_ts", "lang", "source", "pos", "line")
 
@@ -51,16 +53,19 @@ def kafka_raw_to_lines(raw: DataFrame) -> DataFrame:
     - ``warc_ts`` = broker append time (ingest-time fallback for
       unparsed lines, engine/processor.go:99-102)
     """
-    return raw.select(
-        F.concat(
+    return lines_shape(
+        raw,
+        url=F.concat(
             F.lit("kafka://"), F.col("topic"), F.lit("/"),
             F.col("partition").cast("string"),
-        ).alias("url"),
-        F.col("timestamp").alias("warc_ts"),
-        F.lit(None).cast("string").alias("lang"),
-        F.col("topic").alias("source"),
-        F.col("offset").cast("int").alias("pos"),
-        F.col("value").cast("string").alias("line"),
+        ),
+        warc_ts=F.col("timestamp"),
+        source=F.col("topic"),
+        # offset stays LONG: a cast to int silently truncates past
+        # 2^31 messages per partition — reachable on a long-lived
+        # topic at the design scale
+        pos=F.col("offset"),
+        line=F.col("value").cast("string"),
     )
 
 

@@ -24,17 +24,18 @@ def lines_shape(
     df: DataFrame,
     url: Column,
     warc_ts: Column,
-    source: str,
+    source: Column | str,
     pos: Column,
     line: Column,
     lang: Column | None = None,
 ) -> DataFrame:
     """Project a source frame to the engine's lines shape."""
+    src = F.lit(source) if isinstance(source, str) else source
     return df.select(
         url.alias("url"),
         warc_ts.alias("warc_ts"),
         (lang if lang is not None else F.lit(None).cast("string")).alias("lang"),
-        F.lit(source).alias("source"),
+        src.alias("source"),
         pos.alias("pos"),
         line.alias("line"),
     )
