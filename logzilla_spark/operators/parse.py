@@ -185,14 +185,21 @@ def explode_lines(pages: DataFrame, use_html: bool = False) -> DataFrame:
     Mirrors the reference's line splitter (source/file.go:101-117) and
     source tagging (source/file.go:104-107; `source` = url host here).
     """
+    from ..sources.lines import LINES_COLUMNS
+
     text = text_from_html("html") if use_html else F.col("text")
-    return pages.select(
+    out = pages.select(
         "url",
         "warc_ts",
         "lang",
         F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("source"),
+        # posexplode is a generator, so this select can't route through
+        # lines_shape's one-expression-per-column signature; the
+        # contract assertion below pins it to the shared definition
         F.posexplode(F.split(text, r"\n")).alias("pos", "line"),
     )
+    assert tuple(out.columns) == LINES_COLUMNS
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -460,11 +460,21 @@ scored AS (
 ),
 gated AS (
   SELECT * FROM scored WHERE pred_lang = '{lang}' AND quality >= {min_quality}
+),
+kept AS (
+  -- arg_min is the exact twin of Spark's min_by: ONE survivor row per
+  -- content hash even when the keeper id is duplicated (a QUALIFY
+  -- id = min(id) keeps every copy of the min id), and a NULL result
+  -- when every id in the group is NULL (both ignore null keys)
+  SELECT arg_min(struct_pack(
+           id := id, pred_lang := pred_lang, quality := quality,
+           quality_band := quality_band, bpe_tokens := bpe_tokens), id) AS s,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM gated GROUP BY md5(n)
 )
-SELECT id, pred_lang, quality, quality_band, bpe_tokens,
-       CAST(count(*) OVER (PARTITION BY md5(n)) AS BIGINT) AS n_copies
-FROM gated
-QUALIFY id = min(id) OVER (PARTITION BY md5(n))"""
+SELECT s.id AS id, s.pred_lang AS pred_lang, s.quality AS quality,
+       s.quality_band AS quality_band, s.bpe_tokens AS bpe_tokens, n_copies
+FROM kept"""
 
 
 # --------------------------------------------------------------------------

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import threading
 import uuid
@@ -41,29 +40,48 @@ from pyspark.sql import DataFrame, SparkSession
 _COMMIT_LOCK = threading.RLock()
 
 # Tables confirmed fully-partitioned for a given partition column. The
-# manifest scan behind has_unpartitioned_files is O(data files); its
-# verdict can only flip back through drop()+recreate, so the cache
-# lives HERE where drop() can invalidate it (a caller-side cache went
-# stale exactly there). Keyed (warehouse, table, partition_by).
+# manifest scan behind has_unpartitioned_files is O(data files); the
+# verdict can flip back through ANY operation that introduces files
+# outside the partition layout — drop()+recreate, rollback to a
+# pre-migration snapshot, a plain append/overwrite — so every such
+# operation invalidates here. overwrite_partitions does NOT (its stray
+# check guarantees staged files live under partition_by= dirs), which
+# is what keeps the steady streaming upsert path O(1). Keyed
+# (warehouse, table, partition_by).
 _FULLY_PARTITIONED: set[tuple[str, str, str]] = set()
 
+
+def _invalidate_partitioned_cache(
+    warehouse: str, name: str, keep_partition_by: str | None = None
+) -> None:
+    for k in [k for k in _FULLY_PARTITIONED
+              if k[0] == warehouse and k[1] == name and k[2] != keep_partition_by]:
+        _FULLY_PARTITIONED.discard(k)
+
 # Partition-scoped operations match raw 'col=value' directory tokens,
-# but Spark HIVE-ESCAPES special characters in partition dir names
-# (' ' -> '%20', NULL -> __HIVE_DEFAULT_PARTITION__): an escaped value
-# would be spuriously rejected as stray on write and silently invisible
-# on read. Restrict to the unescaped charset and fail LOUDLY.
-_SAFE_PART_VALUE = re.compile(r"^[A-Za-z0-9._-]+$")
+# but Spark HIVE-ESCAPES certain characters in partition dir names
+# (ExternalCatalogUtils.charToEscape: control chars, '"#%\'*/:=?\\{[]^'
+# and DEL — verified on this Spark: ':' -> '%3A' while ' ' stays
+# literal) and writes NULL/empty as __HIVE_DEFAULT_PARTITION__. An
+# escaped value would be spuriously rejected as stray on write and
+# silently invisible on read, so values containing an escaped char (or
+# NULL/empty) are rejected LOUDLY; everything Spark writes literally
+# (spaces, '+', unicode letters, ...) passes.
+_HIVE_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {"\x7f"}
 
 
 def _check_partition_values(partition_by: str, values: list[str]) -> None:
-    bad = [v for v in values
-           if not isinstance(v, str) or not _SAFE_PART_VALUE.match(v)]
+    bad = [
+        v for v in values
+        if not isinstance(v, str) or not v or set(v) & _HIVE_ESCAPED_CHARS
+    ]
     if bad:
         raise ValueError(
-            f"partition values {bad!r} for {partition_by!r} fall outside "
-            "[A-Za-z0-9._-]+: Spark hive-escapes such values in partition "
-            "directory names, which this catalog's raw token matching "
-            "does not decode — rejected instead of silently mismatching"
+            f"partition values {bad!r} for {partition_by!r} contain "
+            "characters Spark hive-escapes in partition directory names "
+            "(or are empty/NULL -> __HIVE_DEFAULT_PARTITION__), which "
+            "this catalog's raw token matching does not decode — "
+            "rejected instead of silently mismatching"
         )
 
 
@@ -178,6 +196,7 @@ class LocalCatalog:
             groups = prev_groups + [
                 {"base": self._data_dir(name), "files": new_files}
             ]
+            _invalidate_partitioned_cache(self.warehouse, name)
             return self._commit(name, groups, "append", summary or {})
 
     def append_external(
@@ -196,6 +215,7 @@ class LocalCatalog:
             prev = self.last_snapshot_id(name)
             prev_groups = self._groups(name, prev) if prev else []
             groups = prev_groups + [{"base": base_path, "files": sorted(files)}]
+            _invalidate_partitioned_cache(self.warehouse, name)
             return self._commit(name, groups, "append", summary or {})
 
     def overwrite(
@@ -207,6 +227,7 @@ class LocalCatalog:
     ) -> int:
         new_files = self._stage_write(df, name, partition_by)
         groups = [{"base": self._data_dir(name), "files": new_files}]
+        _invalidate_partitioned_cache(self.warehouse, name)
         return self._commit(name, groups, "overwrite", summary or {})
 
     def overwrite_partitions(
@@ -260,6 +281,12 @@ class LocalCatalog:
             ]
             kept = [g for g in kept if g["files"]]
             groups = kept + [{"base": self._data_dir(name), "files": new_files}]
+            # staged files are guaranteed under partition_by= dirs (the
+            # stray check), so the verdict for THIS column survives;
+            # any other column's cached verdict may no longer hold
+            _invalidate_partitioned_cache(
+                self.warehouse, name, keep_partition_by=partition_by
+            )
             return self._commit(name, groups, "overwrite_partitions", summary or {})
 
     def read_partitions(
@@ -362,6 +389,7 @@ class LocalCatalog:
         """Publish a new snapshot whose state equals ``to_snapshot_id``
         (Iceberg rollback analog). Used by checkpoint-resume to drop
         commits from a run that died before its checkpoint was written."""
+        _invalidate_partitioned_cache(self.warehouse, name)
         return self._commit(
             name,
             self._groups(name, to_snapshot_id),
@@ -416,9 +444,7 @@ class LocalCatalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tbl(name), ignore_errors=True)
-        for k in [k for k in _FULLY_PARTITIONED
-                  if k[0] == self.warehouse and k[1] == name]:
-            _FULLY_PARTITIONED.discard(k)
+        _invalidate_partitioned_cache(self.warehouse, name)
 
 
 def iceberg_ddl(catalog: str = "local", db: str = "logzilla") -> dict[str, str]:

@@ -32,10 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .lines import lines_shape
-
-# the line-shape contract consumed by operators.parsers.records_from_lines
-LINES_COLUMNS = ("url", "warc_ts", "lang", "source", "pos", "line")
+# LINES_COLUMNS re-exported for existing importers; the contract's
+# single definition lives in sources/lines.py
+from .lines import LINES_COLUMNS, lines_shape  # noqa: F401
 
 
 def kafka_raw_to_lines(raw: DataFrame) -> DataFrame:

@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# THE column contract, single definition. lines_shape emits exactly
+# these; explode_lines (operators/parse.py) and the Kafka mapping
+# validate against it.
+LINES_COLUMNS = ("url", "warc_ts", "lang", "source", "pos", "line")
+
 
 def lines_shape(
     df: DataFrame,
@@ -31,7 +36,7 @@ def lines_shape(
 ) -> DataFrame:
     """Project a source frame to the engine's lines shape."""
     src = F.lit(source) if isinstance(source, str) else source
-    return df.select(
+    out = df.select(
         url.alias("url"),
         warc_ts.alias("warc_ts"),
         (lang if lang is not None else F.lit(None).cast("string")).alias("lang"),
@@ -39,3 +44,5 @@ def lines_shape(
         pos.alias("pos"),
         line.alias("line"),
     )
+    assert tuple(out.columns) == LINES_COLUMNS
+    return out

@@ -321,6 +321,8 @@ def test_curate_corpus_semantics_and_plan(spark):
     plan = textstats.curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
     assert "Window" not in plan, plan
-    # partial + final aggregate pair around the one exchange
-    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") \
-        + plan.count("SortAggregate") >= 2, plan
+    # partial + final aggregate pair around the one exchange. NOTE:
+    # 'ObjectHashAggregate' CONTAINS the substring 'HashAggregate', so
+    # counting both would double-count a single node — count each node
+    # exactly once via the shared substring + the disjoint SortAggregate.
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2, plan

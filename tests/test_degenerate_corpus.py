@@ -296,3 +296,23 @@ def test_curate_corpus_mass_duplicate(spark):
     out = {r.id: r for r in textstats.curate_corpus(df).collect()}
     assert set(out) == {1, 100}
     assert out[100].n_copies == 50_000 and out[1].n_copies == 1
+
+
+def test_curate_corpus_duplicate_ids_one_survivor(spark, tmp_path):
+    """The same (doc_id, text) row appearing twice: keep-first must emit
+    ONE survivor per content hash with n_copies counting both (min_by /
+    arg_min semantics on BOTH engines — a QUALIFY id = min(id) would
+    keep every copy of the keeper id)."""
+    import os as _os
+
+    rows = [
+        (7, "the quick brown fox is on the hill with a friend of the pack"),
+        (7, "the quick brown fox is on the hill with a friend of the pack"),
+        (9, "the quick brown fox is on the hill with a friend of the pack"),
+    ]
+    p = _os.path.join(str(tmp_path), "dups.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+    sdf = textstats.curate_corpus(spark.read.parquet(p))
+    got = sdf.collect()
+    assert len(got) == 1 and got[0].id == 7 and got[0].n_copies == 3
+    _assert_twin(sdf, od.curate_corpus_sql(p))

@@ -192,17 +192,25 @@ def test_overwrite_partitions_rejects_stray_partitions(spark, tmp_path):
     assert cat.read(spark, "t").count() == 2
 
 
-def test_partition_values_outside_safe_charset_rejected(spark, tmp_path):
-    """Values Spark would hive-escape in directory names (spaces etc.)
-    must be rejected loudly: raw token matching would otherwise reject
-    legitimate writes as stray and silently return None on read."""
+def test_partition_values_hive_escaped_rejected_literal_ok(spark, tmp_path):
+    """Values Spark hive-escapes in directory names (':' -> '%3A',
+    empty -> __HIVE_DEFAULT_PARTITION__) must be rejected loudly — raw
+    token matching would mis-match them — while values Spark writes
+    LITERALLY (a space is NOT escaped; verified on this Spark) must
+    round-trip end-to-end."""
     import pytest as _pytest
 
     from logzilla_spark.sources.catalog import LocalCatalog
 
     cat = LocalCatalog(str(tmp_path / "wh"))
-    df = spark.createDataFrame([("a b", 1)], "k string, v int")
+    df = spark.createDataFrame([("a:b", 1)], "k string, v int")
     with _pytest.raises(ValueError, match="hive-escapes"):
-        cat.overwrite_partitions(df, "t", "k", ["a b"])
+        cat.overwrite_partitions(df, "t", "k", ["a:b"])
     with _pytest.raises(ValueError, match="hive-escapes"):
-        cat.read_partitions(spark, "t", "k", ["a b"])
+        cat.read_partitions(spark, "t", "k", [""])
+
+    # literal-written value (space) round-trips through write + prune
+    ok = spark.createDataFrame([("a b", 1), ("c", 2)], "k string, v int")
+    cat.overwrite_partitions(ok, "t2", "k", ["a b", "c"])
+    got = cat.read_partitions(spark, "t2", "k", ["a b"])
+    assert got is not None and [(r.v, r.k) for r in got.collect()] == [(1, "a b")]

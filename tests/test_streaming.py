@@ -391,3 +391,38 @@ def test_agg_upsert_concurrent_queries_lose_no_rows(spark, tmp_path):
     assert not errs, errs
     got = {r.level: r.n for r in cat.read(spark, "stream_agg").collect()}
     assert got == {f"L{i}": i for i in range(4)}
+
+
+def test_agg_upsert_remigates_after_legacy_overwrite_without_drop(spark, tmp_path):
+    """Invalidation must cover every op that can reintroduce legacy
+    files — not just drop(): a plain overwrite (no partition_by) on a
+    confirmed table must flip the cached verdict back."""
+    from datetime import datetime
+
+    from logzilla_spark.streaming import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "category string, level string, n long",
+    )
+    jan = (datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5))
+    feb = (datetime(2024, 2, 1, 0, 0), datetime(2024, 2, 1, 0, 5))
+    assert upsert_agg_batch(spark, cat, mk([(jan[0], jan[1], "json", "INFO", 1)]), 0)
+    # legacy writer overwrites WITHOUT drop — unpartitioned files return
+    cat.overwrite(mk([(jan[0], jan[1], "json", "INFO", 5)]), "stream_agg")
+    assert cat.has_unpartitioned_files("stream_agg", "agg_month")
+    # batch 1: the committed map survives the overwrite (its cumulative
+    # entry is found by walking past the plain-summary snapshot), so
+    # batch 0 would correctly be treated as a replay
+    assert upsert_agg_batch(spark, cat, mk([(feb[0], feb[1], "json", "INFO", 2)]), 1)
+    assert not cat.has_unpartitioned_files("stream_agg", "agg_month")
+    got = {
+        (str(r.window_start), r.level): r.n
+        for r in cat.read(spark, "stream_agg").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "INFO"): 5,
+        ("2024-02-01 00:00:00", "INFO"): 2,
+    }
