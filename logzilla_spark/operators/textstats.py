@@ -239,3 +239,86 @@ def curate_corpus(
         )
         .select(*[F.col(f"_k.{c}").alias(c) for c in out_cols], "n_copies")
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. '21
+    crawl-filtering rules; the standard LLM-corpus repetition gate):
+
+    - ``dup_line_frac``: 1 - distinct/total over RAW text lines
+      (boilerplate pages repeat nav/footer lines verbatim);
+    - ``dup_token_frac``: 1 - distinct/total over normalized tokens;
+    - ``top_bigram_frac``: occurrences of the most frequent token
+      bigram / total bigrams (keyword-stuffing signal).
+
+    Every fraction is an exact int/int division (bit-portable to the
+    DuckDB twin); degenerate docs (NULL/empty/single-token) yield NULL
+    fractions via try_divide on both engines.
+
+    Plan shape for 100 TB: line/token stats are a narrow projection
+    (scan-bound); the bigram mode is explode -> two hash aggregations
+    keyed by (id, gram) then id — all codegen with map-side partials,
+    uniform keys (id is unique, grams are per-doc), no interpreted
+    per-element counting (the SimHash probe's lesson: nested aggregate
+    lambdas are interpreted and O(n*d) per doc).
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), "\n").alias("_lines"),
+            normalize_text(text_col).alias("_n"),
+        )
+        .withColumn("_t", F.split("_n", " "))
+        .withColumn("n_lines", F.size("_lines"))
+        .withColumn("n_tokens", F.size("_t"))
+        .withColumn(
+            "dup_line_frac",
+            F.try_divide(
+                (F.col("n_lines") - F.size(F.array_distinct("_lines"))).cast("double"),
+                F.col("n_lines").cast("double"),
+            ),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.try_divide(
+                (F.col("n_tokens") - F.size(F.array_distinct("_t"))).cast("double"),
+                F.col("n_tokens").cast("double"),
+            ),
+        )
+    )
+    # bigram arrays: one interpreted transform per DOC (array build),
+    # counting itself stays in codegen aggregations below
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        bigrams.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_top_cnt"))
+    )
+    return (
+        base.join(top, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            "dup_line_frac",
+            "n_tokens",
+            "dup_token_frac",
+            F.try_divide(
+                F.col("_top_cnt").cast("double"),
+                (F.col("n_tokens") - 1).cast("double"),
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -420,6 +420,41 @@ SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
 FROM docs"""
 
 
+def repetition_stats_sql(docs_path: str) -> str:
+    """Twin of textstats.repetition_stats (Gopher repetition gate):
+    duplicate-line / duplicate-token fractions + top-bigram fraction,
+    exact int/int divisions, NULL on degenerate docs (x/0 -> NULL on
+    both engines)."""
+    return f"""WITH raw AS (
+  SELECT doc_id AS id, string_split(text, chr(10)) AS lines,
+         string_split({_norm('text')}, ' ') AS t
+  FROM {_rel(docs_path)}
+),
+base AS (
+  SELECT id,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+           / CAST(len(lines) AS DOUBLE) AS dup_line_frac,
+         CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+           / CAST(len(t) AS DOUBLE) AS dup_token_frac,
+         CASE WHEN len(t) >= 2 THEN
+           [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]
+         ELSE [] END AS bigrams
+  FROM raw
+),
+cnt AS (
+  SELECT id, gram, count(*) AS c
+  FROM (SELECT id, unnest(bigrams) AS gram FROM base)
+  GROUP BY 1, 2
+),
+top AS (SELECT id, max(c) AS top_cnt FROM cnt GROUP BY 1)
+SELECT base.id AS id, n_lines, dup_line_frac, n_tokens, dup_token_frac,
+       CAST(top_cnt AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+         AS top_bigram_frac
+FROM base LEFT JOIN top ON base.id = top.id"""
+
+
 def curate_corpus_sql(
     docs_path: str, lang: str = "en", min_quality: float = 0.4
 ) -> str:

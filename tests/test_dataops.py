@@ -326,3 +326,25 @@ def test_curate_corpus_semantics_and_plan(spark):
     # counting both would double-count a single node — count each node
     # exactly once via the shared substring + the disjoint SortAggregate.
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2, plan
+
+
+def test_repetition_stats_hand_row(spark):
+    """Hand-checked Gopher repetition signals."""
+    rows = [
+        # 3 lines, one dup pair; tokens: 'a b a b a' -> 5 tokens 2 distinct,
+        # bigrams: a b, b a, a b, b a -> top 'a b' = 2 of 4
+        (1, "a b\na b\na"),
+        (2, "x y z"),       # no repetition: fracs 0, bigrams all unique
+        (3, "solo"),        # 1 token -> no bigrams, top frac NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in textstats.repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 3 and r1.dup_line_frac == 1.0 / 3.0
+    assert r1.n_tokens == 5 and r1.dup_token_frac == 3.0 / 5.0
+    assert r1.top_bigram_frac == 2.0 / 4.0
+    r2 = got[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup_token_frac == 0.0
+    assert r2.top_bigram_frac == 1.0 / 2.0
+    r3 = got[3]
+    assert r3.n_tokens == 1 and r3.top_bigram_frac is None

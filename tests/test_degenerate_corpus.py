@@ -316,3 +316,7 @@ def test_curate_corpus_duplicate_ids_one_survivor(spark, tmp_path):
     got = sdf.collect()
     assert len(got) == 1 and got[0].id == 7 and got[0].n_copies == 3
     _assert_twin(sdf, od.curate_corpus_sql(p))
+
+
+def test_repetition_stats_twin(docs_df, docs_path):
+    _assert_twin(textstats.repetition_stats(docs_df), od.repetition_stats_sql(docs_path))
