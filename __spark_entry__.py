@@ -301,6 +301,12 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": lambda s, d: dedup.simhash_fingerprints(_docs(s, d)),
         "q_dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "q_dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "q_dedup_decontaminate": lambda s, d: dedup.benchmark_contamination(
+            _docs(s, d),
+            _docs(s, d)
+            .filter(F.col("doc_id") % 50 == 0)
+            .select(F.col("doc_id").alias("bench_id"), "text"),
+        ),
         "q_dedup_embedding_cosine": lambda s, d: dedup.embedding_neardup_pairs(
             _emb(s, d)
         ),
@@ -343,6 +349,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_dedup_simhash": oracle_dataops.simhash_fingerprints_sql(docs),
         "q_dedup_simhash_pairs": oracle_dataops.simhash_pairs_sql(docs),
         "q_dedup_ngram_jaccard": oracle_dataops.ngram_jaccard_pairs_sql(docs),
+        "q_dedup_decontaminate": oracle_dataops.benchmark_contamination_sql(
+            docs, "doc_id % 50 = 0"
+        ),
         "q_dedup_embedding_cosine": oracle_dataops.embedding_neardup_sql(emb),
         "q_dedup_embedding_lsh": oracle_dataops.embedding_neardup_lsh_sql(emb),
         "q_sim_topk_bruteforce": oracle_dataops.cosine_topk_sql(emb, probe_mod=PROBE_MOD),

@@ -672,3 +672,51 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# 6. Benchmark decontamination (cross-corpus n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = WORDGRAM_N,
+) -> DataFrame:
+    """GPT-3 / Pile-style benchmark decontamination: flag training
+    documents sharing any word n-gram with an eval/benchmark set
+    (Brown et al. '20 Appendix C used 13-grams; ``n`` is the same
+    WORDGRAM_N the jaccard operator uses so one builder serves both).
+
+    Returns (id, bench_id, n_shared): one row per contaminated
+    (document, benchmark item) pair with the count of distinct shared
+    n-grams. Dropping every flagged ``id`` is the decontamination.
+
+    100 TB shape: eval sets are tiny (thousands of items), so the
+    benchmark gram table is BROADCAST and the corpus-side gram explode
+    streams through a map-side hash join — no shuffle of corpus data
+    at all; only the contaminated minority reaches the (id, bench_id)
+    aggregation. NULL-text rows on either side produce no grams
+    (same guard as ngram_jaccard_pairs).
+    """
+
+    def grams(frame: DataFrame, idc: str, out: str, txt: str) -> DataFrame:
+        return (
+            frame.filter(F.col(txt).isNotNull())
+            .select(F.col(idc).alias(out), normalize_text(txt).alias("_n"))
+            .withColumn("_t", F.split("_n", " "))
+            .select(out, F.explode(F.expr(_wordgrams_expr("_t", n))).alias("gram"))
+        )
+
+    doc_g = grams(_spread(docs), id_col, "id", text_col)
+    bench_g = grams(bench, bench_id_col, "bench_id", bench_text_col)
+    return (
+        doc_g.join(F.broadcast(bench_g), "gram")
+        .groupBy("id", "bench_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )

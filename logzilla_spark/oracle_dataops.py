@@ -420,6 +420,33 @@ SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
 FROM docs"""
 
 
+def benchmark_contamination_sql(
+    docs_path: str, bench_pred: str, n: int = WORDGRAM_N
+) -> str:
+    """Twin of dedup.benchmark_contamination: the benchmark side is the
+    same table filtered by ``bench_pred`` (the demo query's shape)."""
+    grams = (
+        f"list_distinct([array_to_string(t[i:i + {n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(t) - {n - 1}, 1) + 1)])"
+    )
+    return f"""WITH src AS (
+  SELECT doc_id, {_norm('text')} AS nn FROM {_rel(docs_path)}
+  WHERE text IS NOT NULL
+),
+dg AS (
+  SELECT doc_id AS id, unnest({grams}) AS gram
+  FROM (SELECT doc_id, string_split(nn, ' ') AS t FROM src)
+),
+bg AS (
+  SELECT doc_id AS bench_id, unnest({grams}) AS gram
+  FROM (SELECT doc_id, string_split(nn, ' ') AS t FROM src WHERE {bench_pred})
+)
+SELECT dg.id AS id, bg.bench_id AS bench_id,
+       CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_shared
+FROM dg JOIN bg ON dg.gram = bg.gram
+GROUP BY 1, 2"""
+
+
 def repetition_stats_sql(docs_path: str) -> str:
     """Twin of textstats.repetition_stats (Gopher repetition gate):
     duplicate-line / duplicate-token fractions + top-bigram fraction,

@@ -348,3 +348,27 @@ def test_repetition_stats_hand_row(spark):
     assert r2.top_bigram_frac == 1.0 / 2.0
     r3 = got[3]
     assert r3.n_tokens == 1 and r3.top_bigram_frac is None
+
+
+def test_benchmark_contamination_planted(spark):
+    """A training doc embedding a benchmark item's text verbatim is
+    flagged against exactly that item; clean docs and NULL-text rows
+    are not. Plan must broadcast the benchmark grams (corpus side never
+    shuffles before the join)."""
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france answer paris"),
+         (2, "solve for x in the quadratic equation below")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "intro text what is the capital of france answer paris outro"),
+         (11, "a completely unrelated training document about cooking rice"),
+         (12, None)],
+        "doc_id long, text string",
+    )
+    out = dedup.benchmark_contamination(docs, bench)
+    rows = {(r.id, r.bench_id): r.n_shared for r in out.collect()}
+    assert set(rows) == {(10, 1)}
+    assert rows[(10, 1)] >= 6  # all 3-grams of the embedded sentence
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
