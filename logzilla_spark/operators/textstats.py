@@ -322,3 +322,41 @@ def repetition_stats(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# PII patterns shared with the DuckDB twin. Deliberately restricted to
+# syntax Java regex and RE2 (DuckDB) interpret identically: character
+# classes, bounded repetition, \b word boundaries; no lookaround, no
+# \d (spelled [0-9] for dialect parity).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet/RefinedWeb-style PII scrub: emails, IPv4 addresses and
+    phone-shaped digit runs replaced with typed tokens, plus per-doc
+    match counts.
+
+    Stages run SEQUENTIALLY (email -> ip -> phone), each counting and
+    redacting on the previous stage's output, so a digit run inside an
+    email is never double-counted as a phone — the same precedence
+    order on both engines. Pure regex projections: scan-bound,
+    no shuffle, NULL text passes through as NULL.
+    """
+    email, ipv4, phone = (
+        F.lit(PII_EMAIL_RE), F.lit(PII_IPV4_RE), F.lit(PII_PHONE_RE)
+    )
+    t0 = F.col(text_col)
+    base = (
+        df.select(F.col(id_col).alias("id"), t0.alias("_t0"))
+        .withColumn("n_emails", F.size(F.regexp_extract_all(F.col("_t0"), email, F.lit(0))))
+        .withColumn("_t1", F.regexp_replace("_t0", PII_EMAIL_RE, "<EMAIL>"))
+        .withColumn("n_ips", F.size(F.regexp_extract_all(F.col("_t1"), ipv4, F.lit(0))))
+        .withColumn("_t2", F.regexp_replace("_t1", PII_IPV4_RE, "<IP>"))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(F.col("_t2"), phone, F.lit(0))))
+        .withColumn("clean_text", F.regexp_replace("_t2", PII_PHONE_RE, "<PHONE>"))
+    )
+    return base.select("id", "n_emails", "n_ips", "n_phones", "clean_text")

@@ -420,6 +420,38 @@ SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
 FROM docs"""
 
 
+def redact_pii_sql(docs_path: str) -> str:
+    """Twin of textstats.redact_pii: same patterns (shared constants,
+    dialect-parity syntax only), same sequential email -> ip -> phone
+    precedence; DuckDB regexp_replace needs the 'g' flag to match
+    Spark's replace-all."""
+    from logzilla_spark.operators.textstats import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
+    )
+
+    em, ip, ph = (
+        PII_EMAIL_RE.replace("'", "''"),
+        PII_IPV4_RE.replace("'", "''"),
+        PII_PHONE_RE.replace("'", "''"),
+    )
+    return f"""WITH t0 AS (SELECT doc_id AS id, text FROM {_rel(docs_path)}),
+s1 AS (
+  SELECT id, CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_emails,
+         regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t
+  FROM t0
+),
+s2 AS (
+  SELECT id, n_emails,
+         CAST(len(regexp_extract_all(t, '{ip}')) AS INT) AS n_ips,
+         regexp_replace(t, '{ip}', '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t, '{ph}')) AS INT) AS n_phones,
+       regexp_replace(t, '{ph}', '<PHONE>', 'g') AS clean_text
+FROM s2"""
+
+
 def benchmark_contamination_sql(
     docs_path: str, bench_pred: str, n: int = WORDGRAM_N
 ) -> str:

@@ -372,3 +372,24 @@ def test_benchmark_contamination_planted(spark):
     assert rows[(10, 1)] >= 6  # all 3-grams of the embedded sentence
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_redact_pii_hand_rows(spark):
+    """Planted PII: emails, IPs, phone-shaped runs; sequential
+    precedence means an email's digits are never counted as a phone."""
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 192.168.1.254 now"),
+        (2, "call +1 (555) 123-4567 or 555 987 6543 today"),
+        (3, "user123456789@host.org has no phone"),
+        (4, "clean document without identifiers"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in textstats.redact_pii(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_ips == 1 and got[1].n_phones == 0
+    assert got[1].clean_text == "contact <EMAIL> or <IP> now"
+    assert got[2].n_phones == 2 and "<PHONE>" in got[2].clean_text
+    # digits inside the email are redacted WITH it, not phone-counted
+    assert got[3].n_emails == 1 and got[3].n_phones == 0
+    assert got[4].clean_text == rows[3][1]
+    assert got[5].clean_text is None and got[5].n_emails is None

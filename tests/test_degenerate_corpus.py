@@ -320,3 +320,26 @@ def test_curate_corpus_duplicate_ids_one_survivor(spark, tmp_path):
 
 def test_repetition_stats_twin(docs_df, docs_path):
     _assert_twin(textstats.repetition_stats(docs_df), od.repetition_stats_sql(docs_path))
+
+
+def test_redact_pii_twin(docs_df, docs_path):
+    _assert_twin(textstats.redact_pii(docs_df), od.redact_pii_sql(docs_path))
+
+
+def test_redact_pii_twin_with_planted_pii(spark, tmp_path):
+    """Twin equality on text that actually MATCHES: emails, IPs,
+    phone runs, plus adversarial near-matches (trailing dot IP,
+    double @, unicode around PII)."""
+    import os as _os
+
+    rows = [
+        (1, "a@b.io c@d.org 10.0.0.1 +44 20 7946 0958"),
+        (2, "not@an@email 999.999.999.999. 12-34"),
+        (3, "café ünïcode a.b@c.de 127.0.0.1\nsecond line +1 555 000 1111"),
+        (4, ""),
+    ]
+    p = _os.path.join(str(tmp_path), "pii.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+    _assert_twin(
+        textstats.redact_pii(spark.read.parquet(p)), od.redact_pii_sql(p)
+    )
