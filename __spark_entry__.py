@@ -301,10 +301,14 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": lambda s, d: dedup.simhash_fingerprints(_docs(s, d)),
         "q_dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "q_dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        # bench side is a CONSTANT-size slice (10 items at every SF):
+        # the operator broadcasts it, so a corpus-proportional slice
+        # would grow the broadcast with the corpus — the opposite of
+        # the tiny-eval-set shape the operator is built for
         "q_dedup_decontaminate": lambda s, d: dedup.benchmark_contamination(
             _docs(s, d),
             _docs(s, d)
-            .filter(F.col("doc_id") % 50 == 0)
+            .filter(F.col("doc_id") < 10)
             .select(F.col("doc_id").alias("bench_id"), "text"),
         ),
         "q_dedup_embedding_cosine": lambda s, d: dedup.embedding_neardup_pairs(
@@ -351,7 +355,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_dedup_simhash_pairs": oracle_dataops.simhash_pairs_sql(docs),
         "q_dedup_ngram_jaccard": oracle_dataops.ngram_jaccard_pairs_sql(docs),
         "q_dedup_decontaminate": oracle_dataops.benchmark_contamination_sql(
-            docs, "doc_id % 50 = 0"
+            docs, "doc_id < 10"
         ),
         "q_dedup_embedding_cosine": oracle_dataops.embedding_neardup_sql(emb),
         "q_dedup_embedding_lsh": oracle_dataops.embedding_neardup_lsh_sql(emb),

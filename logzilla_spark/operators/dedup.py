@@ -697,12 +697,21 @@ def benchmark_contamination(
     (document, benchmark item) pair with the count of distinct shared
     n-grams. Dropping every flagged ``id`` is the decontamination.
 
+    STRICT gram semantics (unlike the jaccard operator's documented
+    floor, which lets short docs pair with equally-short docs): a doc
+    with fewer than ``n`` tokens emits NO grams — the contract is
+    "shares a word n-gram", and a partial or empty-string gram is not
+    one, so blank eval rows cannot flag every empty training doc.
+
     100 TB shape: eval sets are tiny (thousands of items), so the
     benchmark gram table is BROADCAST and the corpus-side gram explode
-    streams through a map-side hash join — no shuffle of corpus data
-    at all; only the contaminated minority reaches the (id, bench_id)
-    aggregation. NULL-text rows on either side produce no grams
-    (same guard as ngram_jaccard_pairs).
+    streams through a map-side hash join — no repartition and no
+    shuffle of corpus data before the join (plan-tested); only the
+    contaminated minority reaches the (id, bench_id) aggregation,
+    where a plain count suffices (both sides are per-doc distinct, so
+    (id, bench_id, gram) triples are unique — count(DISTINCT) would
+    add a second shuffle stage for the identical result). NULL-text
+    rows on either side produce no grams.
     """
 
     def grams(frame: DataFrame, idc: str, out: str, txt: str) -> DataFrame:
@@ -710,13 +719,20 @@ def benchmark_contamination(
             frame.filter(F.col(txt).isNotNull())
             .select(F.col(idc).alias(out), normalize_text(txt).alias("_n"))
             .withColumn("_t", F.split("_n", " "))
-            .select(out, F.explode(F.expr(_wordgrams_expr("_t", n))).alias("gram"))
+            .select(
+                out,
+                F.explode(
+                    F.when(
+                        F.size("_t") >= n, F.expr(_wordgrams_expr("_t", n))
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("gram"),
+            )
         )
 
-    doc_g = grams(_spread(docs), id_col, "id", text_col)
+    doc_g = grams(docs, id_col, "id", text_col)
     bench_g = grams(bench, bench_id_col, "bench_id", bench_text_col)
     return (
         doc_g.join(F.broadcast(bench_g), "gram")
         .groupBy("id", "bench_id")
-        .agg(F.count_distinct("gram").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )

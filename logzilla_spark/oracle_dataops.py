@@ -33,7 +33,14 @@ from logzilla_spark.operators.dedup import (
     SIMHASH_BLOCKS,
     WORDGRAM_N,
 )
-from logzilla_spark.operators.textstats import BPE_RE, LANG_PRIORITY, STOPWORDS
+from logzilla_spark.operators.textstats import (
+    BPE_RE,
+    LANG_PRIORITY,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    STOPWORDS,
+)
 
 
 def _rel(src: str) -> str:
@@ -49,6 +56,24 @@ def _shingles(n: str, k: int = SHINGLE_N) -> str:
     return (
         f"list_distinct([substring({n}, i, {k}) "
         f"FOR i IN range(1, greatest(length({n}) - {k - 1}, 1) + 1)])"
+    )
+
+
+def _wordgrams(t: str, n: int, strict: bool = False) -> str:
+    """Twin of dedup._wordgrams_expr over a token-list column ``t``.
+    ``strict`` emits NO grams for docs shorter than n tokens
+    (benchmark_contamination's contract); the default keeps the
+    jaccard operator's documented floor (short docs get one partial
+    gram so equally-short docs can still pair)."""
+    floor = (
+        f"[array_to_string({t}[i:i + {n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len({t}) - {n - 1}, 1) + 1)]"
+    )
+    if not strict:
+        return f"list_distinct({floor})"
+    return (
+        f"(CASE WHEN len({t}) >= {n} THEN list_distinct({floor}) "
+        f"ELSE [] END)"
     )
 
 
@@ -211,10 +236,7 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {MAX_SIMHASH_HAMMING}"""
 
 def ngram_jaccard_pairs_sql(docs_path: str, max_df: int | None = MAX_GRAM_DF) -> str:
     n = WORDGRAM_N
-    grams = (
-        f"list_distinct([array_to_string(t[i:i + {n - 1}], ' ') "
-        f"FOR i IN range(1, greatest(len(t) - {n - 1}, 1) + 1)])"
-    )
+    grams = _wordgrams("t", n)
     # Stop-gram guard mirror (dedup.MAX_GRAM_DF): drop grams appearing
     # in more than max_df docs BEFORE the self-join; union sizes still
     # count the full gram set (sizes CTE is taken pre-guard), exactly
@@ -425,10 +447,6 @@ def redact_pii_sql(docs_path: str) -> str:
     dialect-parity syntax only), same sequential email -> ip -> phone
     precedence; DuckDB regexp_replace needs the 'g' flag to match
     Spark's replace-all."""
-    from logzilla_spark.operators.textstats import (
-        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
-    )
-
     em, ip, ph = (
         PII_EMAIL_RE.replace("'", "''"),
         PII_IPV4_RE.replace("'", "''"),
@@ -456,11 +474,11 @@ def benchmark_contamination_sql(
     docs_path: str, bench_pred: str, n: int = WORDGRAM_N
 ) -> str:
     """Twin of dedup.benchmark_contamination: the benchmark side is the
-    same table filtered by ``bench_pred`` (the demo query's shape)."""
-    grams = (
-        f"list_distinct([array_to_string(t[i:i + {n - 1}], ' ') "
-        f"FOR i IN range(1, greatest(len(t) - {n - 1}, 1) + 1)])"
-    )
+    same table filtered by ``bench_pred`` (the demo query's shape).
+    Strict grams (no partial/empty grams for sub-n docs) and a plain
+    count (both sides per-doc distinct -> unique triples), matching
+    the operator exactly."""
+    grams = _wordgrams("t", n, strict=True)
     return f"""WITH src AS (
   SELECT doc_id, {_norm('text')} AS nn FROM {_rel(docs_path)}
   WHERE text IS NOT NULL
@@ -474,7 +492,7 @@ bg AS (
   FROM (SELECT doc_id, string_split(nn, ' ') AS t FROM src WHERE {bench_pred})
 )
 SELECT dg.id AS id, bg.bench_id AS bench_id,
-       CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_shared
+       CAST(count(*) AS BIGINT) AS n_shared
 FROM dg JOIN bg ON dg.gram = bg.gram
 GROUP BY 1, 2"""
 

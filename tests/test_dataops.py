@@ -372,6 +372,27 @@ def test_benchmark_contamination_planted(spark):
     assert rows[(10, 1)] >= 6  # all 3-grams of the embedded sentence
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+    # no corpus repartition, and the ONLY shuffle is the final
+    # (id, bench_id) aggregation of the contaminated minority
+    # (AQE's toString appends the pre-adaptive "Initial Plan" section,
+    # which repeats every node — scope the count to the final plan)
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "RoundRobinPartitioning" not in final_plan, final_plan
+    assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
+
+
+def test_benchmark_contamination_strict_grams(spark):
+    """Sub-n and empty docs emit NO grams: a blank benchmark row must
+    not flag empty training docs (they share zero n-grams), and a
+    1-word doc cannot match via a partial gram."""
+    bench = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "quick")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, ""), (11, "   "), (12, "quick"), (13, "the quick brown fox runs")],
+        "doc_id long, text string",
+    )
+    assert dedup.benchmark_contamination(docs, bench).count() == 0
 
 
 def test_redact_pii_hand_rows(spark):

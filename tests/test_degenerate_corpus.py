@@ -343,3 +343,13 @@ def test_redact_pii_twin_with_planted_pii(spark, tmp_path):
     _assert_twin(
         textstats.redact_pii(spark.read.parquet(p)), od.redact_pii_sql(p)
     )
+
+
+def test_benchmark_contamination_twin(spark, docs_df, docs_path):
+    bench = docs_df.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id AS bench_id", "text"
+    )
+    _assert_twin(
+        dedup.benchmark_contamination(docs_df, bench),
+        od.benchmark_contamination_sql(docs_path, "doc_id % 5 = 0"),
+    )
