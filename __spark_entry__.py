@@ -331,6 +331,7 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_fingerprint": lambda s, d: textstats.fingerprints(_docs(s, d)),
         "q_text_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         "q_text_redact_pii": lambda s, d: textstats.redact_pii(_docs(s, d)),
+        "q_text_c4_filter": lambda s, d: textstats.c4_line_filter(_docs(s, d)),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
         # --- multimodal plumbing (synthetic media table) ---
@@ -367,6 +368,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_fingerprint": oracle_dataops.fingerprints_sql(docs),
         "q_text_repetition": oracle_dataops.repetition_stats_sql(docs),
         "q_text_redact_pii": oracle_dataops.redact_pii_sql(docs),
+        "q_text_c4_filter": oracle_dataops.c4_line_filter_sql(docs),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),

@@ -360,3 +360,50 @@ def redact_pii(
         .withColumn("clean_text", F.regexp_replace("_t2", PII_PHONE_RE, "<PHONE>"))
     )
     return base.select("id", "n_emails", "n_ips", "n_phones", "clean_text")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. '20 §2.2): keep only
+    lines that end in terminal punctuation, have >= ``min_words``
+    words, and contain no 'lorem ipsum', no 'javascript', and no curly
+    brace; a page then passes (``keep_doc``) iff >= ``min_kept_lines``
+    lines survive. Returns every doc with the cleaned text and counts —
+    filtering on keep_doc is the caller's cut, so the stats stay
+    inspectable.
+
+    One narrow projection over line ARRAYS (split -> filter ->
+    array_join): no explode, no shuffle, scan-bound — the ideal 100 TB
+    shape. The per-line lambda is an interpreted HOF, measured within
+    ~25% of regex alternatives at 40x corpus (BENCH/DEDUP_SCALE.md
+    round-3 addendum), so the no-shuffle shape wins.
+    """
+    keep = (
+        "filter(_lines, l -> "
+        "  l rlike '[.!?\"]\\\\s*$'"
+        f" AND size(split(trim(l), ' +')) >= {min_words}"
+        "  AND NOT contains(lower(l), 'lorem ipsum')"
+        "  AND NOT contains(lower(l), 'javascript')"
+        "  AND NOT contains(l, '{'))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), "\n").alias("_lines"),
+        )
+        .withColumn("_kept", F.expr(keep))
+        .select(
+            "id",
+            F.size("_lines").alias("n_lines"),
+            F.size("_kept").alias("n_lines_kept"),
+            F.coalesce(
+                F.size("_kept") >= min_kept_lines, F.lit(False)
+            ).alias("keep_doc"),
+            F.array_join("_kept", "\n").alias("clean_text"),
+        )
+    )

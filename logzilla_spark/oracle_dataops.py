@@ -442,6 +442,33 @@ SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
 FROM docs"""
 
 
+def c4_line_filter_sql(
+    docs_path: str, min_words: int = 3, min_kept_lines: int = 5
+) -> str:
+    """Twin of textstats.c4_line_filter: same per-line predicate as a
+    DuckDB list_filter lambda."""
+    pred = (
+        "regexp_matches(l, '[.!?\"]\\s*$') "
+        f"AND len(string_split_regex(trim(l), ' +')) >= {min_words} "
+        "AND NOT contains(lower(l), 'lorem ipsum') "
+        "AND NOT contains(lower(l), 'javascript') "
+        "AND NOT contains(l, '{')"
+    )
+    return f"""WITH t0 AS (
+  SELECT doc_id AS id, string_split(text, chr(10)) AS lines
+  FROM {_rel(docs_path)}
+),
+k AS (SELECT id, lines, list_filter(lines, l -> {pred}) AS kept FROM t0)
+SELECT id, CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       coalesce(len(kept) >= {min_kept_lines}, false) AS keep_doc,
+       -- DuckDB's array_to_string yields NULL for an EMPTY list where
+       -- Spark's array_join yields ''; only a NULL input doc is NULL
+       CASE WHEN lines IS NULL THEN NULL
+            ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text
+FROM k"""
+
+
 def redact_pii_sql(docs_path: str) -> str:
     """Twin of textstats.redact_pii: same patterns (shared constants,
     dialect-parity syntax only), same sequential email -> ip -> phone

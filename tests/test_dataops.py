@@ -414,3 +414,27 @@ def test_redact_pii_hand_rows(spark):
     assert got[3].n_emails == 1 and got[3].n_phones == 0
     assert got[4].clean_text == rows[3][1]
     assert got[5].clean_text is None and got[5].n_emails is None
+
+
+def test_c4_line_filter_hand_rows(spark):
+    """C4 rules on a hand corpus: terminal punctuation, min words,
+    lorem-ipsum / javascript / curly-brace drops, page gate at 5."""
+    good = "\n".join([f"This is a perfectly good sentence number {i}." for i in range(6)])
+    rows = [
+        (1, good),                                          # 6 kept -> keep_doc
+        (2, good + "\nshort.\nno punct here\nhas { brace.\n"
+            "Lorem Ipsum dolor sit amet.\nenable JavaScript to continue."),
+        (3, "word soup with no punctuation at all"),        # 0 kept
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in textstats.c4_line_filter(df).collect()}
+    assert got[1].n_lines_kept == 6 and got[1].keep_doc
+    assert got[1].clean_text == good
+    # doc 2: the 6 good lines survive; short ('short.' <3 words),
+    # unpunctuated, brace, lorem-ipsum and javascript lines all drop
+    assert got[2].n_lines_kept == 6 and got[2].keep_doc
+    assert "{" not in got[2].clean_text and "Lorem" not in got[2].clean_text
+    assert got[3].n_lines_kept == 0 and not got[3].keep_doc
+    assert got[3].clean_text == ""
+    assert got[4].clean_text is None and not got[4].keep_doc

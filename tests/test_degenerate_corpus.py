@@ -353,3 +353,28 @@ def test_benchmark_contamination_twin(spark, docs_df, docs_path):
         dedup.benchmark_contamination(docs_df, bench),
         od.benchmark_contamination_sql(docs_path, "doc_id % 5 = 0"),
     )
+
+
+def test_c4_line_filter_twin(docs_df, docs_path):
+    _assert_twin(textstats.c4_line_filter(docs_df), od.c4_line_filter_sql(docs_path))
+
+
+def test_c4_line_filter_twin_with_planted_lines(spark, tmp_path):
+    """Twin equality on text the filter actually KEEPS: punctuated
+    multi-line docs, quotes-as-terminal, unicode, trailing whitespace
+    after the punctuation mark."""
+    import os as _os
+
+    rows = [
+        (1, "A good first sentence here.\nAnd a second good one!\n"
+            "A third one?\nThe fourth keeps going.\nFifth one lands.\nSixth too."),
+        (2, 'He said "stop right there."\nA line ending in a quote."\nbad line'),
+        (3, "Ünïcode sentence with café words.\nshort.\n   \n"),
+        (4, None),
+        (5, ""),
+    ]
+    p = _os.path.join(str(tmp_path), "c4.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+    _assert_twin(
+        textstats.c4_line_filter(spark.read.parquet(p)), od.c4_line_filter_sql(p)
+    )
