@@ -241,6 +241,9 @@ def _search_sql(q: Query, pages: str | None = None) -> str:
 # --------------------------------------------------------------------------
 
 PROBE_MOD = 100  # every 100th vec_id is an ANN probe
+# data-mixture demo: token budgets forcing sub-1.0 keep rates for the
+# sampled languages at every SF (es/de get no budget -> excluded)
+MIX_BUDGETS = {"en": 6000, "zh": 2000, "fr": 1000}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +335,9 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
         "q_text_redact_pii": lambda s, d: textstats.redact_pii(_docs(s, d)),
         "q_text_c4_filter": lambda s, d: textstats.c4_line_filter(_docs(s, d)),
+        "q_text_mix_sample": lambda s, d: textstats.proportional_token_sample(
+            _docs(s, d), MIX_BUDGETS
+        ),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
         # --- multimodal plumbing (synthetic media table) ---
@@ -369,6 +375,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_repetition": oracle_dataops.repetition_stats_sql(docs),
         "q_text_redact_pii": oracle_dataops.redact_pii_sql(docs),
         "q_text_c4_filter": oracle_dataops.c4_line_filter_sql(docs),
+        "q_text_mix_sample": oracle_dataops.proportional_token_sample_sql(
+            docs, MIX_BUDGETS
+        ),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),

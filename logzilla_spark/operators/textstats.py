@@ -407,3 +407,62 @@ def c4_line_filter(
             F.array_join("_kept", "\n").alias("clean_text"),
         )
     )
+
+
+def proportional_token_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Data-mixture sampling: deterministic proportional sampling to
+    per-language token budgets (the training-mix step — GPT-3 Table
+    2.2-style source weighting applied as a corpus cut).
+
+    For each language with a budget B and corpus token total T the
+    keep-rate is min(1, B/T); a doc is kept iff
+    ``pmod(md5_long(id), 1e6) < floor(rate * 1e6)`` — a deterministic
+    hash threshold, so the sample is reproducible, independent of
+    partitioning/order, and hits the budget in expectation (an EXACT
+    running-total cut would need a per-language cumulative-sum window:
+    one reducer per language, a guaranteed straggler when one language
+    dominates a 100 TB corpus). Languages without a budget are
+    excluded. Returns kept rows as (id, lang, n_tokens).
+
+    Shape: one tiny per-language aggregate (map-side partial), the
+    rates broadcast back, then a pure filter projection — no window,
+    no corpus shuffle.
+    """
+    from logzilla_spark.functions.hashing import md5_long
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(normalize_text(text_col), " ")).alias("n_tokens"),
+    )
+    totals = toks.groupBy("lang").agg(F.sum("n_tokens").alias("_total"))
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    # NB: filter on the raw budget BEFORE least() — Spark's least()
+    # skips NULLs, so least(1.0, NULL) = 1.0 would silently keep
+    # unbudgeted languages at full rate.
+    rates = (
+        totals.withColumn(
+            "_budget", F.element_at(budget_map, F.col("lang")).cast("double")
+        )
+        .filter(F.col("_budget").isNotNull())
+        .select(
+            "lang",
+            F.floor(
+                F.least(F.lit(1.0), F.col("_budget") / F.col("_total").cast("double"))
+                * F.lit(1_000_000.0)
+            ).cast("bigint").alias("_keep_ppm"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(F.pmod(md5_long(F.col("id").cast("string")), F.lit(1_000_000)) < F.col("_keep_ppm"))
+        .select("id", "lang", "n_tokens")
+    )

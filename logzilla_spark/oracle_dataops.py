@@ -442,6 +442,34 @@ SELECT id, {md5_long_sql('n')} AS fp_md5, CAST({roll} AS BIGINT) AS fp_roll
 FROM docs"""
 
 
+def proportional_token_sample_sql(
+    docs_path: str, budgets: dict[str, int]
+) -> str:
+    """Twin of textstats.proportional_token_sample: same budget map,
+    same md5 hash threshold, identical IEEE double ops for the rate."""
+    case = (
+        "CASE "
+        + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in budgets.items())
+        + " END"
+    )
+    h = md5_long_sql("CAST(id AS VARCHAR)")
+    return f"""WITH toks AS (
+  SELECT doc_id AS id, lang,
+         CAST(len(string_split({_norm('text')}, ' ')) AS INT) AS n_tokens
+  FROM {_rel(docs_path)}
+),
+tot AS (SELECT lang, sum(n_tokens) AS total FROM toks GROUP BY 1),
+rates AS (
+  SELECT lang,
+         CAST(floor(least(1.0, CAST({case} AS DOUBLE) / CAST(total AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS keep_ppm
+  FROM tot WHERE {case} IS NOT NULL
+)
+SELECT id, toks.lang AS lang, n_tokens
+FROM toks JOIN rates ON toks.lang = rates.lang
+WHERE (({h} % 1000000) + 1000000) % 1000000 < keep_ppm"""
+
+
 def c4_line_filter_sql(
     docs_path: str, min_words: int = 3, min_kept_lines: int = 5
 ) -> str:

@@ -438,3 +438,21 @@ def test_c4_line_filter_hand_rows(spark):
     assert got[3].n_lines_kept == 0 and not got[3].keep_doc
     assert got[3].clean_text == ""
     assert got[4].clean_text is None and not got[4].keep_doc
+
+
+def test_proportional_token_sample(spark):
+    """Data-mixture sampling: unbudgeted languages excluded, oversized
+    budget keeps everything, small budget keeps a strict subset, and
+    the hash-threshold cut is deterministic across runs."""
+    rows = [(i, "en" if i < 40 else "de", "tok " * 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # en total = 40*50 = 2000 tokens; budget 500 -> keep ~25%.
+    out = textstats.proportional_token_sample(df, {"en": 500}).collect()
+    assert all(r.lang == "en" for r in out)          # de has no budget
+    assert 0 < len(out) < 40                         # strict subsample
+    again = textstats.proportional_token_sample(df, {"en": 500}).collect()
+    assert sorted(r.id for r in out) == sorted(r.id for r in again)
+    # budget >= corpus -> keep rate 1.0, every en doc kept
+    full = textstats.proportional_token_sample(df, {"en": 10_000}).collect()
+    assert sorted(r.id for r in full) == list(range(40))
+    assert all(r.n_tokens == 50 for r in full)
