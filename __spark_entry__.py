@@ -450,17 +450,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- analytic window function: top-3 sources per category ---
         "q_window_rank_top_sources": _rank_top_sources,
-        # --- set operation: sources emitting BOTH json and access logs ---
+        # --- set operation: sources emitting BOTH json and access logs.
+        # INTERSECT semantics via ONE conditional aggregation: a literal
+        # .intersect() of two filtered branches scans + parses the
+        # corpus twice (Spark can't ReuseExchange across differing
+        # filters), so at 100 TB the naive shape doubles the dominant
+        # cost. One scan, map-side partial agg, tiny shuffle on source.
         "q_setop_sources_both": lambda s, d: _records(s, d)
-        .filter(F.col("category") == "json")
-        .select("source")
-        .distinct()
-        .intersect(
-            _records(s, d)
-            .filter(F.col("category") == "access")
-            .select("source")
-            .distinct()
-        ),
+        .filter(F.col("category").isin("json", "access"))
+        .groupBy("source")
+        .agg(F.count_distinct("category").alias("_nc"))
+        .filter(F.col("_nc") == 2)
+        .select("source"),
         # --- events: gap-based sessionization (session_window) ---
         "q_events_sessions": lambda s, d: sessionize(
             s.read.parquet(f"{d}/events.parquet")
