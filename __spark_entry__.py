@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from logzilla_spark import oracle, oracle_dataops
 from logzilla_spark.functions.levels import level_sql_case, parse_level_col
-from logzilla_spark.operators import dedup, multimodal, similarity, textstats
+from logzilla_spark.operators import cluster, dedup, multimodal, similarity, textstats
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.fulltext import (
@@ -301,6 +301,11 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": lambda s, d: dedup.exact_dedup_groups(_docs(s, d)),
         "q_dedup_minhash_sig": _minhash_sig_flat,
         "q_dedup_minhash_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        # near-dup clustering: connected components over the minhash
+        # pair graph; keep one canonical doc per cluster
+        "q_dedup_clusters": lambda s, d: cluster.neardup_clusters(
+            _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d))
+        ),
         "q_dedup_simhash": lambda s, d: dedup.simhash_fingerprints(_docs(s, d)),
         "q_dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "q_dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -358,6 +363,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_dedup_exact": oracle_dataops.exact_dedup_sql(docs),
         "q_dedup_minhash_sig": oracle_dataops.minhash_signatures_sql(docs),
         "q_dedup_minhash_pairs": oracle_dataops.minhash_lsh_pairs_sql(docs),
+        "q_dedup_clusters": oracle_dataops.neardup_clusters_sql(docs),
         "q_dedup_simhash": oracle_dataops.simhash_fingerprints_sql(docs),
         "q_dedup_simhash_pairs": oracle_dataops.simhash_pairs_sql(docs),
         "q_dedup_ngram_jaccard": oracle_dataops.ngram_jaccard_pairs_sql(docs),

@@ -1,0 +1,176 @@
+"""Near-duplicate clustering: connected components over a pair graph.
+
+The dedup operators (minhash / simhash / ngram) emit near-duplicate
+PAIRS; an actual training-data pipeline needs CLUSTERS — one canonical
+document kept per connected group of near-duplicates, everything else
+dropped. Pairs are the edges; components are the groups.
+
+Algorithm: min-label propagation with pointer jumping (the practical
+MapReduce-CC recipe — Kiveris et al.'s star operations reduce to the
+same two steps). Every node starts labeled with its own id; each round
+
+  1. neighbor min:   l(v) <- min(l(v), min of l(u) over neighbors u)
+  2. pointer jump:   l(v) <- l(l(v))     (path compression)
+
+Step 1 alone needs O(diameter) rounds — near-dup families from an LSH
+pair generator are often CHAINS (doc_i ~ doc_{i+1} passes the
+threshold, doc_1 ~ doc_n does not), so diameter is not small. Step 2
+halves the remaining label-tree depth each round, giving O(log n)
+convergence on any graph shape. Fixpoint = every member of a
+component carries the component's minimum id.
+
+Two lessons from the first cut of this operator are load-bearing:
+
+- The input pair frame is MATERIALIZED before the edge list is
+  mirrored: union(pairs, swap(pairs)) over a lazy pair plan runs the
+  whole (expensive) pair-generation lineage twice concurrently —
+  Spark's DeduplicateRelations clones the subtree, ReuseExchange does
+  not fire across the clones, and at sf0.1 the doubled minhash verify
+  stage OOMed a 16g heap.
+- Per-round state is truncated with ``localCheckpoint(eager=True)``,
+  not persist(): caching stores the DATA but the logical plan keeps
+  deepening, and Catalyst re-analyzes the full chain every round —
+  measured round times of 1.5s -> 48s by round 5 with persist, flat
+  ~1s with checkpoint truncation. (GraphFrames' CC does exactly this.)
+  localCheckpoint trades executor-loss recovery for speed; pass
+  ``checkpoint_dir`` to use reliable checkpoint() on a fault-tolerant
+  store instead (the 1000-executor choice, where losing an executor
+  mid-round is routine).
+
+Scale shape (100 TB): each round is one shuffle join (labels x edges,
+both keyed by id), one groupBy(id) min, one self-join for the jump —
+uniform keys, map-side partial aggregation, no collect. Edge list is
+persisted once; per-round state is one (id, label) row per node. The
+driver-side loop is control flow only — convergence is decided by a
+count() per round, never by pulling data.
+
+The DuckDB twin (oracle_dataops.neardup_clusters_sql) computes the
+same fixpoint with a recursive CTE (min over the transitive closure),
+so cluster ids match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+MAX_CC_ITER = 25  # pointer jumping: rounds ~ log2(largest component)
+
+
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    if checkpoint_dir is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = MAX_CC_ITER,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``pairs``; cluster_id is the
+    minimum node id in the component. Nodes absent from ``pairs`` are
+    absent here — join singletons back via neardup_clusters."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()  # materialize BEFORE mirroring (see module docstring)
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # mapping: original node -> current label. Starts as the identity
+    # over every node that appears in an edge.
+    mapping = _truncate(
+        und.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label")),
+        checkpoint_dir,
+    )
+    e.unpersist()
+    edges = _truncate(und, checkpoint_dir)
+    und.unpersist()
+    converged = False
+    for _ in range(max_iter):
+        # hook step: every node adopts min(itself, its neighbors).
+        # One aggregation over the mirrored edge list — no join; dense
+        # near-dup families (cliques) collapse to one label right here.
+        lab = edges.groupBy("a").agg(F.min("b").alias("_mn")).select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("_mn")).alias("label"),
+        )
+        # pointer jump: l(v) <- l(l(v)) (path compression). A label is
+        # itself a node id, so its row exists; left join + coalesce
+        # because a fully-hooked label (already a root) has no row
+        # strictly below it to jump through.
+        jump = lab.select(F.col("id").alias("_jid"), F.col("label").alias("_jl"))
+        lab2 = lab.join(jump, lab["label"] == jump["_jid"], "left").select(
+            "id", F.coalesce("_jl", "label").alias("label")
+        )
+        # fold this round's relabeling into the global mapping
+        # (left join: nodes whose current label was already a root
+        # keep it)
+        mapping = _truncate(
+            mapping.alias("m")
+            .join(lab2.alias("l"), F.col("m.label") == F.col("l.id"), "left")
+            .select(
+                F.col("m.id").alias("id"),
+                F.coalesce(F.col("l.label"), F.col("m.label")).alias("label"),
+            ),
+            checkpoint_dir,
+        )
+        # contract: rewrite edges onto the new labels, drop intra-
+        # cluster edges and duplicates. The edge list SHRINKS
+        # geometrically — the loop's work per round falls with it
+        # (unlike label propagation, which re-joins the full edge list
+        # every round until global convergence).
+        la = lab2.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+        lb = lab2.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+        edges = _truncate(
+            edges.join(la, "a").join(lb, "b")
+            .select(F.col("_la").alias("a"), F.col("_lb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct(),
+            checkpoint_dir,
+        )
+        if edges.isEmpty():
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— raise max_iter"
+        )
+    return mapping.select("id", F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = MAX_CC_ITER,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Every doc with its near-dup cluster: (id, cluster_id,
+    is_canonical). Docs in no pair are their own singleton cluster;
+    the kept corpus after dedup is ``filter(is_canonical)``."""
+    cc = connected_components(
+        pairs, a_col=a_col, b_col=b_col, max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )

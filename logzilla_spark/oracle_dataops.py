@@ -136,12 +136,15 @@ def _bands_cte() -> str:
 )"""
 
 
-def minhash_lsh_pairs_sql(docs_path: str) -> str:
+def _minhash_verified_ctes(docs_path: str) -> str:
+    """CTE chain ending in ``verified`` (pre-jaccard-threshold pairs);
+    shared by minhash_lsh_pairs_sql and neardup_clusters_sql so both
+    twins track ONE pair definition."""
     est = (
         f"len(list_filter(list_transform(range(1, {N_MINHASH + 1}), "
         f"j -> sa.sig[j] = sb.sig[j]), x -> x)) / {N_MINHASH}.0"
     )
-    return f"""WITH {_sig_cte(docs_path)},
+    return f"""{_sig_cte(docs_path)},
 {_bands_cte()},
 kept_bands AS (
   SELECT * FROM bands
@@ -167,12 +170,43 @@ verified AS (
          len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS union_n
   FROM est JOIN sh ga ON est.doc_a = ga.id JOIN sh gb ON est.doc_b = gb.id
   WHERE est_sim >= {MIN_EST_SIM}
-)
+)"""
+
+
+def minhash_lsh_pairs_sql(docs_path: str) -> str:
+    return f"""WITH {_minhash_verified_ctes(docs_path)}
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, est_sim,
        CAST(inter_n AS INT) AS inter_n, CAST(union_n AS INT) AS union_n,
        CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
 FROM verified
 WHERE CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) >= {MIN_JACCARD}"""
+
+
+def neardup_clusters_sql(docs_path: str) -> str:
+    """Twin of cluster.neardup_clusters over minhash_lsh_pairs edges:
+    cluster_id = min doc id in the connected component, computed as
+    min over the recursive transitive closure of the undirected pair
+    graph; singleton docs are their own cluster."""
+    return f"""WITH RECURSIVE {_minhash_verified_ctes(docs_path)},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) >= {MIN_JACCARD}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT CAST(d.id AS BIGINT) AS id,
+       CAST(coalesce(cc.cluster_id, d.id) AS BIGINT) AS cluster_id,
+       coalesce(cc.cluster_id, d.id) = d.id AS is_canonical
+FROM docs d LEFT JOIN cc ON d.id = cc.id"""
 
 
 def _fps_cte(docs_path: str) -> str:

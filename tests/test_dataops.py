@@ -456,3 +456,40 @@ def test_proportional_token_sample(spark):
     full = textstats.proportional_token_sample(df, {"en": 10_000}).collect()
     assert sorted(r.id for r in full) == list(range(40))
     assert all(r.n_tokens == 50 for r in full)
+
+
+def test_connected_components_planted(spark):
+    """Chain, clique, and singleton: min-label CC over a hand graph."""
+    from logzilla_spark.operators import cluster
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3: exercises multi-round propagation)
+        [(2, 1), (2, 3), (3, 4),
+         # clique 10-11-12
+         (10, 11), (10, 12), (11, 12),
+         # isolated edge
+         (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.id: r.cluster_id for r in cluster.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+                                 "doc_id long")
+    full = {r.id: (r.cluster_id, r.is_canonical)
+            for r in cluster.neardup_clusters(docs, pairs).collect()}
+    assert full[99] == (99, True)          # singleton: own cluster, kept
+    assert full[4] == (1, False)
+    assert sum(1 for _, (c, k) in full.items() if k) == 4  # 1, 10, 20, 99
+
+
+def test_connected_components_max_iter_raises(spark):
+    from logzilla_spark.operators import cluster
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    try:
+        cluster.connected_components(pairs, max_iter=2)
+        raise AssertionError("expected RuntimeError on non-convergence")
+    except RuntimeError as e:
+        assert "did not converge" in str(e)
