@@ -466,3 +466,50 @@ def proportional_token_sample(
         .filter(F.pmod(md5_long(F.col("id").cast("string")), F.lit(1_000_000)) < F.col("_keep_ppm"))
         .select("id", "lang", "n_tokens")
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    window: int = 128,
+    min_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize-and-chunk: split each document's token stream into
+    fixed-size windows (the training-example chunking stage that runs
+    before sequence packing). Emits (id, chunk_id, n_tokens,
+    chunk_text); a trailing partial window is kept iff it has at least
+    ``min_tokens`` tokens (a 3-token tail makes a useless training
+    example, but a 100-token one doesn't). NULL/empty docs emit no
+    chunks.
+
+    Shape: pure per-doc projection + ONE generator, no shuffle — at
+    100 TB this is scan-bound. The chunk struct (chunk_id, tokens,
+    text) is assembled INSIDE the generator expression: a sibling
+    projection above the explode would be re-evaluated once per output
+    chunk (the ngram_jaccard_pairs lesson — Catalyst hoists projections
+    over Generate, and interpreted higher-order transforms then pay
+    |output| re-evals).
+    """
+    w = int(window)
+    chunks = (
+        # one struct per window: i-th chunk covers tokens [i*w+1, i*w+w]
+        f"filter(transform(sequence(0, int(floor((size(_t) - 1) / {w}))), "
+        f"i -> struct(i AS chunk_id, "
+        f"size(slice(_t, i * {w} + 1, {w})) AS n_tokens, "
+        f"concat_ws(' ', slice(_t, i * {w} + 1, {w})) AS chunk_text)), "
+        f"c -> c.n_tokens >= {int(min_tokens)})"
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .filter(F.col("_n") != "")
+        .withColumn("_t", F.split("_n", " "))
+        .select("id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "id",
+            F.col("c.chunk_id").cast("int").alias("chunk_id"),
+            F.col("c.n_tokens").cast("int").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

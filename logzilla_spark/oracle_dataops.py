@@ -729,3 +729,25 @@ SELECT media_id, sample_rate, duration_ms,
        CAST(duration_ms // {frame_ms} AS BIGINT) AS n_frames,
        {_ascii_sum("substring(d, 5, 64)")} AS frame0_checksum
 FROM m"""
+
+
+def chunk_sequences_sql(
+    docs_path: str, window: int = 128, min_tokens: int = 16
+) -> str:
+    """Twin of textstats.chunk_sequences: same normalize, same window
+    arithmetic (DuckDB list_slice is start/end-inclusive and clamps,
+    Spark slice is start/length and clamps — same elements)."""
+    w = int(window)
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (
+  SELECT id, string_split(n, ' ') AS t FROM docs
+  WHERE n IS NOT NULL AND n <> ''
+),
+ch AS (
+  SELECT id, CAST(u.i AS INT) AS chunk_id,
+         CAST(len(list_slice(t, u.i * {w} + 1, u.i * {w} + {w})) AS INT) AS n_tokens,
+         array_to_string(list_slice(t, u.i * {w} + 1, u.i * {w} + {w}), ' ') AS chunk_text
+  FROM toks, unnest(range(0, CAST(floor((len(t) - 1) / {w}) AS BIGINT) + 1)) AS u(i)
+)
+SELECT id, chunk_id, n_tokens, chunk_text FROM ch
+WHERE n_tokens >= {int(min_tokens)}"""

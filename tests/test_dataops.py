@@ -493,3 +493,25 @@ def test_connected_components_max_iter_raises(spark):
         raise AssertionError("expected RuntimeError on non-convergence")
     except RuntimeError as e:
         assert "did not converge" in str(e)
+
+
+def test_chunk_sequences_hand_rows(spark):
+    """Fixed-size token windows: full chunks + qualifying tail; short,
+    NULL and empty docs emit nothing."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(300))),  # 128+128+44
+        (2, "a b c"),                                # 3 < min_tokens
+        (3, None),
+        (4, "   "),                                  # normalizes to ""
+        (5, " ".join(f"x{i}" for i in range(128))),  # exactly one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textstats.chunk_sequences(df, window=128, min_tokens=16).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.id, []).append(r)
+    assert set(by_doc) == {1, 5}
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_tokens for r in c1] == [128, 128, 44]
+    assert c1[1].chunk_text.startswith("t128 ")
+    assert [r.n_tokens for r in by_doc[5]] == [128]
