@@ -513,3 +513,74 @@ def chunk_sequences(
             F.col("c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+# Corpus-level line dedup: a line is boilerplate once it appears in
+# more than MAX_LINE_DOCS distinct documents (nav bars, footers, cookie
+# banners — RefinedWeb Penedo et al. '23 §G, CCNet Wenzek et al. '20
+# dedup paragraphs the same way).
+MAX_LINE_DOCS = 1
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = MAX_LINE_DOCS,
+) -> DataFrame:
+    """Global line-level dedup (RefinedWeb/CCNet boilerplate removal):
+    drop EVERY occurrence of any line whose trimmed form appears in
+    more than ``max_docs`` distinct documents, then reassemble each
+    document from its surviving lines in original order. Returns
+    (id, n_lines, n_lines_kept, clean_text); NULL-text docs emit no
+    row (the chunk_sequences contract).
+
+    Lines are keyed by ``md5_long(trim(line))`` — a 64-bit hash, so
+    the shuffle carries 8-byte keys instead of full line text; distinct
+    lines colliding on the hash merge (the standard trade, shared
+    bit-for-bit with the DuckDB twin). The empty line trims to one
+    global key and is dropped like any other boilerplate.
+
+    Plan shape for 100 TB: ONE explode lineage feeds (a) the
+    boilerplate-key aggregation — two-phase count-distinct on a
+    uniform 64-bit key, map-side partials — and (b) a left join of the
+    lines against that (small: only lines in >max_docs docs) key set,
+    then ONE groupBy(id) reassembly whose per-group state is bounded
+    by document size. No window over the line key: a corpus-hot line
+    would ship every copy to one reducer; the count-distinct
+    aggregation pre-shrinks to one row per key before any join, and
+    AQE broadcasts the key set when it is genuinely small.
+    """
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", F.expr(md5_long_expr("trim(line)")))
+    bad = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct("id").alias("_df"))
+        .filter(F.col("_df") > int(max_docs))
+        .select("_h", F.lit(True).alias("_bad"))
+    )
+    flagged = lines.join(bad, "_h", "left")
+    keep = F.col("_bad").isNull()
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("int").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            keep,
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.col("line").alias("line"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )

@@ -36,6 +36,7 @@ from logzilla_spark.operators.dedup import (
 from logzilla_spark.operators.textstats import (
     BPE_RE,
     LANG_PRIORITY,
+    MAX_LINE_DOCS,
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
@@ -751,3 +752,35 @@ ch AS (
 )
 SELECT id, chunk_id, n_tokens, chunk_text FROM ch
 WHERE n_tokens >= {int(min_tokens)}"""
+
+
+def line_dedup_sql(docs_path: str, max_docs: int = MAX_LINE_DOCS) -> str:
+    """Twin of textstats.line_dedup: same 64-bit line key, same
+    >max_docs distinct-doc boilerplate cut, same ordered reassembly
+    (string_agg ORDER BY pos == Spark's sort_array over (pos, line)
+    structs — pos is unique within a doc)."""
+    return f"""WITH t0 AS (
+  SELECT doc_id AS id, string_split(text, chr(10)) AS ls
+  FROM {_rel(docs_path)} WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT id,
+         unnest([{{'pos': i - 1, 'line': ls[i]}} FOR i IN range(1, len(ls) + 1)],
+                recursive := true)
+  FROM t0
+),
+keyed AS (
+  SELECT id, pos, line, {md5_long_sql('trim(line)')} AS h FROM lines
+),
+bad AS (
+  SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT id) > {int(max_docs)}
+),
+flagged AS (
+  SELECT k.id, k.pos, k.line, b.h IS NOT NULL AS is_bad
+  FROM keyed k LEFT JOIN bad b ON k.h = b.h
+)
+SELECT id, CAST(count(*) AS INT) AS n_lines,
+       CAST(sum(CASE WHEN is_bad THEN 0 ELSE 1 END) AS INT) AS n_lines_kept,
+       coalesce(string_agg(CASE WHEN is_bad THEN NULL ELSE line END, chr(10) ORDER BY pos),
+                '') AS clean_text
+FROM flagged GROUP BY id"""

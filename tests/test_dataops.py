@@ -515,3 +515,31 @@ def test_chunk_sequences_hand_rows(spark):
     assert [r.n_tokens for r in c1] == [128, 128, 44]
     assert c1[1].chunk_text.startswith("t128 ")
     assert [r.n_tokens for r in by_doc[5]] == [128]
+
+
+def test_line_dedup_hand_rows(spark):
+    """Corpus-level boilerplate cut: a line in >max_docs distinct docs
+    is dropped everywhere (even repeated within one doc); surviving
+    lines keep original order; NULL docs emit no row."""
+    footer = "copyright 2026 example corp"
+    rows = [
+        (1, f"unique opening line\n{footer}\nsecond unique line"),
+        (2, f"{footer}\nanother doc body\n{footer}"),  # footer twice in-doc
+        (3, "totally original content\nno shared lines here"),
+        (4, None),
+        (5, f"  {footer}  "),  # trims to the shared key -> all lines dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in textstats.line_dedup(df, max_docs=1).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1].n_lines == 3 and got[1].n_lines_kept == 2
+    assert got[1].clean_text == "unique opening line\nsecond unique line"
+    # both in-doc copies of the footer dropped; order of survivors kept
+    assert got[2].n_lines == 3 and got[2].n_lines_kept == 1
+    assert got[2].clean_text == "another doc body"
+    assert got[3].n_lines_kept == 2 and got[3].clean_text == rows[2][1]
+    assert got[5].n_lines == 1 and got[5].n_lines_kept == 0
+    assert got[5].clean_text == ""
+    # raising the threshold keeps everything (footer df == 3 docs)
+    relaxed = {r.id: r for r in textstats.line_dedup(df, max_docs=3).collect()}
+    assert all(r.n_lines == r.n_lines_kept for r in relaxed.values())
