@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from logzilla_spark import oracle, oracle_dataops
 from logzilla_spark.functions.levels import level_sql_case, parse_level_col
-from logzilla_spark.operators import cluster, dedup, multimodal, similarity, textstats
+from logzilla_spark.operators import cluster, dedup, multimodal, similarity, textstats, urls
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.fulltext import (
@@ -244,6 +244,9 @@ PROBE_MOD = 100  # every 100th vec_id is an ANN probe
 # data-mixture demo: token budgets forcing sub-1.0 keep rates for the
 # sampled languages at every SF (es/de get no budget -> excluded)
 MIX_BUDGETS = {"en": 6000, "zh": 2000, "fr": 1000}
+# hot2.example is a real (hot) domain in the synthetic corpus, so the
+# blocklist gate drops rows at every SF instead of being a no-op.
+URL_BLOCKLIST = ("hot2.example",) + urls.DEFAULT_URL_BLOCKLIST
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +352,10 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_line_dedup": lambda s, d: textstats.line_dedup(_docs(s, d)),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
+        # --- URL curation over the pages corpus (normalize/block/dedup) ---
+        "q_url_curate": lambda s, d: urls.url_curate(
+            _pages(s, d), blocklist=URL_BLOCKLIST
+        ),
         # --- multimodal plumbing (synthetic media table) ---
         "q_media_stats": lambda s, d: multimodal.media_stats(_media(s, d)),
         "q_media_image_features": lambda s, d: multimodal.decode_image_features(
@@ -549,6 +556,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict[str, str]:
         "q_pipeline_enrich_agg": oracle.enrich_sql(
             p, f"{d}/dim_lang.parquet", f"{d}/dim_severity.parquet"
         ),
+        "q_url_curate": oracle_dataops.url_curate_sql(p, URL_BLOCKLIST),
         "q_events_level_norm": f"""
 SELECT event_type, {lvl} AS level, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -33,6 +33,13 @@ from logzilla_spark.operators.dedup import (
     SIMHASH_BLOCKS,
     WORDGRAM_N,
 )
+from logzilla_spark.operators.urls import (
+    DEFAULT_URL_BLOCKLIST,
+    DOMAIN_RE,
+    SCHEME_HOST_RE,
+    TRACKING_PARAM_RE,
+    blocklist_regex,
+)
 from logzilla_spark.operators.textstats import (
     BPE_RE,
     LANG_PRIORITY,
@@ -784,3 +791,54 @@ SELECT id, CAST(count(*) AS INT) AS n_lines,
        coalesce(string_agg(CASE WHEN is_bad THEN NULL ELSE line END, chr(10) ORDER BY pos),
                 '') AS clean_text
 FROM flagged GROUP BY id"""
+
+
+def url_curate_sql(
+    pages_path: str,
+    blocklist: tuple[str, ...] = DEFAULT_URL_BLOCKLIST,
+) -> str:
+    """Twin of urls.url_curate: same regex constants, same staged
+    normalization, arg_max over the same zero-padded epoch-micros total
+    order (epoch_us == Spark's unix_micros)."""
+    pat = blocklist_regex(tuple(blocklist))
+    blocked = f"regexp_matches(domain, '{pat}')" if pat is not None else "false"
+    return f"""WITH t0 AS (
+  SELECT url, warc_ts, regexp_replace(url, '#.*$', '') AS nofrag
+  FROM {_rel(pages_path)} WHERE url IS NOT NULL
+),
+s1 AS (
+  SELECT url, warc_ts, nofrag,
+         regexp_extract(nofrag, '{SCHEME_HOST_RE}', 1) AS auth
+  FROM t0
+),
+s2 AS (
+  SELECT url, warc_ts,
+         lower(regexp_replace(auth, ':(80|443)$', '')) AS host,
+         substring(nofrag, length(auth) + 1) AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT url, warc_ts, host,
+         regexp_extract(rest, '^([^?]*)', 1) AS path,
+         array_to_string(list_filter(
+           string_split(regexp_extract(rest, '^[^?]*\\?(.*)$', 1), '&'),
+           p -> NOT regexp_matches(p, '{TRACKING_PARAM_RE}')), '&') AS q
+  FROM s2
+),
+cur AS (
+  SELECT url, warc_ts,
+         host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url,
+         regexp_extract(host, '{DOMAIN_RE}', 1) AS domain
+  FROM s3
+),
+gated AS (SELECT * FROM cur WHERE NOT ({blocked}))
+SELECT norm_url, k.url AS url, k.warc_ts AS warc_ts, k.domain AS domain,
+       n_crawls
+FROM (
+  SELECT norm_url,
+         arg_max(struct_pack(url := url, warc_ts := warc_ts, domain := domain),
+                 coalesce(lpad(CAST(epoch_us(warc_ts) AS VARCHAR), 20, '0'), '')
+                   || '|' || url) AS k,
+         CAST(count(*) AS BIGINT) AS n_crawls
+  FROM gated GROUP BY norm_url
+)"""

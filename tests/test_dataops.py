@@ -543,3 +543,41 @@ def test_line_dedup_hand_rows(spark):
     # raising the threshold keeps everything (footer df == 3 docs)
     relaxed = {r.id: r for r in textstats.line_dedup(df, max_docs=3).collect()}
     assert all(r.n_lines == r.n_lines_kept for r in relaxed.values())
+
+
+def test_url_curate_hand_rows(spark):
+    """Normalization (case, ports, fragments, tracking params),
+    suffix blocklist, keep-newest recrawl dedup, NULL handling."""
+    from logzilla_spark.operators.urls import url_curate
+
+    rows = [
+        ("HTTPS://Hot0.Example:443/En/Page0?utm_source=x&q=1&fbclid=z#frag",
+         "2024-01-02 00:00:00"),
+        ("https://hot0.example/En/Page0?q=1", "2024-01-03 00:00:00"),
+        ("https://ads.example/banner", "2024-01-01 00:00:00"),
+        ("https://sub.ads.example/banner", "2024-01-01 00:00:00"),
+        ("https://notads.example/ok", "2024-01-01 00:00:00"),  # no dot-boundary
+        ("http://plain.example:80/a?utm_campaign=only", "2024-01-01 00:00:00"),
+        ("no-scheme/path?ref=tw", None),
+        (None, "2024-01-01 00:00:00"),
+        ("https://site.example/dup", "2024-01-05 00:00:00"),
+        ("https://site.example/dup", "2024-01-05 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string").selectExpr(
+        "url", "try_to_timestamp(warc_ts) AS warc_ts"
+    )
+    got = {r.norm_url: r for r in url_curate(df).collect()}
+    # case-folded host (path case kept), default port + tracking params
+    # + fragment stripped; the two captures collapse to the NEWEST
+    key = "https://hot0.example/En/Page0?q=1"
+    assert got[key].n_crawls == 2
+    assert str(got[key].warc_ts) == "2024-01-03 00:00:00"
+    # blocklist: exact domain and subdomain dropped, lookalike kept
+    assert not any("ads.example/banner" in k for k in got)
+    assert "https://notads.example/ok" in got
+    # bare '?' dropped when every param is tracking
+    assert "http://plain.example/a" in got
+    # scheme-less passes through; NULL ts survives; NULL url emits no row
+    assert got["no-scheme/path"].domain == ""
+    assert got["no-scheme/path"].warc_ts is None
+    assert len(got) == 5
