@@ -350,6 +350,8 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_chunks": lambda s, d: textstats.chunk_sequences(_docs(s, d)),
         # --- global boilerplate line dedup (RefinedWeb/CCNet) ---
         "q_text_line_dedup": lambda s, d: textstats.line_dedup(_docs(s, d)),
+        # --- sequence packing manifest (hash-grouped concat-and-split) ---
+        "q_text_pack": lambda s, d: textstats.pack_sequences(_docs(s, d)),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
         # --- URL curation over the pages corpus (normalize/block/dedup) ---
@@ -397,6 +399,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         ),
         "q_text_chunks": oracle_dataops.chunk_sequences_sql(docs),
         "q_text_line_dedup": oracle_dataops.line_dedup_sql(docs),
+        "q_text_pack": oracle_dataops.pack_sequences_sql(docs),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),

@@ -17,7 +17,7 @@ no shuffle, fully pipelined with the parquet scan, column-pruned to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from logzilla_spark.functions.hashing import P31, md5_long, md5_long_expr
@@ -583,4 +583,68 @@ def line_dedup(
             ),
             "\n",
         ).alias("clean_text"),
+    )
+
+
+# Sequence packing defaults: token budget per training sequence and the
+# number of independent packing streams (parallelism of the ordered
+# cumsum — at cluster scale set n_groups ~ a few x total cores).
+PACK_BUDGET = 2048
+PACK_GROUPS = 64
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing manifest: place every document's token stream
+    into fixed-``budget`` training sequences (the concat-and-split
+    step after chunking — GPT-style pipelines pack documents back to
+    back and cut every ``budget`` tokens).
+
+    Ordered packing is inherently sequential, so the corpus is first
+    split into ``n_groups`` independent streams by a deterministic
+    hash of the doc id; within a stream docs pack in id order. Each
+    doc gets (grp, seq_no, seq_off): it starts in sequence ``seq_no``
+    of its stream at token offset ``seq_off`` (docs straddle sequence
+    boundaries, exactly like the training-time concat). The mapping is
+    a pure function of (corpus, budget, n_groups) — independent of
+    partitioning and order. NULL/empty docs emit no row
+    (chunk_sequences' contract).
+
+    Plan shape for 100 TB: one narrow token-count projection
+    (scan-bound), then ONE window aggregation partitioned by the hash
+    group — per-group state is a running sum (spillable sort), and
+    parallelism is ``n_groups``, chosen by the caller to match the
+    cluster. No global ordering, no single-reducer cumsum — the
+    standard trade: packing is only deterministic per stream, so make
+    the streams explicit and hash-balanced.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .filter(F.col("_n") != "")
+        .select(
+            "id",
+            F.size(F.split("_n", " ")).alias("n_tokens"),
+            F.pmod(
+                F.expr(md5_long_expr("cast(id as string)")), F.lit(int(n_groups))
+            ).cast("int").alias("grp"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "id",
+        "grp",
+        "n_tokens",
+        F.floor(prev / F.lit(int(budget))).alias("seq_no"),
+        F.pmod(prev, F.lit(int(budget))).alias("seq_off"),
     )

@@ -44,6 +44,8 @@ from logzilla_spark.operators.textstats import (
     BPE_RE,
     LANG_PRIORITY,
     MAX_LINE_DOCS,
+    PACK_BUDGET,
+    PACK_GROUPS,
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
@@ -842,3 +844,28 @@ FROM (
          CAST(count(*) AS BIGINT) AS n_crawls
   FROM gated GROUP BY norm_url
 )"""
+
+
+def pack_sequences_sql(
+    docs_path: str, budget: int = PACK_BUDGET, n_groups: int = PACK_GROUPS
+) -> str:
+    """Twin of textstats.pack_sequences: same hash-group split, same
+    per-group id-ordered running sum over PRECEDING rows."""
+    h = md5_long_sql("CAST(id AS VARCHAR)")
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (
+  SELECT id, CAST(len(string_split(n, ' ')) AS INT) AS n_tokens,
+         CAST(({h} % {int(n_groups)} + {int(n_groups)}) % {int(n_groups)} AS INT) AS grp
+  FROM docs WHERE n IS NOT NULL AND n <> ''
+),
+packed AS (
+  SELECT id, grp, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY grp ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks
+)
+SELECT id, grp, n_tokens,
+       CAST(floor(prev / {int(budget)}) AS BIGINT) AS seq_no,
+       CAST(prev % {int(budget)} AS BIGINT) AS seq_off
+FROM packed"""

@@ -581,3 +581,28 @@ def test_url_curate_hand_rows(spark):
     assert got["no-scheme/path"].domain == ""
     assert got["no-scheme/path"].warc_ts is None
     assert len(got) == 5
+
+
+def test_pack_sequences_hand_rows(spark):
+    """Within one stream, docs pack back to back in id order and
+    straddle sequence boundaries; streams are independent."""
+    from logzilla_spark.operators import textstats
+
+    # n_groups=1 -> a single stream makes the arithmetic checkable
+    rows = [(i, " ".join(f"t{j}" for j in range(50))) for i in range(1, 5)]
+    rows += [(9, None), (10, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in textstats.pack_sequences(
+        df, budget=128, n_groups=1).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r.grp == 0 and r.n_tokens == 50 for r in got.values())
+    # prev cum: 0, 50, 100, 150 -> seq boundaries at 128
+    assert (got[1].seq_no, got[1].seq_off) == (0, 0)
+    assert (got[2].seq_no, got[2].seq_off) == (0, 50)
+    assert (got[3].seq_no, got[3].seq_off) == (0, 100)  # straddles into seq 1
+    assert (got[4].seq_no, got[4].seq_off) == (1, 22)
+    # multi-group: same corpus, every doc still appears exactly once,
+    # and offsets stay inside the budget
+    multi = textstats.pack_sequences(df, budget=128, n_groups=8).collect()
+    assert sorted(r.id for r in multi) == [1, 2, 3, 4]
+    assert all(0 <= r.seq_off < 128 for r in multi)
