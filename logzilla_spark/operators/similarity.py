@@ -178,3 +178,115 @@ def embedding_neardup_lsh(
         .select("vec_a", "vec_b", "cosine")
         .distinct()
     )
+
+
+# IVF coarse quantization: cells, and how many nearest cells a probe
+# searches (nprobe). Raise IVF_CELLS with corpus size (cell occupancy
+# ~ corpus / cells); raise IVF_NPROBE for recall.
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def ivf_seeds(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, seed): the ``n_cells`` lowest-id vectors as cell
+    centroids — a deterministic coarse quantizer. Real IVF trains
+    k-means centroids; trained float centroids are not bit-portable
+    (summation order), so the quantizer is SEEDED instead, which keeps
+    the IVF plan shape (assign -> invert -> probe nprobe cells) exact
+    and oracle-checkable. Swap in trained centroids at deployment by
+    passing any (cell, seed) frame to the functions below.
+
+    The global orderBy+limit runs on k rows only (single tiny task);
+    the row_number window is over the k-row result, not the corpus.
+    """
+    w = Window.orderBy("id")
+    return (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("seed"))
+        .orderBy("id")
+        .limit(int(n_cells))
+        .withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        .select("cell", "seed")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cell): each vector joins its nearest seed by
+    cosine (ties -> lowest cell). The k-row seed table is broadcast, so
+    the k candidate rows per vector are co-located and the max_by
+    partial aggregation completes map-side: the only shuffle carries
+    ONE row per vector. No corpus-sized broadcast, no window over the
+    corpus."""
+    a = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cos", F.expr(cosine_expr("embedding", "seed")))
+    )
+    picked = a.groupBy("id").agg(
+        F.max_by(
+            F.struct("cell", "embedding"),
+            F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc")),
+        ).alias("_k")
+    )
+    return picked.select(
+        "id",
+        F.col("_k.embedding").alias("embedding"),
+        F.col("_k.cell").alias("cell"),
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k via IVF: exact cosine only against corpus
+    vectors living in each probe's ``nprobe`` nearest cells.
+
+    The corpus is assigned to cells once (one row-per-vector shuffle,
+    uniform-ish by seed geometry) and joined on cell id against the
+    broadcast probe->cells set. A corpus vector lives in exactly ONE
+    cell and a probe's nprobe cells are distinct, so candidate pairs
+    are already unique — no distinct needed (unlike the LSH multiprobe
+    path). Complements cosine_topk_lsh: IVF buckets adapt to the data
+    (seeds come from the corpus), LSH buckets are data-independent.
+    """
+    seeds = ivf_seeds(emb, n_cells, id_col, vec_col)
+    corpus = ivf_assign(emb, seeds, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("embedding").alias("_ce"),
+        "cell",
+    )
+    pc = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        pc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= int(nprobe))
+        .select("probe_id", "_pe", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .select("probe_id", "neighbor_id", "cosine")
+    )
+    return _topk(scored, k)

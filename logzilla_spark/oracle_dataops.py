@@ -869,3 +869,46 @@ SELECT id, grp, n_tokens,
        CAST(floor(prev / {int(budget)}) AS BIGINT) AS seq_no,
        CAST(prev % {int(budget)} AS BIGINT) AS seq_off
 FROM packed"""
+
+
+def cosine_topk_ivf_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+    n_cells: int = similarity.IVF_CELLS,
+    nprobe: int = similarity.IVF_NPROBE,
+) -> str:
+    """Twin of similarity.cosine_topk_ivf: same seeded quantizer (k
+    lowest-id vectors), same nearest-cell assignment (cos DESC, cell
+    ASC == Spark's max_by over (cos, -cell)), same nprobe cut."""
+    cos_assign = _cosine_sql("e.embedding", "s.seed", dim)
+    cos_probe = _cosine_sql("p.embedding", "s.seed", dim)
+    cos = _cosine_sql("pc.pe", "a.embedding", dim)
+    return f"""WITH e AS (SELECT vec_id AS id, embedding FROM {_rel(emb_path)}),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell,
+         embedding AS seed
+  FROM (SELECT id, embedding FROM e ORDER BY id LIMIT {int(n_cells)})
+),
+assign AS (
+  SELECT id, embedding, cell FROM (
+    SELECT e.id, e.embedding, s.cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {cos_assign} DESC, s.cell) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1
+),
+p AS (SELECT id, embedding FROM e WHERE id % {probe_mod} = 0),
+pc AS (
+  SELECT id AS probe_id, embedding AS pe, cell FROM (
+    SELECT p.id, p.embedding, s.cell,
+           row_number() OVER (PARTITION BY p.id
+                              ORDER BY {cos_probe} DESC, s.cell) AS rn
+    FROM p CROSS JOIN seeds s) WHERE rn <= {int(nprobe)}
+)
+SELECT pc.probe_id, a.id AS neighbor_id, {cos} AS cosine,
+       CAST(row_number() OVER (PARTITION BY pc.probe_id
+                               ORDER BY {cos} DESC, a.id) AS INT) AS rank
+FROM pc JOIN assign a USING (cell)
+WHERE pc.probe_id != a.id
+QUALIFY rank <= {int(k)}"""

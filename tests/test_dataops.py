@@ -606,3 +606,26 @@ def test_pack_sequences_hand_rows(spark):
     multi = textstats.pack_sequences(df, budget=128, n_groups=8).collect()
     assert sorted(r.id for r in multi) == [1, 2, 3, 4]
     assert all(0 <= r.seq_off < 128 for r in multi)
+
+
+def test_cosine_topk_ivf_assignment_and_recall(spark):
+    """IVF: seeded quantizer assigns each vector to its nearest seed
+    (ties -> lowest cell); probe search inside nprobe cells returns
+    the true neighbor when it shares a cell."""
+    emb = _emb(spark)  # e1 ~ e2 colinear; e3, e4 orthogonal axes
+    seeds = similarity.ivf_seeds(emb, n_cells=2)
+    picked = {r.cell: r.seed for r in seeds.collect()}
+    assert set(picked) == {0, 1}  # two lowest-id vectors become seeds
+    assign = {r.id: r.cell for r in similarity.ivf_assign(emb, seeds).collect()}
+    # each seed is its own nearest (cos=1); vecs 2/3 have cos 0 with
+    # seed 0 but a tiny positive cos with seed 1's 0.01-filled tail
+    assert assign == {0: 0, 1: 1, 2: 1, 3: 1}
+    probes = emb.filter("vec_id = 0")
+    # nprobe=1 searches only the probe's own cell (just vec 0 itself
+    # -> no candidates); nprobe=2 recovers the true neighbor — the
+    # recall lever working as designed
+    narrow = similarity.cosine_topk_ivf(emb, probes, k=3, n_cells=2, nprobe=1)
+    assert narrow.collect() == []
+    got = similarity.cosine_topk_ivf(emb, probes, k=3, n_cells=2, nprobe=2).collect()
+    assert got and got[0].neighbor_id == 1 and got[0].rank == 1
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
