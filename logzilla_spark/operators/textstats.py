@@ -541,13 +541,16 @@ def line_dedup(
     bit-for-bit with the DuckDB twin). The empty line trims to one
     global key and is dropped like any other boilerplate.
 
-    Plan shape for 100 TB: ONE explode lineage feeds (a) the
+    Plan shape for 100 TB: the explode lineage feeds (a) the
     boilerplate-key aggregation — two-phase count-distinct on a
     uniform 64-bit key, map-side partials — and (b) a left join of the
     lines against that (small: only lines in >max_docs docs) key set,
     then ONE groupBy(id) reassembly whose per-group state is bounded
-    by document size. No window over the line key: a corpus-hot line
-    would ship every copy to one reducer; the count-distinct
+    by document size. The two consumers mean two corpus scans (Spark
+    does not share unpersisted lineage across DeduplicateRelations'
+    clones — the minhash operator's documented trade; persist upstream
+    if the scan dominates). No window over the line key: a corpus-hot
+    line would ship every copy to one reducer; the count-distinct
     aggregation pre-shrinks to one row per key before any join, and
     AQE broadcasts the key set when it is genuinely small.
     """
