@@ -361,6 +361,17 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_curate": lambda s, d: urls.url_curate(
             _pages(s, d), blocklist=URL_BLOCKLIST
         ),
+        # --- near-dup curation endpoint: keep the BEST-quality member
+        # per cluster (ngram-jaccard edges; the oracle's transitive
+        # closure over this sparser graph keeps the gate cheap, while
+        # q_dedup_clusters already exercises the minhash graph) ---
+        "q_dedup_keep_best": lambda s, d: cluster.neardup_keep_best(
+            _docs(s, d),
+            dedup.ngram_jaccard_pairs(_docs(s, d)),
+            textstats.quality_score(_docs(s, d)).select("id", "quality"),
+        ),
+        # --- BPE merge-step pair counting (tokenizer training core) ---
+        "q_text_bpe_pairs": lambda s, d: textstats.bpe_pair_counts(_docs(s, d)),
         # --- multimodal plumbing (synthetic media table) ---
         "q_media_stats": lambda s, d: multimodal.media_stats(_media(s, d)),
         "q_media_image_features": lambda s, d: multimodal.decode_image_features(
@@ -405,6 +416,8 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_line_dedup": oracle_dataops.line_dedup_sql(docs),
         "q_text_pack": oracle_dataops.pack_sequences_sql(docs),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
+        "q_dedup_keep_best": oracle_dataops.neardup_keep_best_sql(docs),
+        "q_text_bpe_pairs": oracle_dataops.bpe_pair_counts_sql(docs),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),
         "q_media_audio_frames": oracle_dataops.audio_frames_sql(media),

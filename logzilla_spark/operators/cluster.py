@@ -180,3 +180,58 @@ def neardup_clusters(
         )
         .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
     )
+
+
+def neardup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    score_col: str = "quality",
+    max_iter: int = MAX_CC_ITER,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup curation endpoint: per cluster, keep the HIGHEST-score
+    member (tie -> lowest id) instead of the min-id canonical.
+
+    min-id canonicalization (neardup_clusters) is arbitrary: when a
+    near-dup family mixes a clean page with boilerplate-mangled
+    recrawls, a training pipeline wants the best COPY, not the first
+    id. ``scores`` is any (id, <score_col>) frame — quality_score's
+    output is the natural choice, but a model-based scorer slots in
+    unchanged.
+
+    Output: (id, cluster_id, <score_col>, is_kept); the curated corpus
+    is ``filter(is_kept)`` — exactly one kept row per cluster,
+    including singletons.
+
+    Scale shape: one id-keyed join (uniform key), one min_by
+    aggregation per cluster — O(1) state per group, so even a
+    corpus-sized boilerplate mega-cluster costs one combiner chain,
+    never a buffered group (the same argument as curate_corpus's
+    keep-first). The winner table (one row per cluster) joins back on
+    cluster_id; AQE broadcasts it when small and skew-splits the
+    mega-cluster key when not.
+    """
+    cc = neardup_clusters(
+        docs, pairs, id_col=id_col, a_col=a_col, b_col=b_col,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+    )
+    scored = cc.select("id", "cluster_id").join(scores, "id")
+    # min over (-score, id): max score, then min id — negating a
+    # double is exact, so the DuckDB arg_min twin orders identically.
+    win = scored.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col("id"),
+            F.struct((-F.col(score_col)).alias("_ns"), F.col("id")),
+        ).alias("_keep")
+    )
+    return (
+        scored.join(win, "cluster_id")
+        .select(
+            "id", "cluster_id", score_col,
+            (F.col("id") == F.col("_keep")).alias("is_kept"),
+        )
+    )

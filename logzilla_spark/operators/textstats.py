@@ -651,3 +651,62 @@ def pack_sequences(
         F.floor(prev / F.lit(int(budget))).alias("seq_no"),
         F.pmod(prev, F.lit(int(budget))).alias("seq_off"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-step pair counting (tokenizer training's distributed core)
+# --------------------------------------------------------------------------
+
+BPE_EOW = "</w>"  # end-of-word boundary symbol (Sennrich et al. 2016)
+MIN_PAIR_FREQ = 2
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_freq: int = MIN_PAIR_FREQ,
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies over the corpus — the first
+    merge iteration of BPE tokenizer training (Sennrich et al. 2016:
+    symbols start as characters, each word ends with a boundary
+    marker; the merge candidate is the most frequent adjacent pair).
+
+    Output: (lhs, rhs, freq) for every pair with corpus frequency
+    >= ``min_freq`` — ``max_by(struct(freq, ...))`` over this frame IS
+    the first merge decision; the full training loop re-runs the count
+    on the merged vocab, which stays this exact shape.
+
+    Scale shape (the trick every real BPE trainer uses): the corpus is
+    touched ONCE — explode whitespace tokens, groupBy(word) count.
+    That is the only corpus-sized shuffle, and it is a count
+    aggregation (map-side partials, O(1) state), so Zipf-hot words are
+    skew-free. Pair enumeration then runs over the DISTINCT-word table
+    (vocab-sized — millions of rows at 100 TB, not trillions), each
+    pair weighted by the word's corpus frequency. The transform/
+    element_at lambdas are interpreted (no codegen), which is why they
+    are confined to the vocab table rather than the corpus scan.
+    """
+    words = (
+        df.select(normalize_text(text_col).alias("_n"))
+        .select(F.explode(F.split("_n", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # symbols = chars of the word + the end-of-word marker, so the
+    # boundary pair (last_char, </w>) is counted like any other —
+    # len(symbols) >= 2 always, so the sequence below is never empty.
+    pairs = (
+        "transform(sequence(1, size(_s) - 1), "
+        "i -> struct(element_at(_s, i) AS lhs, "
+        "element_at(_s, cast(i + 1 AS INT)) AS rhs))"
+    )
+    return (
+        words.withColumn("_s", F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))"))
+        .select(F.explode(F.expr(pairs)).alias("p"), "wf")
+        .select("p.lhs", "p.rhs", "wf")
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("wf").alias("freq"))
+        .filter(F.col("freq") >= int(min_freq))
+    )

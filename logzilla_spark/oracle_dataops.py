@@ -41,9 +41,11 @@ from logzilla_spark.operators.urls import (
     blocklist_regex,
 )
 from logzilla_spark.operators.textstats import (
+    BPE_EOW,
     BPE_RE,
     LANG_PRIORITY,
     MAX_LINE_DOCS,
+    MIN_PAIR_FREQ,
     PACK_BUDGET,
     PACK_GROUPS,
     PII_EMAIL_RE,
@@ -912,3 +914,64 @@ SELECT pc.probe_id, a.id AS neighbor_id, {cos} AS cosine,
 FROM pc JOIN assign a USING (cell)
 WHERE pc.probe_id != a.id
 QUALIFY rank <= {int(k)}"""
+
+
+def bpe_pair_counts_sql(docs_path: str, min_freq: int = MIN_PAIR_FREQ) -> str:
+    """Twin of textstats.bpe_pair_counts: word-frequency table once,
+    char pairs + end-of-word boundary pair enumerated per distinct
+    word, weighted by word frequency."""
+    return f"""WITH {_docs_cte(docs_path)},
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wf
+  FROM (SELECT unnest(string_split(n, ' ')) AS w FROM docs)
+  WHERE w <> '' GROUP BY w
+),
+sym AS (
+  SELECT list_append([substring(w, i, 1) FOR i IN range(1, length(w) + 1)],
+                     '{BPE_EOW}') AS s, wf
+  FROM words
+),
+pr AS (
+  SELECT unnest([struct_pack(lhs := s[i], rhs := s[i + 1])
+                 FOR i IN range(1, len(s))]) AS p, wf
+  FROM sym
+)
+SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(wf) AS BIGINT) AS freq
+FROM pr GROUP BY 1, 2
+HAVING CAST(sum(wf) AS BIGINT) >= {int(min_freq)}"""
+
+
+def neardup_keep_best_sql(docs_path: str) -> str:
+    """Twin of cluster.neardup_keep_best over ngram_jaccard_pairs
+    edges + quality_score scores: connected components via the
+    recursive transitive closure, winner per cluster = first row under
+    (quality DESC, id ASC) — identical ordering to Spark's min_by over
+    struct(-quality, id). (DuckDB 1.0's arg_min rejects struct keys,
+    so the twin uses a row_number window instead.)"""
+    return f"""WITH RECURSIVE jp AS ({ngram_jaccard_pairs_sql(docs_path)}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+),
+reach(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT id, quality FROM ({quality_score_sql(docs_path)})),
+scored AS (
+  SELECT CAST(q.id AS BIGINT) AS id,
+         CAST(coalesce(cc.cluster_id, q.id) AS BIGINT) AS cluster_id,
+         q.quality AS quality
+  FROM q LEFT JOIN cc ON q.id = cc.id
+),
+win AS (
+  SELECT cluster_id, id AS keep
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY quality DESC, id ASC) = 1
+)
+SELECT s.id, s.cluster_id, s.quality, s.id = w.keep AS is_kept
+FROM scored s JOIN win w ON s.cluster_id = w.cluster_id"""

@@ -629,3 +629,55 @@ def test_cosine_topk_ivf_assignment_and_recall(spark):
     got = similarity.cosine_topk_ivf(emb, probes, k=3, n_cells=2, nprobe=2).collect()
     assert got and got[0].neighbor_id == 1 and got[0].rank == 1
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_neardup_keep_best_planted(spark):
+    """Keep-best curation: per cluster the HIGHEST-score member
+    survives, ties break to the LOWEST id; singletons always kept."""
+    from logzilla_spark.operators import cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),       # cluster {1,2,3}
+         (10, 11)],            # cluster {10,11}
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9),    # tie 2 vs 3 -> keep 2
+         (10, 0.5), (11, 0.4),
+         (99, 0.0)],                       # singleton, lowest score: kept
+        "id long, quality double",
+    )
+    out = {r.id: (r.cluster_id, r.is_kept)
+           for r in cluster.neardup_keep_best(docs, pairs, scores).collect()}
+    assert out == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        99: (99, True),
+    }
+
+
+def test_bpe_pair_counts_hand_rows(spark):
+    """BPE first-iteration pair counts: word-frequency weighting,
+    within-word repeats counted per occurrence, end-of-word boundary
+    pair, min_freq cut."""
+    rows = [
+        (1, "aa aa ab"),     # word 'aa' x2, 'ab' x1
+        (2, "aa"),           # word 'aa' x1  -> 'aa' corpus freq 3
+        (3, None),           # NULL text drops out entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.lhs, r.rhs): r.freq
+           for r in textstats.bpe_pair_counts(df, min_freq=1).collect()}
+    # 'aa' (freq 3): pairs (a,a) and (a,</w>); 'ab' (freq 1): (a,b), (b,</w>)
+    assert got == {
+        ("a", "a"): 3,
+        ("a", textstats.BPE_EOW): 3,
+        ("a", "b"): 1,
+        ("b", textstats.BPE_EOW): 1,
+    }
+    # default min_freq=2 cuts the singleton pairs
+    got2 = {(r.lhs, r.rhs) for r in textstats.bpe_pair_counts(df).collect()}
+    assert got2 == {("a", "a"), ("a", textstats.BPE_EOW)}
