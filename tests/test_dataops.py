@@ -681,3 +681,10 @@ def test_bpe_pair_counts_hand_rows(spark):
     # default min_freq=2 cuts the singleton pairs
     got2 = {(r.lhs, r.rhs) for r in textstats.bpe_pair_counts(df).collect()}
     assert got2 == {("a", "a"), ("a", textstats.BPE_EOW)}
+    # unicode: split(w, '') must be CHAR-based (not byte-based), matching
+    # the DuckDB twin's substring loop — CJK/accented chars are single
+    # symbols (probed equal against the twin on a hand corpus)
+    uni = spark.createDataFrame([(1, "日本 café")], "doc_id long, text string")
+    u = {(r.lhs, r.rhs) for r in textstats.bpe_pair_counts(uni, min_freq=1).collect()}
+    assert ("日", "本") in u and ("本", textstats.BPE_EOW) in u
+    assert ("f", "é") in u and ("é", textstats.BPE_EOW) in u
