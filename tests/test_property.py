@@ -346,3 +346,52 @@ def test_grok_parser_matches_python_re_reference(lines, spark):
                 assert r.level == "NOTICE", (pat, ln)
                 assert r.message == ref["message"], (pat, ln)
                 assert r.metadata == ref["metadata"], (pat, ln)
+
+
+# --------------------------------------------------------------------------
+# connected components vs a union-find reference
+# --------------------------------------------------------------------------
+
+edge_st = st.tuples(
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=0, max_value=40),
+).filter(lambda e: e[0] != e[1])
+
+
+def _union_find(edges):
+    """Driver-side reference: min-id connected components."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(edge_st, min_size=1, max_size=40))
+def test_connected_components_matches_union_find(edges, spark):
+    """Random graphs (duplicate edges, both orientations, self-free):
+    the distributed CC fixpoint must equal union-find's min-id labels.
+    Small id range forces dense multi-component collisions; duplicate
+    and reversed edges exercise the no-distinct mirror path."""
+    from logzilla_spark.operators import cluster
+
+    want = _union_find(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in cluster.connected_components(pairs).collect()
+    }
+    assert got == want
