@@ -372,6 +372,10 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- BPE merge-step pair counting (tokenizer training core) ---
         "q_text_bpe_pairs": lambda s, d: textstats.bpe_pair_counts(_docs(s, d)),
+        # --- cross-doc duplicated-passage stats (Lee et al. 2021) ---
+        "q_text_dup_passages": lambda s, d: textstats.dup_passage_stats(
+            _docs(s, d)
+        ),
         # --- multimodal plumbing (synthetic media table) ---
         "q_media_stats": lambda s, d: multimodal.media_stats(_media(s, d)),
         "q_media_image_features": lambda s, d: multimodal.decode_image_features(
@@ -418,6 +422,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
         "q_dedup_keep_best": oracle_dataops.neardup_keep_best_sql(docs),
         "q_text_bpe_pairs": oracle_dataops.bpe_pair_counts_sql(docs),
+        "q_text_dup_passages": oracle_dataops.dup_passage_stats_sql(docs),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),
         "q_media_audio_frames": oracle_dataops.audio_frames_sql(media),

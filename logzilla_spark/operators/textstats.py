@@ -710,3 +710,75 @@ def bpe_pair_counts(
         .agg(F.sum("wf").alias("freq"))
         .filter(F.col("freq") >= int(min_freq))
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-passage stats (Lee et al. 2021's decision
+# metric for substring-level dedup)
+# --------------------------------------------------------------------------
+
+DUP_WINDOW = 8  # tokens per passage window
+
+
+def dup_passage_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = DUP_WINDOW,
+) -> DataFrame:
+    """Per document: how much of it is built from ``window``-token
+    passages that ALSO occur in other documents — the metric behind
+    substring-level dedup decisions ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2021: documents whose
+    spans are largely corpus-duplicated get cut or trimmed).
+
+    Distinct from the neighbors in this module: repetition_stats is
+    WITHIN-doc, line_dedup keys on LINES (boilerplate removal and
+    returns cleaned text) — this keys on sliding token windows ACROSS
+    docs and returns per-doc duplication measurements for a filter
+    decision.
+
+    Output: (id, n_windows, n_dup_windows, dup_fraction). Windows are
+    the DISTINCT word n-grams of dedup._wordgrams_expr — one shared
+    gram definition with ngram_jaccard_pairs, including its floor
+    (docs shorter than the window emit one partial gram, so
+    n_windows >= 1 and the fraction never divides by zero). A window
+    counts as duplicated when its hash occurs in >= 2 distinct docs.
+
+    Scale shape (line_dedup's, same argument): grams are hashed to
+    64-bit keys so every shuffle carries 8 bytes, not passage text
+    (hash collisions are computed identically by the DuckDB twin).
+    The hot-window set is pre-shrunk by a two-phase count-distinct
+    aggregation — never a window function over a corpus-hot key, which
+    would ship every copy to one reducer — and joined back left; AQE
+    broadcasts it when genuinely small. The gram lineage feeds both
+    consumers (two corpus scans unless the caller persists upstream —
+    the documented trade).
+    """
+    from logzilla_spark.operators.dedup import _wordgrams_expr
+
+    grams = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .withColumn("_t", F.split("_n", " "))
+        .select("id", F.explode(F.expr(_wordgrams_expr("_t", int(window)))).alias("_g"))
+        .select("id", F.expr(md5_long_expr("_g")).alias("_h"))
+    )
+    hot = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    return (
+        grams.join(hot, "_h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows").cast("double"),
+        )
+    )

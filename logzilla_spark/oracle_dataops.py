@@ -43,6 +43,7 @@ from logzilla_spark.operators.urls import (
 from logzilla_spark.operators.textstats import (
     BPE_EOW,
     BPE_RE,
+    DUP_WINDOW,
     LANG_PRIORITY,
     MAX_LINE_DOCS,
     MIN_PAIR_FREQ,
@@ -975,3 +976,24 @@ win AS (
 )
 SELECT s.id, s.cluster_id, s.quality, s.id = w.keep AS is_kept
 FROM scored s JOIN win w ON s.cluster_id = w.cluster_id"""
+
+
+def dup_passage_stats_sql(docs_path: str, window: int = DUP_WINDOW) -> str:
+    """Twin of textstats.dup_passage_stats: same _wordgrams gram
+    definition (distinct, floor for short docs), same 64-bit gram
+    hash, duplicated = hash in >= 2 distinct docs."""
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, string_split(n, ' ') AS t FROM docs),
+hs AS (
+  SELECT id, {md5_long_sql('g')} AS h
+  FROM (SELECT id, unnest({_wordgrams('t', int(window))}) AS g FROM toks)
+),
+hot AS (
+  SELECT h, 1 AS dup FROM hs GROUP BY h HAVING count(DISTINCT id) >= 2
+)
+SELECT hs.id AS id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(coalesce(hot.dup, 0)) AS BIGINT) AS n_dup_windows,
+       CAST(sum(coalesce(hot.dup, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS dup_fraction
+FROM hs LEFT JOIN hot ON hs.h = hot.h
+GROUP BY hs.id"""

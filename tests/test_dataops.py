@@ -688,3 +688,24 @@ def test_bpe_pair_counts_hand_rows(spark):
     u = {(r.lhs, r.rhs) for r in textstats.bpe_pair_counts(uni, min_freq=1).collect()}
     assert ("日", "本") in u and ("本", textstats.BPE_EOW) in u
     assert ("f", "é") in u and ("é", textstats.BPE_EOW) in u
+
+
+def test_dup_passage_stats_hand_rows(spark):
+    """Cross-doc duplicated windows: shared passages flag in BOTH docs,
+    unique docs get fraction 0; short docs hit the one-partial-gram
+    floor (n_windows == 1) and never divide by zero."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    rows = [
+        (1, shared + " unique tail one two three four five six seven"),
+        (2, shared + " other ending entirely different from the first"),
+        (3, "completely unrelated text with no overlap at all here now"),
+        (4, "tiny"),                                            # floor doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in textstats.dup_passage_stats(df, window=8).collect()}
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    # the shared 8-token prefix is one shared window in each
+    assert out[1].n_dup_windows == out[2].n_dup_windows == 1
+    assert out[3].n_dup_windows == 0 and out[3].dup_fraction == 0.0
+    assert out[4].n_windows == 1 and out[4].dup_fraction == 0.0
+    assert 0.0 < out[1].dup_fraction < 1.0
