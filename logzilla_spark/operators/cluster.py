@@ -205,7 +205,10 @@ def neardup_keep_best(
 
     Output: (id, cluster_id, <score_col>, is_kept); the curated corpus
     is ``filter(is_kept)`` — exactly one kept row per cluster,
-    including singletons.
+    including singletons. Docs missing from ``scores`` (left join) and
+    NULL/NaN scores rank WORST — they are still emitted and can only
+    win a cluster whose every member is unscored (id tie-break), so
+    a partially-failed scorer never silently deletes a family.
 
     Scale shape: one id-keyed join (uniform key), one min_by
     aggregation per cluster — O(1) state per group, so even a
@@ -213,20 +216,34 @@ def neardup_keep_best(
     never a buffered group (the same argument as curate_corpus's
     keep-first). The winner table (one row per cluster) joins back on
     cluster_id; AQE broadcasts it when small and skew-splits the
-    mega-cluster key when not.
+    mega-cluster key when not. win derives from scored, so the scored
+    lineage runs twice (DeduplicateRelations' clones don't share
+    exchanges) — but the expensive part, the CC rounds, is already
+    checkpointed inside connected_components, leaving only the docs
+    scan, the ``scores`` lineage and the mapping-composition joins to
+    re-run (measured CHEAPER at sf0.1 than eagerly checkpointing
+    scored, 5.9s vs 7.1s). A caller with an expensive model-based
+    scorer should persist the scores frame before passing it in.
     """
     cc = neardup_clusters(
         docs, pairs, id_col=id_col, a_col=a_col, b_col=b_col,
         max_iter=max_iter, checkpoint_dir=checkpoint_dir,
     )
-    scored = cc.select("id", "cluster_id").join(scores, "id")
-    # min over (-score, id): max score, then min id — negating a
-    # double is exact, so the DuckDB arg_min twin orders identically.
+    scored = cc.select("id", "cluster_id").join(scores, "id", "left")
+    # winner ordering key: min over (ns, id) where ns = -score, with
+    # NULL and NaN scores mapped to +inf (worst). Explicit mapping on
+    # BOTH engines — Spark's struct comparison sorts NULL keys FIRST
+    # (a NULL score would otherwise WIN its cluster) and the two
+    # engines disagree on NaN placement under DESC, so the raw column
+    # is never used as an ordering key. Negating a double is exact.
+    ns = F.when(
+        F.col(score_col).isNull() | F.isnan(score_col),
+        F.lit(float("inf")),
+    ).otherwise(-F.col(score_col))
     win = scored.groupBy("cluster_id").agg(
-        F.min_by(
-            F.col("id"),
-            F.struct((-F.col(score_col)).alias("_ns"), F.col("id")),
-        ).alias("_keep")
+        F.min_by(F.col("id"), F.struct(ns.alias("_ns"), F.col("id"))).alias(
+            "_keep"
+        )
     )
     return (
         scored.join(win, "cluster_id")

@@ -663,7 +663,6 @@ MIN_PAIR_FREQ = 2
 
 def bpe_pair_counts(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_freq: int = MIN_PAIR_FREQ,
 ) -> DataFrame:
@@ -759,6 +758,11 @@ def dup_passage_stats(
 
     grams = (
         df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        # NULL-text docs drop out entirely, matching the twin (DuckDB's
+        # comprehension over a NULL token list unnests to zero rows;
+        # Spark's _wordgrams floor would instead emit one '' gram that
+        # falsely collides with genuinely-empty docs)
+        .filter(F.col("_n").isNotNull())
         .withColumn("_t", F.split("_n", " "))
         .select("id", F.explode(F.expr(_wordgrams_expr("_t", int(window)))).alias("_g"))
         .select("id", F.expr(md5_long_expr("_g")).alias("_h"))

@@ -946,9 +946,11 @@ def neardup_keep_best_sql(docs_path: str) -> str:
     """Twin of cluster.neardup_keep_best over ngram_jaccard_pairs
     edges + quality_score scores: connected components via the
     recursive transitive closure, winner per cluster = first row under
-    (quality DESC, id ASC) — identical ordering to Spark's min_by over
-    struct(-quality, id). (DuckDB 1.0's arg_min rejects struct keys,
-    so the twin uses a row_number window instead.)"""
+    (ns ASC, id ASC) with ns = -quality and NULL/NaN mapped to +inf —
+    the exact ordering key the Spark side builds (raw DESC would
+    diverge: the engines disagree on NULL/NaN placement). DuckDB 1.0's
+    arg_min rejects struct keys, so the twin uses a row_number
+    window."""
     return f"""WITH RECURSIVE jp AS ({ngram_jaccard_pairs_sql(docs_path)}),
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM jp
@@ -971,8 +973,11 @@ scored AS (
 win AS (
   SELECT cluster_id, id AS keep
   FROM scored
-  QUALIFY row_number() OVER (PARTITION BY cluster_id
-                             ORDER BY quality DESC, id ASC) = 1
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id
+    ORDER BY (CASE WHEN quality IS NULL OR isnan(quality)
+                   THEN 'infinity'::DOUBLE ELSE -quality END) ASC,
+             id ASC) = 1
 )
 SELECT s.id, s.cluster_id, s.quality, s.id = w.keep AS is_kept
 FROM scored s JOIN win w ON s.cluster_id = w.cluster_id"""

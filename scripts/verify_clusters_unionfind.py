@@ -17,6 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from logzilla_spark.functions.unionfind import union_find_min_label  # noqa: E402
 from logzilla_spark.operators import cluster, dedup  # noqa: E402
 from logzilla_spark.session import get_spark  # noqa: E402
 
@@ -31,20 +32,7 @@ def main() -> int:
         (r.doc_a, r.doc_b) for r in pairs_df.select("doc_a", "doc_b").collect()
     ]
     print(f"pairs: {len(pairs)}")
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    want = {x: find(x) for x in parent}
+    want = union_find_min_label(pairs)
 
     got = {
         r.id: (r.cluster_id, r.is_canonical)

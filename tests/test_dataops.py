@@ -709,3 +709,37 @@ def test_dup_passage_stats_hand_rows(spark):
     assert out[3].n_dup_windows == 0 and out[3].dup_fraction == 0.0
     assert out[4].n_windows == 1 and out[4].dup_fraction == 0.0
     assert 0.0 < out[1].dup_fraction < 1.0
+
+
+def test_neardup_keep_best_null_scores_and_missing_rows(spark):
+    """NULL/NaN scores and score-less docs rank WORST (never win over a
+    scored member) but are still emitted; a fully-unscored cluster
+    falls back to the id tie-break instead of vanishing."""
+    from logzilla_spark.operators import cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 10, 11, 99]], "doc_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, None), (2, 0.1),          # NULL loses to a real score
+         (11, float("nan"))],          # 10 missing + 11 NaN: id tie-break
+        "id long, quality double",
+    )
+    out = {r.id: r.is_kept
+           for r in cluster.neardup_keep_best(docs, pairs, scores).collect()}
+    assert out == {1: False, 2: True, 10: True, 11: False, 99: True}
+
+
+def test_dup_passage_stats_null_text_dropped(spark):
+    """NULL-text docs drop out (the twin's semantics); empty-text docs
+    stay and do NOT collide with them."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some actual words here in this doc")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in textstats.dup_passage_stats(df).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].n_dup_windows == 0

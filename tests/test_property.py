@@ -358,21 +358,7 @@ edge_st = st.tuples(
 ).filter(lambda e: e[0] != e[1])
 
 
-def _union_find(edges):
-    """Driver-side reference: min-id connected components."""
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
+from logzilla_spark.functions.unionfind import union_find_min_label as _union_find  # noqa: E402
 
 
 @settings(
