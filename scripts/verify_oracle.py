@@ -24,6 +24,14 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+# Queries whose DUCKDB side is intractable above the sf0.01 gate scale:
+# q_dedup_clusters' twin is a recursive transitive closure — O(sum of
+# component-size^2) rows, which explodes on the sf0.1 minhash graph's
+# mega-components (the Spark side is fine; this is an oracle-engine
+# limit). At bigger SFs the clustering is verified exactly by
+# scripts/verify_clusters_unionfind.py instead; set
+# SPARK_GRAFT_VERIFY_ALL=1 to force the closure anyway.
+CLOSURE_GATE_ONLY = {"q_dedup_clusters"}
 
 
 def canon_cell(v) -> str:
@@ -59,8 +67,14 @@ def main() -> int:
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_fail = 0
+    gate_sf = "sf0.01" in SF_DIR
+    force_all = os.environ.get("SPARK_GRAFT_VERIFY_ALL") == "1"
     for name in sorted(qs):
         if only and not any(s in name for s in only):
+            continue
+        if name in CLOSURE_GATE_ONLY and not gate_sf and not force_all:
+            print(f"{name}: SKIP (oracle closure is gate-scale only — "
+                  "run scripts/verify_clusters_unionfind.py at this SF)")
             continue
         try:
             spdf = qs[name](spark, SF_DIR).toPandas()
