@@ -16,9 +16,14 @@ near-dup structure (1 lightly-perturbed copy per 20th doc, same as the
 base corpus's own dups) grows linearly. If pair output grew
 quadratically the probe would time a different (bigger) problem.
 
-Writes BENCH/DEDUP_SCALE.md and prints one JSON line.
+Writes a markdown report and prints one JSON line. The pair-operator
+report (BENCH/DEDUP_SCALE.md) is hand-curated after the first run —
+re-running with the default op set writes BENCH/DEDUP_SCALE_raw.md so
+the curated analysis is never truncated (the bench.py --scaling lesson);
+the downstream op set writes BENCH/DEDUP_SCALE_DOWNSTREAM.md.
 
 Usage: python scripts/dedup_scale_probe.py [--max-mult 40]
+           [--ops minhash,simhash,ngram | clusters,passages,bpe]
 """
 
 from __future__ import annotations
@@ -34,7 +39,9 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from logzilla_spark.session import get_spark  # noqa: E402
+from logzilla_spark.operators import cluster as C  # noqa: E402
 from logzilla_spark.operators import dedup as D  # noqa: E402
+from logzilla_spark.operators import textstats as T  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CACHE = os.path.join(REPO, ".cache", "dedup_scale")
@@ -82,7 +89,22 @@ def synth(spark, mult: int) -> str:
     return out
 
 
-def main(max_mult: int = 40) -> None:
+OPS = {
+    "minhash": lambda d: D.minhash_lsh_pairs(d),
+    "simhash": lambda d: D.simhash_pairs(d),
+    "ngram": lambda d: D.ngram_jaccard_pairs(d),
+    # downstream/auxiliary operators over the same corpus:
+    # clusters = CC over the ngram pair graph (sparse edges — the probe
+    # times the clustering, not a second minhash); passages and bpe are
+    # the scan-shaped text operators (one corpus-sized count shuffle each)
+    "clusters": lambda d: C.neardup_clusters(d, D.ngram_jaccard_pairs(d)),
+    "passages": lambda d: T.dup_passage_stats(d),
+    "bpe": lambda d: T.bpe_pair_counts(d),
+}
+PAIR_OPS = ("minhash", "simhash", "ngram")
+
+
+def main(max_mult: int = 40, ops: tuple = PAIR_OPS) -> None:
     spark = get_spark(cores=32)
     results = []
     for mult in (1, 10, max_mult):
@@ -90,37 +112,39 @@ def main(max_mult: int = 40) -> None:
         docs = spark.read.parquet(path)
         n_docs = docs.count()
         row = {"mult": mult, "n_docs": n_docs}
-        for name, fn in (
-            ("minhash", lambda d: D.minhash_lsh_pairs(d)),
-            ("simhash", lambda d: D.simhash_pairs(d)),
-            ("ngram", lambda d: D.ngram_jaccard_pairs(d)),
-        ):
+        for name in ops:
             spark.catalog.clearCache()
             t0 = time.time()
-            n_pairs = fn(docs).count()
-            row[name] = {"sec": round(time.time() - t0, 1), "pairs": n_pairs}
+            n_rows = OPS[name](docs).count()
+            row[name] = {"sec": round(time.time() - t0, 1), "pairs": n_rows}
         results.append(row)
         print(json.dumps(row))
 
     def fmt(r, op):
         return f"{r[op]['sec']}s / {r[op]['pairs']:,}"
 
+    downstream = ops != PAIR_OPS
     lines = [
-        "# Dedup pair operators at 10x / 40x corpus (scale probe)",
+        "# Downstream dedup/text operators at 10x / 40x corpus"
+        if downstream
+        else "# Dedup pair operators at 10x / 40x corpus (raw probe)",
         "",
         "Deterministic syntheses of the sf0.1 documents table"
         " (`scripts/dedup_scale_probe.py`): corpus grows Kx, planted"
         " near-dup structure grows linearly, replicas heavily perturbed"
-        " so they are not near-dups of each other. local[32]."
-        " Cells: wall sec / output pairs.",
+        " so they are not near-dups of each other. local[32], single"
+        " trial per cell (host throughput drifts ±30-60%, see"
+        " BENCH/BASELINE.md — read orders of magnitude, not percents)."
+        " Cells: wall sec / output rows.",
         "",
-        "| docs | minhash_lsh_pairs | simhash_pairs | ngram_jaccard_pairs |",
-        "|---|---|---|---|",
+        "| docs | " + " | ".join(ops) + " |",
+        "|---|" + "---|" * len(ops),
     ]
     for r in results:
         lines.append(
-            f"| {r['n_docs']:,} | {fmt(r, 'minhash')} | {fmt(r, 'simhash')} "
-            f"| {fmt(r, 'ngram')} |"
+            f"| {r['n_docs']:,} | "
+            + " | ".join(fmt(r, op) for op in ops)
+            + " |"
         )
     base, top = results[0], results[-1]
     growth = top["n_docs"] / base["n_docs"]
@@ -129,18 +153,30 @@ def main(max_mult: int = 40) -> None:
         f"Corpus grew {growth:.0f}x; wall-time growth per operator: "
         + ", ".join(
             f"{op} {top[op]['sec'] / max(base[op]['sec'], 0.1):.1f}x"
-            for op in ("minhash", "simhash", "ngram")
+            for op in ops
         )
-        + ". Sub-corpus-growth time growth = the guards bound the"
-        " quadratic stages; the cost that remains tracks corpus scan +"
-        " signature passes + output pairs, which is the 100 TB shape"
-        " (per-bucket pair expansion is capped, shuffle keys are"
-        " hash-uniform, nothing corpus-sized is broadcast).",
+        + ".",
     ]
+    if downstream:
+        lines += [
+            "",
+            "`clusters` times connected components over the ngram pair"
+            " graph INCLUDING pair generation (compare the ngram column"
+            " in BENCH/DEDUP_SCALE.md for the pair-gen share); the CC"
+            " rounds themselves are bounded by the planted component"
+            " diameter (2), so the loop converges in a constant number"
+            " of label-contraction rounds at every scale. `passages`"
+            " and `bpe` are one corpus scan + one hash-uniform count"
+            " shuffle each — the same shape as the token-count"
+            " operators, linear by construction.",
+        ]
+    out_name = (
+        "DEDUP_SCALE_DOWNSTREAM.md" if downstream else "DEDUP_SCALE_raw.md"
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "DEDUP_SCALE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"results": results, "report": "BENCH/DEDUP_SCALE.md"}))
+    print(json.dumps({"results": results, "report": f"BENCH/{out_name}"}))
     spark.stop()
 
 
@@ -148,4 +184,10 @@ if __name__ == "__main__":
     mm = 40
     if "--max-mult" in sys.argv:
         mm = int(sys.argv[sys.argv.index("--max-mult") + 1])
-    main(mm)
+    chosen = PAIR_OPS
+    if "--ops" in sys.argv:
+        chosen = tuple(sys.argv[sys.argv.index("--ops") + 1].split(","))
+        unknown = [o for o in chosen if o not in OPS]
+        if unknown:
+            raise SystemExit(f"unknown ops: {unknown}; known: {list(OPS)}")
+    main(mm, chosen)
