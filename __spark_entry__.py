@@ -376,6 +376,18 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_dup_passages": lambda s, d: textstats.dup_passage_stats(
             _docs(s, d)
         ),
+        # --- substring dedup REMOVAL (the Lee et al. action the stats
+        # above decide): cut corpus-duplicated windows, reassemble ---
+        "q_text_substring_dedup": lambda s, d: textstats.substring_dedup(
+            _docs(s, d)
+        ),
+        # --- DSIR importance scores vs a tiny target-domain sample
+        # (constant-size slice — the decontaminate rationale) ---
+        "q_text_dsir": lambda s, d: textstats.dsir_scores(
+            _docs(s, d), _docs(s, d).filter(F.col("doc_id") < 10)
+        ),
+        # --- SemDeDup: semantic dedup inside IVF cells (embeddings) ---
+        "q_dedup_semdedup": lambda s, d: similarity.semdedup(_emb(s, d)),
         # --- multimodal plumbing (synthetic media table) ---
         "q_media_stats": lambda s, d: multimodal.media_stats(_media(s, d)),
         "q_media_image_features": lambda s, d: multimodal.decode_image_features(
@@ -423,6 +435,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_dedup_keep_best": oracle_dataops.neardup_keep_best_sql(docs),
         "q_text_bpe_pairs": oracle_dataops.bpe_pair_counts_sql(docs),
         "q_text_dup_passages": oracle_dataops.dup_passage_stats_sql(docs),
+        "q_text_substring_dedup": oracle_dataops.substring_dedup_sql(docs),
+        "q_text_dsir": oracle_dataops.dsir_scores_sql(docs, "id < 10"),
+        "q_dedup_semdedup": oracle_dataops.semdedup_sql(emb),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),
         "q_media_audio_frames": oracle_dataops.audio_frames_sql(media),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from logzilla_spark.functions.hashing import hyperplanes
 from logzilla_spark.operators.dedup import COSINE_THRESHOLD, cosine_expr
@@ -290,3 +291,87 @@ def cosine_topk_ivf(
         .select("probe_id", "neighbor_id", "cosine")
     )
     return _topk(scored, k)
+
+
+# SemDeDup cell-size guard: cells larger than this skip the pairwise
+# stage entirely (all members kept) — the MAX_LSH_BUCKET posture: a
+# degenerate quantizer (all embeddings identical) must not buy a
+# corpus-squared join. Raise n_cells, don't raise the guard.
+MAX_SEMDEDUP_CELL = 10_000
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_THRESHOLD,
+    n_cells: int = IVF_CELLS,
+    max_cell: int = MAX_SEMDEDUP_CELL,
+    cache_assign: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    clusters — assign every vector to its nearest coarse-quantizer
+    cell, compare pairs WITHIN a cell only, and for every near-dup
+    relation keep the member FARTHEST from the cell centroid (the
+    paper's keep-low-centroid-similarity rule: the most atypical
+    member carries the most information). A vector is dropped iff some
+    same-cell vector y has cosine(x, y) >= ``threshold`` and y wins
+    the keep-priority ((centroid_cos ASC, id ASC) — deterministic,
+    exact-double comparison, both engines agree bit-for-bit).
+
+    Output: one row per vector — (id, cell, centroid_cos, is_kept).
+    Near-dups in DIFFERENT cells survive (the paper's documented
+    recall trade; embedding_neardup_lsh is the data-independent
+    counterpart whose buckets don't adapt to the data).
+
+    Scale shape: cells come from ``ivf_seeds``/``ivf_assign`` (one
+    row-per-vector shuffle; the seed table broadcasts). The pairwise
+    stage shuffles on cell id and is quadratic per cell, so cell
+    occupancy is the lever: size ``n_cells ~ corpus / target_cell``
+    (SemDeDup itself runs k-means with k in the tens of thousands at
+    LAION scale). ``max_cell`` guards the degenerate case — oversized
+    cells keep all members rather than detonating the join, mirrored
+    bit-for-bit in the DuckDB twin.
+    """
+    seeds = ivf_seeds(emb, n_cells, id_col, vec_col)
+    assigned = (
+        ivf_assign(emb, seeds, id_col, vec_col)
+        .join(F.broadcast(seeds), "cell")
+        .withColumn("centroid_cos", F.expr(cosine_expr("embedding", "seed")))
+        .select("id", "embedding", "cell", "centroid_cos")
+    )
+    # Four consumers (cell sizes, both pair sides, the final flag join)
+    # would each recompute the assignment's crossJoin + max_by shuffle
+    # — the minhash_lsh_pairs persist rationale verbatim; rows are one
+    # embedding + three scalars, MEMORY_AND_DISK spills instead of
+    # OOMing, lineage recomputes on executor loss.
+    if cache_assign:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    small = assigned.join(F.broadcast(sizes), "cell").filter(
+        F.col("_csz") <= int(max_cell)
+    )
+    x = small.select(
+        F.col("id").alias("_xid"), F.col("embedding").alias("_xe"),
+        F.col("centroid_cos").alias("_xc"), "cell",
+    )
+    y = small.select(
+        F.col("id").alias("_yid"), F.col("embedding").alias("_ye"),
+        F.col("centroid_cos").alias("_yc"), "cell",
+    )
+    dropped = (
+        x.join(y, "cell")
+        .filter(F.col("_xid") != F.col("_yid"))
+        .filter(F.expr(cosine_expr("_xe", "_ye")) >= threshold)
+        .filter(
+            (F.col("_yc") < F.col("_xc"))
+            | ((F.col("_yc") == F.col("_xc")) & (F.col("_yid") < F.col("_xid")))
+        )
+        .select(F.col("_xid").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        "id", "cell", "centroid_cos",
+        F.col("_dropped").isNull().alias("is_kept"),
+    )

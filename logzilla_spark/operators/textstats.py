@@ -786,3 +786,212 @@ def dup_passage_stats(
             / F.col("n_windows").cast("double"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = DUP_WINDOW,
+) -> DataFrame:
+    """Substring-level dedup REMOVAL (the action Lee et al. 2021's
+    ExactSubstr takes, where ``dup_passage_stats`` is the decision
+    metric): delete every token covered by a ``window``-token passage
+    that also occurs in >= 2 distinct documents, and reassemble the
+    survivors in original order. The reference implementation indexes
+    a suffix array; at cluster scale the standard distributed stand-in
+    is fixed-width sliding windows — every duplicated span of length
+    >= window is covered by its duplicated sub-windows, so removal is
+    equivalent on spans >= window (shorter duplicated spans are below
+    the decision threshold by construction).
+
+    Output: (id, n_tokens, n_removed, clean_text). NULL-text docs emit
+    no row (dup_passage_stats' contract); a fully-duplicated doc keeps
+    zero tokens and returns clean_text = ''. Docs shorter than the
+    window emit ONE whole-doc window (the _wordgrams floor), so exact
+    short-doc duplicates are removed rather than silently immune.
+
+    Scale shape: positioned windows are hashed to 64-bit keys (every
+    shuffle carries 8 bytes + two ints, never passage text); the hot
+    set is pre-shrunk by a two-phase count-distinct aggregation (no
+    window function over a corpus-hot key), the covered START
+    positions come back via ONE bounded groupBy(id) whose state is at
+    most the doc's window count, and the splice is a pure projection —
+    covered positions expand inside array expressions per doc, not as
+    rows. Two corpus scans (gram lineage + reassembly base), the
+    module's documented trade; persist upstream if the scan dominates.
+    """
+    w = int(window)
+    base = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .filter(F.col("_n").isNotNull())
+        .withColumn("_t", F.split("_n", " "))
+    )
+    poswin = (
+        f"transform(sequence(1, greatest(size(_t) - {w - 1}, 1)), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(_t, i, {w})) AS g))"
+    )
+    grams = (
+        base.select("id", F.explode(F.expr(poswin)).alias("_pw"))
+        .select("id", F.col("_pw.pos").alias("pos"), F.expr(md5_long_expr("_pw.g")).alias("_h"))
+    )
+    hot = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    starts = (
+        grams.join(hot, "_h")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    joined = (
+        base.join(starts, "id", "left")
+        .withColumn("_nt", F.size("_t"))
+        .withColumn(
+            "_covered",
+            F.expr(
+                "array_distinct(flatten(transform("
+                "coalesce(_starts, array()), "
+                f"s -> sequence(s, least(s + {w - 1}, _nt)))))"
+            ),
+        )
+    )
+    return joined.select(
+        "id",
+        F.col("_nt").alias("n_tokens"),
+        F.size("_covered").alias("n_removed"),
+        F.expr(
+            "concat_ws(' ', transform(array_except(sequence(1, _nt), _covered), "
+            "p -> element_at(_t, p)))"
+        ).alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance scores (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023)
+    scores: hashed n-gram features (unigrams + bigrams folded into
+    ``n_buckets`` hash buckets), per-bucket importance ratio between a
+    small TARGET-domain sample and the raw corpus, per-doc score = the
+    feature-frequency-weighted mean ratio.
+
+    Fixed-point arithmetic instead of the paper's log-space weights:
+    bucket probabilities are Laplace-smoothed integer ppm
+    (``floor(1e6 * (count + 1) / (total + B))``), the ratio is
+    ``floor(1e6 * p_target_ppm / max(p_raw_ppm, 1))`` and the doc
+    score is ``floor(sum(c_b * ratio_b) / n_feats)`` — every step is
+    integer division, so the DuckDB twin compares exact values (the
+    module's float-portability rule; ln() is not bit-portable across
+    engines). Monotone per-feature in the paper's p_target/p_raw, so
+    the resampling CUT (top-score / hash-threshold, the caller's
+    policy) selects the same shape of data.
+
+    Output: (id, n_feats, score_ppm) — docs with score_ppm >> 1e6 look
+    like the target domain. NULL-text docs emit no row (the module's
+    contract); every other doc has >= 1 feature (split() never returns
+    an empty array). Integer headroom: per-bucket counts stay exact to
+    ~9e12 occurrences (1e6 * count must fit a BIGINT) — at B=256 that
+    is a ~10^15-feature corpus, and per-doc sums stay exact for docs
+    up to ~10^6 features even at the worst-case ratio bound.
+
+    Scale shape: the target side is tiny by contract (a domain sample)
+    and aggregates to <= B rows; the raw side is ONE explode +
+    count aggregation into B uniform buckets (map-side partials — a
+    Zipf-hot gram spreads over B, not one reducer). The B-row ratio
+    table is broadcast back; per-doc scoring is groupBy(id, bucket)
+    then groupBy(id) — both keyed by the unique doc id. No corpus
+    self-join, nothing corpus-sized on the driver. The feature lineage
+    feeds the global counts AND the per-doc counts — two corpus scans,
+    the module's documented trade (persist upstream if the scan
+    dominates).
+    """
+    B = int(n_buckets)
+
+    # unigrams + bigrams; single-token docs contribute the unigram only
+    feats = (
+        "concat(_t, CASE WHEN size(_t) >= 2 THEN "
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> concat_ws(' ', slice(_t, i, 2))) "
+        "ELSE array() END)"
+    )
+
+    def _features(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+            )
+            .filter(F.col("_n").isNotNull())
+            .withColumn("_t", F.split("_n", " "))
+            .select("id", F.explode(F.expr(feats)).alias("_g"))
+            .select(
+                "id",
+                F.pmod(F.expr(md5_long_expr("_g")), F.lit(B)).alias("bucket"),
+            )
+        )
+
+    def _counts(frame: DataFrame, name: str) -> DataFrame:
+        return _features(frame).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    # materialize ALL B buckets so absent-from-one-side buckets get the
+    # same +1 Laplace smoothing as observed ones (a bare outer join of
+    # the two count frames would silently score absent buckets as 0)
+    buckets = df.sparkSession.range(B).select(F.col("id").alias("bucket"))
+    sides = (
+        buckets.join(_counts(df, "_rc"), "bucket", "left")
+        .join(_counts(target, "_tc"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_rc", F.lit(0)).alias("_rc"),
+            F.coalesce("_tc", F.lit(0)).alias("_tc"),
+        )
+    )
+    totals = sides.agg(
+        F.sum("_rc").alias("_rtot"), F.sum("_tc").alias("_ttot")
+    )
+    # integer `div` throughout: double division would lose exactness
+    # past 2^53 (1e6 * a 100 TB corpus's feature count overflows a
+    # double's mantissa long before it overflows a BIGINT)
+    ratios = (
+        sides.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_raw_ppm",
+            F.expr(f"(1000000 * (_rc + 1)) div (_rtot + {B})"),
+        )
+        .withColumn(
+            "_tgt_ppm",
+            F.expr(f"(1000000 * (_tc + 1)) div (_ttot + {B})"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "(1000000 * _tgt_ppm) div greatest(_raw_ppm, 1L)"
+            ).alias("_ratio"),
+        )
+    )
+    doc_feats = _features(df).groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        doc_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.expr("sum(_c * _ratio) div sum(_c)").alias("score_ppm"),
+        )
+    )

@@ -43,6 +43,7 @@ from logzilla_spark.operators.urls import (
 from logzilla_spark.operators.textstats import (
     BPE_EOW,
     BPE_RE,
+    DSIR_BUCKETS,
     DUP_WINDOW,
     LANG_PRIORITY,
     MAX_LINE_DOCS,
@@ -1002,3 +1003,125 @@ SELECT hs.id AS id, CAST(count(*) AS BIGINT) AS n_windows,
          AS dup_fraction
 FROM hs LEFT JOIN hot ON hs.h = hot.h
 GROUP BY hs.id"""
+
+
+def substring_dedup_sql(docs_path: str, window: int = DUP_WINDOW) -> str:
+    """Twin of textstats.substring_dedup: positioned windows with the
+    same floor (short docs emit one whole-doc window), the same 64-bit
+    gram hash, hot = hash in >= 2 distinct docs, covered positions
+    expanded per start, survivors reassembled in position order."""
+    w = int(window)
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, string_split(n, ' ') AS t FROM docs WHERE n IS NOT NULL),
+pw AS (
+  SELECT id, p.pos AS pos, {md5_long_sql('p.g')} AS h
+  FROM (SELECT id,
+          unnest([struct_pack(pos := i,
+                              g := array_to_string(t[i:i + {w - 1}], ' '))
+                  FOR i IN range(1, greatest(len(t) - {w - 1}, 1) + 1)]) AS p
+        FROM toks)
+),
+hot AS (SELECT h FROM pw GROUP BY h HAVING count(DISTINCT id) >= 2),
+starts AS (SELECT id, list(pos) AS ss FROM pw JOIN hot USING (h) GROUP BY id),
+cov AS (
+  SELECT toks.id, len(toks.t) AS nt, toks.t AS t,
+         list_distinct(flatten(
+           [range(s, least(s + {w - 1}, len(toks.t)) + 1)
+            FOR s IN coalesce(ss, [])])) AS cv
+  FROM toks LEFT JOIN starts USING (id)
+)
+SELECT id, CAST(nt AS INT) AS n_tokens, CAST(len(cv) AS INT) AS n_removed,
+       coalesce(array_to_string(
+         [t[p] FOR p IN range(1, nt + 1) IF NOT list_contains(cv, p)],
+         ' '), '') AS clean_text
+FROM cov"""
+
+
+def dsir_scores_sql(
+    docs_path: str,
+    target_pred: str,
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """Twin of textstats.dsir_scores: the target side is the same
+    table filtered by ``target_pred`` over the doc id (the
+    benchmark_contamination shape). Identical fixed-point ppm pipeline
+    — DuckDB's ``//`` is the integer division matching Spark's
+    ``div``."""
+    B = int(n_buckets)
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, string_split(n, ' ') AS t FROM docs WHERE n IS NOT NULL),
+feats AS (
+  SELECT id, {md5_long_sql('g')} % {B} AS bucket
+  FROM (SELECT id, unnest(list_concat(t,
+          CASE WHEN len(t) >= 2
+               THEN [array_to_string(t[i:i + 1], ' ')
+                     FOR i IN range(1, len(t))]
+               ELSE [] END)) AS g
+        FROM toks)
+),
+rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM feats GROUP BY bucket),
+tgtc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+         FROM feats WHERE {target_pred} GROUP BY bucket),
+sides AS (
+  SELECT b.bucket, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+  FROM (SELECT range AS bucket FROM range(0, {B})) b
+  LEFT JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket)
+),
+tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM sides),
+ratios AS (
+  SELECT bucket,
+         (1000000 * ((1000000 * (tc + 1)) // (ttot + {B})))
+           // greatest((1000000 * (rc + 1)) // (rtot + {B}), 1) AS ratio
+  FROM sides, tot
+),
+docf AS (SELECT id, bucket, CAST(count(*) AS BIGINT) AS c
+         FROM feats GROUP BY id, bucket)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
+       CAST(sum(c * ratio) // sum(c) AS BIGINT) AS score_ppm
+FROM docf JOIN ratios USING (bucket)
+GROUP BY id"""
+
+
+def semdedup_sql(
+    emb_path: str,
+    dim: int = similarity.EMB_DIM,
+    n_cells: int = similarity.IVF_CELLS,
+    threshold: float = COSINE_THRESHOLD,
+    max_cell: int = similarity.MAX_SEMDEDUP_CELL,
+) -> str:
+    """Twin of similarity.semdedup: the cosine_topk_ivf seeded
+    quantizer + assignment, centroid cosine per member, within-cell
+    pair drop under the (centroid_cos ASC, id ASC) keep-priority,
+    oversized cells (> max_cell) skip the pairwise stage."""
+    cos_assign = _cosine_sql("e.embedding", "s.seed", dim)
+    ccos = _cosine_sql("a.embedding", "s.seed", dim)
+    cosxy = _cosine_sql("x.embedding", "y.embedding", dim)
+    return f"""WITH e AS (SELECT vec_id AS id, embedding FROM {_rel(emb_path)}),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell,
+         embedding AS seed
+  FROM (SELECT id, embedding FROM e ORDER BY id LIMIT {int(n_cells)})
+),
+assign AS (
+  SELECT id, embedding, cell FROM (
+    SELECT e.id, e.embedding, s.cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {cos_assign} DESC, s.cell) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1
+),
+cc AS (
+  SELECT a.id, a.embedding, a.cell, {ccos} AS centroid_cos
+  FROM assign a JOIN seeds s USING (cell)
+),
+sz AS (SELECT cell, count(*) AS csz FROM cc GROUP BY cell),
+small AS (SELECT cc.* FROM cc JOIN sz USING (cell) WHERE csz <= {int(max_cell)}),
+dropped AS (
+  SELECT DISTINCT x.id AS id
+  FROM small x JOIN small y USING (cell)
+  WHERE x.id != y.id AND {cosxy} >= {threshold}
+    AND (y.centroid_cos < x.centroid_cos
+         OR (y.centroid_cos = x.centroid_cos AND y.id < x.id))
+)
+SELECT cc.id AS id, cc.cell AS cell, cc.centroid_cos AS centroid_cos,
+       d.id IS NULL AS is_kept
+FROM cc LEFT JOIN dropped d ON cc.id = d.id"""

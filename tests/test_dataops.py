@@ -743,3 +743,100 @@ def test_dup_passage_stats_null_text_dropped(spark):
     out = {r.id: r for r in textstats.dup_passage_stats(df).collect()}
     assert set(out) == {2, 3}
     assert out[2].n_dup_windows == 0
+
+
+def test_substring_dedup_planted(spark):
+    """Substring removal (Lee et al. action): a shared 8-token passage
+    is cut from EVERY doc containing it, survivors reassemble in
+    order; unique docs pass through untouched; short exact dups hit
+    the whole-doc window floor and are fully removed; NULL text emits
+    no row."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " unique tail one two three four five six seven"),
+        (2, shared + " other ending entirely different from the first"),
+        (3, "completely unrelated text with no overlap at all here now"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),       # exact short dup of 4 (floor window)
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in textstats.substring_dedup(df, window=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1/2: exactly the 8 shared tokens removed, tail survives
+    assert out[1].n_removed == 8
+    assert out[1].clean_text == "unique tail one two three four five six seven"
+    assert out[2].n_removed == 8
+    assert out[2].clean_text == "other ending entirely different from the first"
+    # unique doc untouched
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == "completely unrelated text with no overlap at all here now"
+    # short exact dups: one whole-doc window each, fully removed
+    for i in (4, 5):
+        assert out[i].n_tokens == 2
+        assert out[i].n_removed == 2
+        assert out[i].clean_text == ""
+
+
+def test_substring_dedup_overlapping_windows(spark):
+    """Two duplicated windows overlapping in one doc cover the UNION of
+    their positions (no double-removal, no gaps)."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"      # 10 tokens
+    rows = [
+        (1, a + " tail"),                      # contains both windows
+        (2, "x " + " ".join(a.split()[0:8])),  # dup of window at pos 1-8
+        (3, " ".join(a.split()[2:10]) + " y"), # dup of window at pos 3-10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in textstats.substring_dedup(df, window=8).collect()}
+    # doc 1: positions 1-8 and 3-10 duplicated -> 1..10 covered, tail kept
+    assert out[1].n_removed == 10
+    assert out[1].clean_text == "tail"
+
+
+def test_dsir_scores_semantics(spark):
+    """DSIR: target-vocabulary docs outscore off-domain docs; n_feats
+    is exactly unigrams + bigrams (2n - 1); NULL text emits no row."""
+    target_text = "machine learning models train on curated text data"
+    rows = [
+        (1, target_text),                                     # the target itself
+        (2, "learning models need curated text and training data"),  # on-domain
+        (3, "9 8 7 6 5 4 3 2 1 0 banana quartz"),             # off-domain
+        (4, "solo"),                                          # single token
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") == 1)
+    out = {r.id: r for r in textstats.dsir_scores(df, target).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for i, n in [(1, 8), (2, 8), (3, 12), (4, 1)]:
+        assert out[i].n_feats == 2 * n - 1
+    # the target doc itself scores highest; on-domain beats off-domain
+    assert out[1].score_ppm > out[2].score_ppm > out[3].score_ppm
+
+
+def test_semdedup_planted(spark):
+    """SemDeDup keep-priority: within a cell, near-dup relations keep
+    the member FARTHEST from the centroid (lowest centroid cosine),
+    ties break to the lowest id; the max_cell guard skips oversized
+    cells entirely (all members kept)."""
+    rows = [
+        (1, [1.0, 0.0]),   # seed of cell 0 (centroid_cos = 1.0)
+        (2, [0.0, 1.0]),   # seed of cell 1 (centroid_cos = 1.0)
+        (3, [1.0, 0.1]),   # cell 0, ccos ~0.995 — beats 1 and ties 4
+        (4, [1.0, 0.1]),   # identical to 3 -> id tie-break, dropped
+        (5, [0.1, 1.0]),   # cell 1, ccos ~0.995 — beats 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in similarity.semdedup(
+        emb, threshold=0.9, n_cells=2).collect()}
+    assert {i: r.is_kept for i, r in out.items()} == {
+        1: False, 2: False, 3: True, 4: False, 5: True,
+    }
+    assert out[1].cell == 0 and out[2].cell == 1
+    assert out[1].centroid_cos == 1.0
+    # guard: cell 0 has 3 members > max_cell=2 -> pairwise skipped there,
+    # cell 1 (2 members) still dedups
+    guarded = {r.id: r.is_kept for r in similarity.semdedup(
+        emb, threshold=0.9, n_cells=2, max_cell=2).collect()}
+    assert guarded == {1: True, 2: False, 3: True, 4: True, 5: True}

@@ -378,3 +378,23 @@ def test_c4_line_filter_twin_with_planted_lines(spark, tmp_path):
     _assert_twin(
         textstats.c4_line_filter(spark.read.parquet(p)), od.c4_line_filter_sql(p)
     )
+
+
+def test_substring_dedup_twin(docs_df, docs_path):
+    _assert_twin(
+        textstats.substring_dedup(docs_df), od.substring_dedup_sql(docs_path)
+    )
+
+
+def test_dsir_scores_twin(spark, docs_df, docs_path):
+    target = docs_df.filter("doc_id % 5 = 0")
+    _assert_twin(
+        textstats.dsir_scores(docs_df, target),
+        od.dsir_scores_sql(docs_path, "id % 5 = 0"),
+    )
+
+
+def test_semdedup_twin(emb_df, emb_path):
+    from logzilla_spark.operators import similarity
+
+    _assert_twin(similarity.semdedup(emb_df), od.semdedup_sql(emb_path))
