@@ -711,6 +711,113 @@ def bpe_pair_counts(
     )
 
 
+DEFAULT_BPE_MERGES = 10
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+    min_freq: int = MIN_PAIR_FREQ,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Full BPE merge-table training (Sennrich et al. 2016): iterate
+    ``bpe_pair_counts``' merge decision — count adjacent symbol pairs
+    over the frequency-weighted vocab, take the most frequent pair
+    (ties: lhs ASC, rhs ASC — deterministic), rewrite the vocab's
+    symbolizations, repeat. Stops early when no pair reaches
+    ``min_freq``. Returns the merge table (step, lhs, rhs, freq) — the
+    tokenizer artifact, tiny by definition (one row per merge).
+
+    No DuckDB twin: the merge loop is iterative argmax-and-rewrite
+    (the neardup_clusters class) — correctness is pinned by a
+    differential test against a pure-Python reference trainer
+    (tests/test_dataops.py), the streaming-dedup verification pattern.
+
+    Scale shape: the corpus is touched ONCE (the explode+count word
+    shuffle inherited from bpe_pair_counts); every iteration runs on
+    the DISTINCT-word vocab only — millions of rows at 100 TB, not
+    trillions — with one 1-row collect per merge (the same
+    driver-coordination footprint as the CC loop's convergence check).
+    Merge application is greedy left-to-right non-overlapping via an
+    array fold; the fold cannot cascade within a step because the
+    merged symbol is strictly longer than lhs. Per-round lineage is
+    truncated (localCheckpoint, or reliable checkpoint() via
+    ``checkpoint_dir`` — the neardup_clusters trade) so round k does
+    not replay k-1 rewrites.
+    """
+    spark = df.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def trunc(d: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return d.checkpoint(eager=True)
+        return d.localCheckpoint(eager=True)
+
+    vocab = trunc(
+        df.select(normalize_text(text_col).alias("_n"))
+        .select(F.explode(F.split("_n", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))").alias("_s"),
+            "wf",
+        )
+    )
+    # unlike bpe_pair_counts (fresh symbolizations are always >= 2
+    # symbols), a fully-merged word here collapses to ONE symbol —
+    # sequence(1, 0) would run DESCENDING and element_at(_s, 2) throws
+    # under ANSI, so the enumeration is gated on size
+    pairs = (
+        "CASE WHEN size(_s) >= 2 THEN transform(sequence(1, size(_s) - 1), "
+        "i -> struct(element_at(_s, i) AS lhs, "
+        "element_at(_s, cast(i + 1 AS INT)) AS rhs)) "
+        "ELSE array() END"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(int(n_merges)):
+        best = (
+            vocab.select(F.explode(F.expr(pairs)).alias("p"), "wf")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wf").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["freq"] < int(min_freq):
+            break
+        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+        merges.append((step, lhs, rhs, int(best[0]["freq"])))
+        # Column-API lambda (not an expr string): lhs/rhs are
+        # data-derived symbols — splicing them into SQL text would
+        # need escaping and break on quotes/backslashes. F.get is the
+        # ANSI-safe peek (element_at THROWS on out-of-bounds in
+        # Spark 4's ANSI mode; get returns NULL, so the empty-acc
+        # probe falls through to the otherwise branch).
+        lhs_c, rhs_c, merged_c = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+
+        def apply_merge(acc, x):  # noqa: B023 — consumed before rebinding
+            hit = (F.get(acc, F.size(acc) - 1) == lhs_c) & (x == rhs_c)
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_c)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        vocab = trunc(
+            vocab.select(
+                F.aggregate(
+                    "_s", F.array().cast("array<string>"), apply_merge
+                ).alias("_s"),
+                "wf",
+            )
+        )
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, freq bigint"
+    )
+
+
 # --------------------------------------------------------------------------
 # Cross-document duplicated-passage stats (Lee et al. 2021's decision
 # metric for substring-level dedup)

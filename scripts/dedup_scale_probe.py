@@ -100,6 +100,10 @@ OPS = {
     "clusters": lambda d: C.neardup_clusters(d, D.ngram_jaccard_pairs(d)),
     "passages": lambda d: T.dup_passage_stats(d),
     "bpe": lambda d: T.bpe_pair_counts(d),
+    # full training loop: k vocab-sized iterations after one corpus
+    # scan — wall time should track the bpe column + a constant
+    "bpetrain": lambda d: T.bpe_train(d, n_merges=5),
+    "substr": lambda d: T.substring_dedup(d),
 }
 PAIR_OPS = ("minhash", "simhash", "ngram")
 

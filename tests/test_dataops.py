@@ -840,3 +840,86 @@ def test_semdedup_planted(spark):
     guarded = {r.id: r.is_kept for r in similarity.semdedup(
         emb, threshold=0.9, n_cells=2, max_cell=2).collect()}
     assert guarded == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def _py_bpe_train(texts, n_merges, min_freq=2):
+    """Pure-Python reference BPE trainer (Sennrich et al. 2016 alg.1):
+    same normalization, same (freq DESC, lhs ASC, rhs ASC) merge
+    decision, classic left-to-right non-overlapping merge application."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                wf[w] += 1
+    syms = [(list(w) + [textstats.BPE_EOW], f) for w, f in wf.items()]
+    merges = []
+    for step in range(n_merges):
+        pc = Counter()
+        for s, f in syms:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), freq = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if freq < min_freq:
+            break
+        merges.append((step, lhs, rhs, freq))
+        nxt = []
+        for s, f in syms:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append((out, f))
+        syms = nxt
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed merge loop reproduces the classic in-memory
+    trainer exactly: same merge table (order, symbols, frequencies)
+    over a corpus with repeated stems, ties, unicode and a None doc."""
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "wider wide widest wider",
+        "日本語 の 文書 日本語",
+        None,
+        "low lower newer wider",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [(r.step, r.lhs, r.rhs, r.freq)
+           for r in textstats.bpe_train(df, n_merges=8).collect()]
+    want = _py_bpe_train(texts, 8)
+    assert got == want
+    assert len(got) >= 4           # the corpus supports several merges
+    # step 0 must agree with the single-step operator's argmax
+    pc = textstats.bpe_pair_counts(df).collect()
+    top = sorted(pc, key=lambda r: (-r.freq, r.lhs, r.rhs))[0]
+    assert (got[0][1], got[0][2], got[0][3]) == (top.lhs, top.rhs, top.freq)
+
+
+def test_bpe_train_min_freq_stops_early(spark):
+    """All-distinct symbols -> first merge table entry exists only at
+    min_freq=1; the default threshold stops before emitting singletons."""
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assert textstats.bpe_train(df, n_merges=5).count() == 0
+    got = [(r.step, r.lhs, r.rhs, r.freq) for r in
+           textstats.bpe_train(df, n_merges=5, min_freq=1).collect()]
+    want = _py_bpe_train(["abc"], 5, min_freq=1)
+    assert got == want and len(got) > 0
+    # the word fully merges into one symbol: abc</w> -> no pairs left,
+    # loop must stop on its own before n_merges without throwing
+    assert len(got) == 3
