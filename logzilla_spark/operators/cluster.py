@@ -53,13 +53,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from logzilla_spark.functions.lineage import truncate as _truncate
+
 MAX_CC_ITER = 25  # pointer jumping: rounds ~ log2(largest component)
-
-
-def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    if checkpoint_dir is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -121,6 +117,10 @@ def connected_components(
         # every round until global convergence).
         la = lab2.select(F.col("id").alias("a"), F.col("label").alias("_la"))
         lb = lab2.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+        # rebinding `edges` drops the superseded round; ContextCleaner
+        # frees its checkpoint storage (functions/lineage.py). rounds[]
+        # entries are kept on purpose — the deferred mapping fold
+        # consumes them after the loop.
         edges = _truncate(
             edges.join(la, "a").join(lb, "b")
             .select(F.col("_la").alias("a"), F.col("_lb").alias("b"))

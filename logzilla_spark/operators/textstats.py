@@ -686,29 +686,47 @@ def bpe_pair_counts(
     element_at lambdas are interpreted (no codegen), which is why they
     are confined to the vocab table rather than the corpus scan.
     """
-    words = (
-        df.select(normalize_text(text_col).alias("_n"))
-        .select(F.explode(F.split("_n", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wf"))
-    )
-    # symbols = chars of the word + the end-of-word marker, so the
-    # boundary pair (last_char, </w>) is counted like any other —
-    # len(symbols) >= 2 always, so the sequence below is never empty.
-    pairs = (
-        "transform(sequence(1, size(_s) - 1), "
-        "i -> struct(element_at(_s, i) AS lhs, "
-        "element_at(_s, cast(i + 1 AS INT)) AS rhs))"
-    )
     return (
-        words.withColumn("_s", F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))"))
-        .select(F.explode(F.expr(pairs)).alias("p"), "wf")
+        _bpe_word_symbols(df, text_col)
+        .select(F.explode(F.expr(_SYM_PAIRS)).alias("p"), "wf")
         .select("p.lhs", "p.rhs", "wf")
         .groupBy("lhs", "rhs")
         .agg(F.sum("wf").alias("freq"))
         .filter(F.col("freq") >= int(min_freq))
     )
+
+
+def _bpe_word_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """(_s, wf): the frequency-weighted vocab with each word's initial
+    symbolization (chars + the end-of-word marker, so the boundary
+    pair (last_char, </w>) is counted like any other). ONE builder
+    shared by bpe_pair_counts and bpe_train — the corpus-sized scan
+    and the tokenization contract must not drift between the
+    single-step operator and the training loop that tests assert
+    agree on step 0."""
+    return (
+        df.select(normalize_text(text_col).alias("_n"))
+        .select(F.explode(F.split("_n", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))").alias("_s"),
+            "wf",
+        )
+    )
+
+
+# adjacent symbol pairs of _s, gated on size: fresh symbolizations are
+# always >= 2 symbols, but a fully-merged word in the training loop
+# collapses to ONE — sequence(1, 0) would run DESCENDING and
+# element_at(_s, 2) throws under ANSI
+_SYM_PAIRS = (
+    "CASE WHEN size(_s) >= 2 THEN transform(sequence(1, size(_s) - 1), "
+    "i -> struct(element_at(_s, i) AS lhs, "
+    "element_at(_s, cast(i + 1 AS INT)) AS rhs)) "
+    "ELSE array() END"
+)
 
 
 DEFAULT_BPE_MERGES = 10
@@ -742,44 +760,24 @@ def bpe_train(
     Merge application is greedy left-to-right non-overlapping via an
     array fold; the fold cannot cascade within a step because the
     merged symbol is strictly longer than lhs. Per-round lineage is
-    truncated (localCheckpoint, or reliable checkpoint() via
-    ``checkpoint_dir`` — the neardup_clusters trade) so round k does
-    not replay k-1 rewrites.
+    truncated (functions/lineage.py: localCheckpoint, or reliable
+    checkpoint() via ``checkpoint_dir`` — the neardup_clusters trade)
+    and the loop REBINDS ``vocab`` each round, so superseded rounds
+    are dereferenced immediately and the run holds ~2 vocab snapshots
+    regardless of n_merges (reliable checkpoint files are deleted by
+    the cleaner — session.py enables cleanCheckpoints).
     """
+    from logzilla_spark.functions.lineage import truncate
+
     spark = df.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def trunc(d: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return d.checkpoint(eager=True)
-        return d.localCheckpoint(eager=True)
-
-    vocab = trunc(
-        df.select(normalize_text(text_col).alias("_n"))
-        .select(F.explode(F.split("_n", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wf"))
-        .select(
-            F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))").alias("_s"),
-            "wf",
-        )
-    )
-    # unlike bpe_pair_counts (fresh symbolizations are always >= 2
-    # symbols), a fully-merged word here collapses to ONE symbol —
-    # sequence(1, 0) would run DESCENDING and element_at(_s, 2) throws
-    # under ANSI, so the enumeration is gated on size
-    pairs = (
-        "CASE WHEN size(_s) >= 2 THEN transform(sequence(1, size(_s) - 1), "
-        "i -> struct(element_at(_s, i) AS lhs, "
-        "element_at(_s, cast(i + 1 AS INT)) AS rhs)) "
-        "ELSE array() END"
-    )
+    vocab = truncate(_bpe_word_symbols(df, text_col), checkpoint_dir)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(int(n_merges)):
         best = (
-            vocab.select(F.explode(F.expr(pairs)).alias("p"), "wf")
+            vocab.select(F.explode(F.expr(_SYM_PAIRS)).alias("p"), "wf")
             .groupBy("p.lhs", "p.rhs")
             .agg(F.sum("wf").alias("freq"))
             .orderBy(F.col("freq").desc(), F.col("lhs").asc(), F.col("rhs").asc())
@@ -805,13 +803,14 @@ def bpe_train(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_c)),
             ).otherwise(F.concat(acc, F.array(x)))
 
-        vocab = trunc(
+        vocab = truncate(
             vocab.select(
                 F.aggregate(
                     "_s", F.array().cast("array<string>"), apply_merge
                 ).alias("_s"),
                 "wf",
-            )
+            ),
+            checkpoint_dir,
         )
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, freq bigint"
@@ -981,6 +980,21 @@ def substring_dedup(
 # --------------------------------------------------------------------------
 
 DSIR_BUCKETS = 256
+DSIR_FRAC_BITS = 20  # fixed-point log2 precision (2^20 per bit)
+
+
+def _log2_fp(x: int, frac_bits: int = DSIR_FRAC_BITS) -> int:
+    """Integer fixed-point log2: exact msb + linear mantissa
+    interpolation within the octave (monotone; max error ~0.086 bits).
+    Pure integer ops, so Spark, DuckDB and Python compute identical
+    bits — the reason the DSIR score avoids ln()."""
+    m = x.bit_length() - 1
+    mant = (x << frac_bits) // (1 << m)
+    return m * (1 << frac_bits) + (mant - (1 << frac_bits))
+
+
+# log2_fp of ratio 1.0 (= 1e6 ppm): subtracted so llr is signed around 0
+DSIR_LOG2_FP_1M = _log2_fp(1_000_000)
 
 
 def dsir_scores(
@@ -996,24 +1010,30 @@ def dsir_scores(
     small TARGET-domain sample and the raw corpus, per-doc score = the
     feature-frequency-weighted mean ratio.
 
-    Fixed-point arithmetic instead of the paper's log-space weights:
-    bucket probabilities are Laplace-smoothed integer ppm
-    (``floor(1e6 * (count + 1) / (total + B))``), the ratio is
-    ``floor(1e6 * p_target_ppm / max(p_raw_ppm, 1))`` and the doc
-    score is ``floor(sum(c_b * ratio_b) / n_feats)`` — every step is
-    integer division, so the DuckDB twin compares exact values (the
-    module's float-portability rule; ln() is not bit-portable across
-    engines). Monotone per-feature in the paper's p_target/p_raw, so
-    the resampling CUT (top-score / hash-threshold, the caller's
-    policy) selects the same shape of data.
+    Fixed-point integer arithmetic instead of the paper's float
+    log-space weights (ln() is not bit-portable across engines —
+    the module's float-portability rule): bucket probabilities are
+    Laplace-smoothed integer ppm (``floor(1e6 * (count + 1) /
+    (total + B))``), the per-bucket ratio is ``floor(1e6 *
+    p_target_ppm / max(p_raw_ppm, 1))``, and the doc score is the
+    paper's log importance weight  log w = sum_f c_f * log(ratio_f)
+    computed as ``sum(c_b * llr_b)`` with llr = fixed-point log2 of
+    the ratio (exact integer msb + linear mantissa interpolation,
+    ``_log2_fp`` — monotone, <= 0.086-bit error per feature, identical
+    bits on every engine). Summing LOGS keeps the score
+    order-equivalent to the paper's product weight — a doc with one
+    10x bucket and one 0.01x bucket scores BELOW a doc with two 1x
+    buckets, exactly as importance resampling requires (an arithmetic
+    mean of raw ratios would invert that ordering).
 
-    Output: (id, n_feats, score_ppm) — docs with score_ppm >> 1e6 look
-    like the target domain. NULL-text docs emit no row (the module's
-    contract); every other doc has >= 1 feature (split() never returns
-    an empty array). Integer headroom: per-bucket counts stay exact to
-    ~9e12 occurrences (1e6 * count must fit a BIGINT) — at B=256 that
-    is a ~10^15-feature corpus, and per-doc sums stay exact for docs
-    up to ~10^6 features even at the worst-case ratio bound.
+    Output: (id, n_feats, logw_fp) — logw_fp / 2^20 ~ log2 of the
+    importance weight; docs > 0 look like the target domain.
+    NULL-text docs emit no row (the module's contract); every other
+    doc has >= 1 feature (split() never returns an empty array).
+    Integer headroom: per-bucket counts stay exact to ~9e12
+    occurrences (1e6 * count must fit a BIGINT — a ~10^15-feature
+    corpus at B=256); |llr| <= ~40 * 2^20, so per-doc sums stay exact
+    to ~10^11 features per doc.
 
     Scale shape: the target side is tiny by contract (a domain sample)
     and aggregates to <= B rows; the raw side is ONE explode +
@@ -1074,6 +1094,7 @@ def dsir_scores(
     # integer `div` throughout: double division would lose exactness
     # past 2^53 (1e6 * a 100 TB corpus's feature count overflows a
     # double's mantissa long before it overflows a BIGINT)
+    fb = 1 << DSIR_FRAC_BITS
     ratios = (
         sides.crossJoin(F.broadcast(totals))
         .withColumn(
@@ -1084,11 +1105,21 @@ def dsir_scores(
             "_tgt_ppm",
             F.expr(f"(1000000 * (_tc + 1)) div (_ttot + {B})"),
         )
+        .withColumn(
+            "_r1",
+            F.expr("greatest((1000000 * _tgt_ppm) div greatest(_raw_ppm, 1L), 1L)"),
+        )
+        # fixed-point log2 of the ratio, centered at ratio 1.0:
+        # msb via the binary-string length (exact), mantissa via one
+        # integer division (linear interpolation within the octave)
+        .withColumn("_m", F.expr("length(bin(_r1)) - 1"))
         .select(
             "bucket",
             F.expr(
-                "(1000000 * _tgt_ppm) div greatest(_raw_ppm, 1L)"
-            ).alias("_ratio"),
+                f"(cast(_m as bigint) * {fb} "
+                f"+ (_r1 * {fb}) div shiftleft(cast(1 as bigint), _m) "
+                f"- {fb}) - {DSIR_LOG2_FP_1M}"
+            ).alias("_llr"),
         )
     )
     doc_feats = _features(df).groupBy("id", "bucket").agg(
@@ -1099,6 +1130,6 @@ def dsir_scores(
         .groupBy("id")
         .agg(
             F.sum("_c").alias("n_feats"),
-            F.expr("sum(_c * _ratio) div sum(_c)").alias("score_ppm"),
+            F.sum(F.col("_c") * F.col("_llr")).alias("logw_fp"),
         )
     )

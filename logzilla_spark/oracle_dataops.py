@@ -1044,10 +1044,18 @@ def dsir_scores_sql(
 ) -> str:
     """Twin of textstats.dsir_scores: the target side is the same
     table filtered by ``target_pred`` over the doc id (the
-    benchmark_contamination shape). Identical fixed-point ppm pipeline
-    — DuckDB's ``//`` is the integer division matching Spark's
-    ``div``."""
+    benchmark_contamination shape). Identical fixed-point pipeline —
+    DuckDB's ``//`` on BIGINTs is the integer division matching
+    Spark's ``div``, printf('%b') length-1 is the exact msb matching
+    Spark's length(bin())-1, and the log2_fp(1e6) centering constant
+    is computed ONCE in Python (textstats.DSIR_LOG2_FP_1M)."""
+    from logzilla_spark.operators.textstats import (
+        DSIR_FRAC_BITS,
+        DSIR_LOG2_FP_1M,
+    )
+
     B = int(n_buckets)
+    fb = 1 << DSIR_FRAC_BITS
     return f"""WITH {_docs_cte(docs_path)},
 toks AS (SELECT id, string_split(n, ' ') AS t FROM docs WHERE n IS NOT NULL),
 feats AS (
@@ -1067,18 +1075,26 @@ sides AS (
   FROM (SELECT range AS bucket FROM range(0, {B})) b
   LEFT JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket)
 ),
-tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM sides),
-ratios AS (
+tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+               CAST(sum(tc) AS BIGINT) AS ttot FROM sides),
+r1 AS (
   SELECT bucket,
-         (1000000 * ((1000000 * (tc + 1)) // (ttot + {B})))
-           // greatest((1000000 * (rc + 1)) // (rtot + {B}), 1) AS ratio
+         CAST(greatest((1000000 * ((1000000 * (tc + 1)) // (ttot + {B})))
+           // greatest((1000000 * (rc + 1)) // (rtot + {B}), 1), 1) AS BIGINT) AS r
   FROM sides, tot
+),
+llrs AS (
+  SELECT bucket,
+         (CAST(length(printf('%b', r)) - 1 AS BIGINT) * {fb}
+          + (r * {fb}) // (1::BIGINT << (length(printf('%b', r)) - 1))
+          - {fb}) - {DSIR_LOG2_FP_1M} AS llr
+  FROM r1
 ),
 docf AS (SELECT id, bucket, CAST(count(*) AS BIGINT) AS c
          FROM feats GROUP BY id, bucket)
 SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
-       CAST(sum(c * ratio) // sum(c) AS BIGINT) AS score_ppm
-FROM docf JOIN ratios USING (bucket)
+       CAST(sum(c * llr) AS BIGINT) AS logw_fp
+FROM docf JOIN llrs USING (bucket)
 GROUP BY id"""
 
 

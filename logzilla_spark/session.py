@@ -85,6 +85,11 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=200")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # reliable checkpoint files from iterative loops (CC, BPE
+        # training) are deleted once their DataFrame is dereferenced —
+        # otherwise a k-round loop leaves k vocab-sized snapshots in
+        # the checkpoint store (functions/lineage.py)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # Local corpora are a few MB-GB, so the default 128m split size
         # would serialize the CPU-heavy parse stage onto a handful of

@@ -812,7 +812,30 @@ def test_dsir_scores_semantics(spark):
     for i, n in [(1, 8), (2, 8), (3, 12), (4, 1)]:
         assert out[i].n_feats == 2 * n - 1
     # the target doc itself scores highest; on-domain beats off-domain
-    assert out[1].score_ppm > out[2].score_ppm > out[3].score_ppm
+    assert out[1].logw_fp > out[2].logw_fp > out[3].logw_fp
+
+
+def test_dsir_scores_log_sum_not_ratio_mean(spark):
+    """The score is the paper's log-sum, not an arithmetic ratio mean:
+    a doc balancing one target-heavy feature against one target-absent
+    feature must score BELOW a doc whose features are neutral (product
+    0.1 < 1), even though its raw ratio MEAN is far higher."""
+    # raw corpus: 'aa' RARE (one doc), 'zz' dominant; target: all 'aa'
+    # -> ratio(aa) ~20x, ratio(zz) ~0.02x at B=64
+    rows = [(0, "aa")] + [(i + 10, "zz") for i in range(50)]
+    rows += [(100, "aa zz zz zz"), (101, "mm nn oo pp")]  # mixed vs neutral
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, "aa") for i in range(50)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in
+           textstats.dsir_scores(df, target, n_buckets=64).collect()}
+    # per-token sanity: the 'aa' doc looks like the target, 'zz' does not
+    assert out[0].logw_fp > 0 > out[10].logw_fp
+    # the mixed doc's huge 'aa' ratio must NOT drown its three 'zz'
+    # penalties: log-sum puts it below the neutral doc (an arithmetic
+    # mean of raw ratios would invert this — the pre-fix behavior)
+    assert out[100].logw_fp < out[101].logw_fp
 
 
 def test_semdedup_planted(spark):
