@@ -396,6 +396,12 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_audio_frames": lambda s, d: multimodal.audio_frame_sample(
             _media(s, d)
         ),
+        # --- video frame-sample manifest: row-per-frame explosion ---
+        "q_media_video_frames": lambda s, d: multimodal.video_frame_sample(
+            _media(s, d)
+        ),
+        # --- image resize plumbing (integer geometry + stub resample) ---
+        "q_media_resize": lambda s, d: multimodal.resize_images(_media(s, d)),
     }
 
 
@@ -441,6 +447,8 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),
         "q_media_audio_frames": oracle_dataops.audio_frames_sql(media),
+        "q_media_video_frames": oracle_dataops.video_frames_sql(media),
+        "q_media_resize": oracle_dataops.resize_images_sql(media),
     }
 
 

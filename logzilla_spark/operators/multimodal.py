@@ -51,8 +51,20 @@ AUDIO_FRAMES_SCHEMA = (
     "frame0_checksum long"
 )
 
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, fps int, frame_checksum long"
+)
+
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, dst_width int, dst_height int, "
+    "resized_len long, resized_checksum long, decoder string"
+)
+
 HEADER_LEN = 4
 AUDIO_FRAME_MS = 250
+VIDEO_SAMPLE_MS = 500
+VIDEO_SLICE = 64  # bytes per sampled frame slice (fixture-scale)
+RESIZE_MAX_DIM = 256
 
 
 def _byte_sum(payload: bytes) -> int:
@@ -196,3 +208,125 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = AUDIO_FRAME_MS) -> Data
             )
 
     return auds.mapInPandas(frames, schema=AUDIO_FRAMES_SCHEMA)
+
+
+def video_frame_sample(
+    media: DataFrame, every_ms: int = VIDEO_SAMPLE_MS
+) -> DataFrame:
+    """Frame-sampling manifest for video assets: ONE OUTPUT ROW PER
+    SAMPLED FRAME (timestamps 0, every_ms, ... <= duration_ms), each
+    with a checksum over that frame's byte slice — the row-explosion
+    batch shape a real video pipeline uses (audio_frame_sample keeps
+    one row per asset; this is the other contract). Codec work is
+    stubbed per the module doc: slice k is the 64 bytes at
+    header + k*64 (clipped; real byte slicing, DuckDB-verifiable);
+    a real decoder would seek to ts_ms instead.
+
+    Assets with NULL duration or payload emit NO rows (the twin's
+    range(NULL) unnests to nothing). Output rows stay bounded by
+    duration/every_ms — at 100 TB the explosion factor is explicit and
+    caller-controlled, and payload bytes still never shuffle (the
+    explosion happens inside the Arrow batch, emitting only scalars).
+    """
+    vids = media.filter("kind = 'video'").select(
+        "media_id", "payload", "meta.sample_rate", "meta.duration_ms"
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [],
+                "fps": [], "frame_checksum": [],
+            }
+            for mid, payload, fps, dur in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["sample_rate"], pdf["duration_ms"],
+            ):
+                if payload is None or pd.isna(dur):
+                    continue
+                for k in range(int(dur) // int(every_ms) + 1):
+                    start = HEADER_LEN + k * VIDEO_SLICE
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["ts_ms"].append(k * int(every_ms))
+                    out["fps"].append(None if pd.isna(fps) else int(fps))
+                    out["frame_checksum"].append(
+                        _byte_sum(payload[start : start + VIDEO_SLICE])
+                    )
+            pdf_out = pd.DataFrame(out)
+            pdf_out["frame_idx"] = pdf_out["frame_idx"].astype("Int32")
+            pdf_out["ts_ms"] = pdf_out["ts_ms"].astype("Int32")
+            pdf_out["fps"] = pdf_out["fps"].astype("Int32")
+            pdf_out["frame_checksum"] = pdf_out["frame_checksum"].astype("Int64")
+            yield pdf_out
+
+    return vids.mapInPandas(frames, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Resize plumbing for image assets: integer target geometry
+    (longest side capped at ``max_dim``, aspect preserved via exact
+    integer division — float scale factors are not oracle-portable)
+    plus a stubbed byte resample: the "resized payload" is the body
+    prefix proportional to the pixel-count change, its length and
+    checksum computed from real byte slicing. A real decoder
+    (PIL.Image.resize) would replace the prefix math; schema, batch
+    shape and NULL semantics are production's.
+
+    NULL geometry/payload yield NULL outputs (row kept — the twin's
+    NULL folds); images already within max_dim pass through at
+    identity size.
+    """
+    imgs = media.filter("kind = 'image'").select(
+        "media_id", "payload", "meta.width", "meta.height"
+    )
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "width": [], "height": [], "dst_width": [],
+                "dst_height": [], "resized_len": [], "resized_checksum": [],
+            }
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                rows["media_id"].append(mid)
+                if payload is None or pd.isna(w) or pd.isna(h):
+                    rows["width"].append(None if pd.isna(w) else int(w))
+                    rows["height"].append(None if pd.isna(h) else int(h))
+                    rows["dst_width"].append(None)
+                    rows["dst_height"].append(None)
+                    rows["resized_len"].append(None)
+                    rows["resized_checksum"].append(None)
+                    continue
+                w, h = int(w), int(h)
+                long_side = max(w, h)
+                if long_side <= max_dim:
+                    dw, dh = w, h
+                else:
+                    dw = max(1, (w * max_dim) // long_side)
+                    dh = max(1, (h * max_dim) // long_side)
+                body = payload[HEADER_LEN:]
+                # zero-area geometry: NULL resample outputs (the twin's
+                # x // 0 folds to NULL), identity dst
+                rl = (
+                    None if w * h == 0
+                    else (len(body) * dw * dh) // (w * h)
+                )
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["resized_len"].append(rl)
+                rows["resized_checksum"].append(
+                    None if rl is None else _byte_sum(body[:rl])
+                )
+            pdf_out = pd.DataFrame(rows)
+            for c in ("width", "height", "dst_width", "dst_height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            for c in ("resized_len", "resized_checksum"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            pdf_out["decoder"] = "stub-deterministic"
+            yield pdf_out
+
+    return imgs.mapInPandas(rs, schema=RESIZE_SCHEMA)

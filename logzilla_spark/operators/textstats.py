@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from logzilla_spark.functions.hashing import P31, md5_long, md5_long_expr
 from logzilla_spark.operators.dedup import normalize_text
@@ -1070,18 +1071,28 @@ def dsir_scores(
             )
         )
 
-    def _counts(frame: DataFrame, name: str) -> DataFrame:
-        return _features(frame).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias(name)
-        )
-
+    # ONE corpus scan: the (id, bucket) occurrence stream is built once
+    # and PERSISTED — it has two consumers (global raw counts and the
+    # scoring aggregation) and Spark recomputes unpersisted lineage per
+    # consumer (the minhash_lsh_pairs rationale, incl. the cache-
+    # lifetime caveat documented there). A separate global-count
+    # explode was a 2nd full interpreted-bigram + md5 pass over every
+    # gram. The cached row is 16 bytes; MEMORY_AND_DISK spills. No
+    # (id, bucket) pre-grouping: per-doc distinct buckets ~ doc tokens
+    # at B=256, so that shuffle moved as many rows as the raw stream —
+    # measured pure overhead at the 40x probe scale.
+    occ = _features(df).persist(StorageLevel.MEMORY_AND_DISK)
+    raw_counts = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
+    tgt_counts = _features(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
     # materialize ALL B buckets so absent-from-one-side buckets get the
     # same +1 Laplace smoothing as observed ones (a bare outer join of
     # the two count frames would silently score absent buckets as 0)
     buckets = df.sparkSession.range(B).select(F.col("id").alias("bucket"))
     sides = (
-        buckets.join(_counts(df, "_rc"), "bucket", "left")
-        .join(_counts(target, "_tc"), "bucket", "left")
+        buckets.join(raw_counts, "bucket", "left")
+        .join(tgt_counts, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("_rc", F.lit(0)).alias("_rc"),
@@ -1122,14 +1133,13 @@ def dsir_scores(
             ).alias("_llr"),
         )
     )
-    doc_feats = _features(df).groupBy("id", "bucket").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
+    # per-occurrence llr sum == sum(c_b * llr_b): one aggregation keyed
+    # by the doc id (map-side partials compress occurrences per doc)
     return (
-        doc_feats.join(F.broadcast(ratios), "bucket")
+        occ.join(F.broadcast(ratios), "bucket")
         .groupBy("id")
         .agg(
-            F.sum("_c").alias("n_feats"),
-            F.sum(F.col("_c") * F.col("_llr")).alias("logw_fp"),
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_llr").alias("logw_fp"),
         )
     )

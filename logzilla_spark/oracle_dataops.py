@@ -745,6 +745,78 @@ SELECT media_id, sample_rate, duration_ms,
 FROM m"""
 
 
+def video_frames_sql(media_path: str, every_ms: int | None = None) -> str:
+    """Twin of multimodal.video_frame_sample: one row per sampled
+    frame (range over duration // every_ms inclusive), checksum over
+    the same clipped byte slice."""
+    from logzilla_spark.operators.multimodal import (
+        HEADER_LEN,
+        VIDEO_SAMPLE_MS,
+        VIDEO_SLICE,
+    )
+
+    ms = int(every_ms if every_ms is not None else VIDEO_SAMPLE_MS)
+    sl = f"substring(d, {HEADER_LEN} + 1 + k * {VIDEO_SLICE}, {VIDEO_SLICE})"
+    return f"""WITH m AS (
+  SELECT media_id, meta.sample_rate AS fps, meta.duration_ms AS duration_ms,
+         decode(payload) AS d
+  FROM {_rel(media_path)} WHERE kind = 'video'
+),
+fr AS (
+  SELECT media_id, fps, d, CAST(u.k AS INT) AS k
+  FROM m, unnest(range(0, CAST(duration_ms // {ms} AS BIGINT) + 1)) AS u(k)
+  WHERE d IS NOT NULL AND duration_ms IS NOT NULL
+)
+SELECT media_id, k AS frame_idx, CAST(k * {ms} AS INT) AS ts_ms, fps,
+       {_ascii_sum(sl)} AS frame_checksum
+FROM fr"""
+
+
+def resize_images_sql(media_path: str, max_dim: int | None = None) -> str:
+    """Twin of multimodal.resize_images: same integer target geometry
+    and proportional body-prefix length; checksum over the real slice.
+    NULL geometry/payload keep the row with NULL-folded outputs."""
+    from logzilla_spark.operators.multimodal import (
+        HEADER_LEN,
+        RESIZE_MAX_DIM,
+    )
+
+    md = int(max_dim if max_dim is not None else RESIZE_MAX_DIM)
+    return f"""WITH m AS (
+  SELECT media_id, meta.width AS width, meta.height AS height,
+         decode(payload) AS d, octet_length(payload) AS blen
+  FROM {_rel(media_path)} WHERE kind = 'image'
+),
+g AS (
+  SELECT media_id, width, height, d,
+         CASE WHEN d IS NULL OR width IS NULL OR height IS NULL THEN NULL
+              WHEN greatest(width, height) <= {md} THEN width
+              ELSE greatest((width * {md}) // greatest(width, height), 1)
+         END AS dst_width,
+         CASE WHEN d IS NULL OR width IS NULL OR height IS NULL THEN NULL
+              WHEN greatest(width, height) <= {md} THEN height
+              ELSE greatest((height * {md}) // greatest(width, height), 1)
+         END AS dst_height,
+         blen - {HEADER_LEN} AS body_len
+  FROM m
+),
+r AS (
+  SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         CAST(dst_width AS INT) AS dst_width,
+         CAST(dst_height AS INT) AS dst_height,
+         CAST((body_len * dst_width * dst_height) // (width * height)
+              AS BIGINT) AS resized_len,
+         d
+  FROM g
+)
+SELECT media_id, width, height, dst_width, dst_height, resized_len,
+       CASE WHEN resized_len IS NULL THEN NULL
+            ELSE {_ascii_sum(f"substring(d, {HEADER_LEN} + 1, resized_len)")}
+       END AS resized_checksum,
+       'stub-deterministic' AS decoder
+FROM r"""
+
+
 def chunk_sequences_sql(
     docs_path: str, window: int = 128, min_tokens: int = 16
 ) -> str:

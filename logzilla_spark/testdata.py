@@ -294,26 +294,39 @@ SAMPLE_RATES = [8000, 16000, 44100]
 def generate_media_pdf(n_media: int) -> pd.DataFrame:
     """Deterministic media assets: opaque binary payload + typed meta.
 
-    Payload bytes are a 4-byte ascii header ('IMG0'/'AUD0') followed by
-    a repeated md5-hex chain — deterministic from media_id, and kept in
-    the ASCII range so the DuckDB oracle can recompute byte checksums
-    via decode()+ascii() (operators/multimodal.py module doc).
+    Payload bytes are a 4-byte ascii header ('IMG0'/'AUD0'/'VID0')
+    followed by a repeated md5-hex chain — deterministic from media_id,
+    and kept in the ASCII range so the DuckDB oracle can recompute byte
+    checksums via decode()+ascii() (operators/multimodal.py module
+    doc). Kind mix: 2/3 image, 1/6 audio, 1/6 video; video carries
+    width/height + duration_ms + fps (stored in the sample_rate slot —
+    one meta struct for all kinds, the sparse-by-kind convention).
     """
     import hashlib
 
     rows = []
     for i in range(n_media):
-        kind = "image" if i % 3 < 2 else "audio"
+        if i % 3 < 2:
+            kind = "image"
+        else:
+            kind = "video" if i % 6 == 5 else "audio"
         body_len = 256 + (i * 37) % 1731
         chain = hashlib.md5(f"media-{i}".encode()).hexdigest()
         body = (chain * (body_len // 32 + 1))[:body_len]
-        header = "IMG0" if kind == "image" else "AUD0"
+        header = {"image": "IMG0", "audio": "AUD0", "video": "VID0"}[kind]
         if kind == "image":
             meta = {
                 "width": 16 * ((i % 40) + 1),
                 "height": 16 * ((i % 25) + 1),
                 "sample_rate": None,
                 "duration_ms": None,
+            }
+        elif kind == "video":
+            meta = {
+                "width": 16 * ((i % 30) + 1),
+                "height": 16 * ((i % 20) + 1),
+                "sample_rate": 25,  # fps for video assets
+                "duration_ms": 1000 + (i * 113) % 19000,
             }
         else:
             meta = {
@@ -355,10 +368,14 @@ def _media_arrow_schema() -> pa.Schema:
 
 
 def ensure_media(sf_dir: str, force: bool = False) -> str:
-    """Generate (once) and return the media parquet path for sf_dir."""
+    """Generate (once) and return the media parquet path for sf_dir.
+
+    The filename carries a fixture VERSION: ensure_media short-circuits
+    on an existing file, so changing generate_media_pdf without bumping
+    the version would silently serve the stale cache."""
     name = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(CACHE_ROOT, name)
-    path = os.path.join(out_dir, "media.parquet")
+    path = os.path.join(out_dir, "media_v2.parquet")
     if os.path.exists(path) and not force:
         return path
     os.makedirs(out_dir, exist_ok=True)

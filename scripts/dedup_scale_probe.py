@@ -104,6 +104,8 @@ OPS = {
     # scan — wall time should track the bpe column + a constant
     "bpetrain": lambda d: T.bpe_train(d, n_merges=5),
     "substr": lambda d: T.substring_dedup(d),
+    # constant-size target sample (the registered query's shape)
+    "dsir": lambda d: T.dsir_scores(d, d.filter("doc_id < 10")),
 }
 PAIR_OPS = ("minhash", "simhash", "ngram")
 
@@ -174,8 +176,10 @@ def main(max_mult: int = 40, ops: tuple = PAIR_OPS) -> None:
             " shuffle each — the same shape as the token-count"
             " operators, linear by construction.",
         ]
+    # per-opset filenames: a re-run with a different downstream op set
+    # must not clobber another set's (possibly hand-merged) report
     out_name = (
-        "DEDUP_SCALE_DOWNSTREAM.md" if downstream else "DEDUP_SCALE_raw.md"
+        f"DEDUP_SCALE_{'_'.join(ops)}.md" if downstream else "DEDUP_SCALE_raw.md"
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:

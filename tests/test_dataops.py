@@ -251,12 +251,14 @@ def test_media_stats_and_stubs(spark):
         raw = pdf.loc[pdf.media_id == i, "payload"].iloc[0]
         assert by_id[i].byte_len == len(raw)
         assert by_id[i].checksum == sum(raw) % P31
-        assert by_id[i].header in ("IMG0", "AUD0")
+        assert by_id[i].header in ("IMG0", "AUD0", "VID0")
     imgs = multimodal.decode_image_features(sdf).collect()
     assert all(r.decoder == "stub-deterministic" for r in imgs)
     assert all(r.width % 16 == 0 and r.height % 16 == 0 for r in imgs)
     auds = multimodal.audio_frame_sample(sdf).collect()
-    assert len(imgs) + len(auds) == 30
+    n_vids = sdf.filter("kind = 'video'").count()
+    assert len(imgs) + len(auds) + n_vids == 30
+    assert n_vids > 0  # the fixture mixes all three kinds
     for r in auds:
         assert r.n_frames == r.duration_ms // multimodal.AUDIO_FRAME_MS
 

@@ -398,3 +398,91 @@ def test_semdedup_twin(emb_df, emb_path):
     from logzilla_spark.operators import similarity
 
     _assert_twin(similarity.semdedup(emb_df), od.semdedup_sql(emb_path))
+
+
+def test_video_frames_twin(spark, tmp_path_factory):
+    """Video frame explosion on hostile rows: NULL payload and NULL
+    duration emit no frames, short payloads clip slices, zero duration
+    still emits frame 0 — both engines byte-equal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logzilla_spark.operators import multimodal
+
+    meta_t = pa.struct([
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("sample_rate", pa.int32()), ("duration_ms", pa.int32()),
+    ])
+    tbl = pa.table({
+        "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "kind": pa.array(["video", "video", "video", "video"]),
+        "payload": pa.array(
+            [b"VID0" + b"x" * 200, None, b"VID0", b"VID0" + b"y" * 40],
+            pa.binary(),
+        ),
+        "meta": pa.array(
+            [
+                {"width": 64, "height": 48, "sample_rate": 25, "duration_ms": 1700},
+                {"width": 64, "height": 48, "sample_rate": 25, "duration_ms": 1000},
+                {"width": 64, "height": 48, "sample_rate": 25, "duration_ms": None},
+                {"width": 64, "height": 48, "sample_rate": None, "duration_ms": 0},
+            ],
+            meta_t,
+        ),
+    })
+    p = os.path.join(str(tmp_path_factory.mktemp("degenerate_video")), "media.parquet")
+    pq.write_table(tbl, p)
+    df = spark.read.parquet(p)
+    _assert_twin(multimodal.video_frame_sample(df), od.video_frames_sql(p))
+    out = multimodal.video_frame_sample(df).toPandas()
+    # asset 1: frames at 0/500/1000/1500; assets 2 (NULL payload) and
+    # 3 (NULL duration) vanish; asset 4 (0 ms) keeps frame 0
+    assert sorted(out[out.media_id == 1].ts_ms) == [0, 500, 1000, 1500]
+    assert set(out.media_id) == {1, 4}
+
+
+def test_resize_images_twin(media_df, media_path):
+    from logzilla_spark.operators import multimodal
+
+    _assert_twin(multimodal.resize_images(media_df), od.resize_images_sql(media_path))
+
+
+def test_resize_images_geometry(spark):
+    """Integer resize geometry: longest side capped, aspect preserved
+    by exact integer division, small images identity, degenerate 1px
+    floors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    from logzilla_spark.operators import multimodal
+
+    meta_t = pa.struct([
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("sample_rate", pa.int32()), ("duration_ms", pa.int32()),
+    ])
+    tbl = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image", "image", "image"]),
+        "payload": pa.array(
+            [b"IMG0" + b"a" * 1024, b"IMG0" + b"b" * 100, b"IMG0" + b"c" * 640],
+            pa.binary(),
+        ),
+        "meta": pa.array(
+            [
+                {"width": 1024, "height": 256, "sample_rate": None, "duration_ms": None},
+                {"width": 100, "height": 50, "sample_rate": None, "duration_ms": None},
+                {"width": 10000, "height": 2, "sample_rate": None, "duration_ms": None},
+            ],
+            meta_t,
+        ),
+    })
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "media.parquet")
+    pq.write_table(tbl, p)
+    out = {r.media_id: r for r in
+           multimodal.resize_images(spark.read.parquet(p)).collect()}
+    # 1024x256 -> 256x64 (4x down); body 1024 bytes -> 1024*256*64/(1024*256)=64
+    assert (out[1].dst_width, out[1].dst_height, out[1].resized_len) == (256, 64, 64)
+    # within max_dim: identity, full body kept
+    assert (out[2].dst_width, out[2].dst_height, out[2].resized_len) == (100, 50, 100)
+    # extreme aspect: height floors at 1, never 0
+    assert out[3].dst_width == 256 and out[3].dst_height == 1
