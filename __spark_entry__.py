@@ -344,6 +344,10 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tokens": lambda s, d: textstats.token_counts(_docs(s, d)),
         "q_text_fingerprint": lambda s, d: textstats.fingerprints(_docs(s, d)),
         "q_text_repetition": lambda s, d: textstats.repetition_stats(_docs(s, d)),
+        # --- Gopher doc-quality rule set (Rae et al. A1.1) ---
+        "q_text_gopher": lambda s, d: textstats.gopher_quality_filter(
+            _docs(s, d)
+        ),
         "q_text_redact_pii": lambda s, d: textstats.redact_pii(_docs(s, d)),
         "q_text_c4_filter": lambda s, d: textstats.c4_line_filter(_docs(s, d)),
         "q_text_mix_sample": lambda s, d: textstats.proportional_token_sample(
@@ -429,6 +433,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_tokens": oracle_dataops.token_counts_sql(docs),
         "q_text_fingerprint": oracle_dataops.fingerprints_sql(docs),
         "q_text_repetition": oracle_dataops.repetition_stats_sql(docs),
+        "q_text_gopher": oracle_dataops.gopher_quality_filter_sql(docs),
         "q_text_redact_pii": oracle_dataops.redact_pii_sql(docs),
         "q_text_c4_filter": oracle_dataops.c4_line_filter_sql(docs),
         "q_text_mix_sample": oracle_dataops.proportional_token_sample_sql(

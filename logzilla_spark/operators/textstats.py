@@ -242,6 +242,115 @@ def curate_corpus(
     )
 
 
+# Gopher document-quality rule thresholds (Rae et al. '21 A1.1) — the
+# canonical web-crawl doc gate; repetition_stats covers the same
+# paper's repetition signals, this is its doc-shape/content rule set.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1), each signal exposed
+    plus the combined ``keep`` verdict: word count in [50, 100k], mean
+    word length in [3, 10], symbol-to-word ratio (# / ...) < 0.1,
+    < 90% of lines bullet-started, < 30% ellipsis-ended, >= 80% of
+    words containing an alphabetic character, and >= 2 distinct
+    stopwords from the paper's 8-word list.
+
+    All fractions are exact int/int divisions (try_divide for empty
+    denominators), mean word length is the (chars - separators)/words
+    identity quality_score already uses — bit-portable to the twin.
+    One narrow projection over (id, text): scan-bound, no shuffle, no
+    explode (line and word checks run inside array expressions).
+    """
+    stop_lit = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), "\n").alias("_lines"),
+            normalize_text(text_col).alias("_n"),
+        )
+        .withColumn("_t", F.split("_n", " "))
+        .withColumn("n_words", F.size("_t"))
+        .withColumn("n_lines", F.size("_lines"))
+        .withColumn(
+            "mean_word_len",
+            F.try_divide(
+                (F.length("_n") - (F.col("n_words") - 1)).cast("double"),
+                F.col("n_words").cast("double"),
+            ),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.try_divide(
+                (
+                    F.expr("size(regexp_extract_all(_n, '#', 0))")
+                    + F.expr(r"size(regexp_extract_all(_n, '\\.\\.\\.', 0))")
+                ).cast("double"),
+                F.col("n_words").cast("double"),
+            ),
+        )
+        .withColumn(
+            "bullet_frac",
+            F.try_divide(
+                F.expr(
+                    "size(filter(_lines, l -> "
+                    "startswith(ltrim(l), '-') OR startswith(ltrim(l), '*') "
+                    "OR startswith(ltrim(l), '•')))"
+                ).cast("double"),
+                F.col("n_lines").cast("double"),
+            ),
+        )
+        .withColumn(
+            "ellipsis_frac",
+            F.try_divide(
+                F.expr(
+                    "size(filter(_lines, l -> "
+                    "endswith(rtrim(l), '...') OR endswith(rtrim(l), '…')))"
+                ).cast("double"),
+                F.col("n_lines").cast("double"),
+            ),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.try_divide(
+                F.expr("size(filter(_t, w -> w rlike '[a-z]'))").cast("double"),
+                F.col("n_words").cast("double"),
+            ),
+        )
+        .withColumn(
+            "n_stop_hits",
+            F.expr(f"size(filter({stop_lit}, s -> array_contains(_t, s)))"),
+        )
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_WORD_LEN)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return base.select(
+        "id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_word_frac", "n_stop_hits",
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1077,6 +1077,76 @@ FROM hs LEFT JOIN hot ON hs.h = hot.h
 GROUP BY hs.id"""
 
 
+def gopher_quality_filter_sql(docs_path: str) -> str:
+    """Twin of textstats.gopher_quality_filter: same splits, same
+    regex counts, same exact divisions; NULL text keeps its row with
+    NULL-folded signals, n_stop_hits 0 and keep false."""
+    from logzilla_spark.operators.textstats import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    return f"""WITH src AS (
+  SELECT doc_id AS id, string_split(text, chr(10)) AS lines,
+         {_norm('text')} AS n
+  FROM {_rel(docs_path)}
+),
+b AS (
+  SELECT id, lines, n, string_split(n, ' ') AS t,
+         CAST(len(string_split(n, ' ')) AS INT) AS n_words,
+         len(lines) AS n_lines
+  FROM src
+)
+SELECT id, n_words,
+       CAST(length(n) - (n_words - 1) AS DOUBLE)
+         / CAST(n_words AS DOUBLE) AS mean_word_len,
+       CAST(len(regexp_extract_all(n, '#'))
+            + len(regexp_extract_all(n, '\\.\\.\\.')) AS DOUBLE)
+         / CAST(n_words AS DOUBLE) AS symbol_ratio,
+       CAST(len([l FOR l IN lines IF starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•')]) AS DOUBLE)
+         / CAST(n_lines AS DOUBLE) AS bullet_frac,
+       CAST(len([l FOR l IN lines IF ends_with(rtrim(l), '...')
+                 OR ends_with(rtrim(l), '…')]) AS DOUBLE)
+         / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
+       CAST(len([w FOR w IN t IF regexp_matches(w, '[a-z]')]) AS DOUBLE)
+         / CAST(n_words AS DOUBLE) AS alpha_word_frac,
+       CAST(len([s FOR s IN {stop_lit} IF list_contains(t, s)]) AS INT)
+         AS n_stop_hits,
+       coalesce(
+         n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+         AND (CAST(length(n) - (n_words - 1) AS DOUBLE)
+              / CAST(n_words AS DOUBLE)) >= {GOPHER_MIN_WORD_LEN}
+         AND (CAST(length(n) - (n_words - 1) AS DOUBLE)
+              / CAST(n_words AS DOUBLE)) <= {GOPHER_MAX_WORD_LEN}
+         AND (CAST(len(regexp_extract_all(n, '#'))
+                   + len(regexp_extract_all(n, '\\.\\.\\.')) AS DOUBLE)
+              / CAST(n_words AS DOUBLE)) < {GOPHER_MAX_SYMBOL_RATIO}
+         AND (CAST(len([l FOR l IN lines IF starts_with(ltrim(l), '-')
+                        OR starts_with(ltrim(l), '*')
+                        OR starts_with(ltrim(l), '•')]) AS DOUBLE)
+              / CAST(n_lines AS DOUBLE)) < {GOPHER_MAX_BULLET_FRAC}
+         AND (CAST(len([l FOR l IN lines IF ends_with(rtrim(l), '...')
+                        OR ends_with(rtrim(l), '…')]) AS DOUBLE)
+              / CAST(n_lines AS DOUBLE)) < {GOPHER_MAX_ELLIPSIS_FRAC}
+         AND (CAST(len([w FOR w IN t IF regexp_matches(w, '[a-z]')]) AS DOUBLE)
+              / CAST(n_words AS DOUBLE)) >= {GOPHER_MIN_ALPHA_FRAC}
+         AND len([s FOR s IN {stop_lit} IF list_contains(t, s)])
+             >= {GOPHER_MIN_STOP_HITS},
+         false) AS keep
+FROM b"""
+
+
 def substring_dedup_sql(docs_path: str, window: int = DUP_WINDOW) -> str:
     """Twin of textstats.substring_dedup: positioned windows with the
     same floor (short docs emit one whole-doc window), the same 64-bit

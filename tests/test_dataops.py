@@ -948,3 +948,33 @@ def test_bpe_train_min_freq_stops_early(spark):
     # the word fully merges into one symbol: abc</w> -> no pairs left,
     # loop must stop on its own before n_merges without throwing
     assert len(got) == 3
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule trips on a purpose-built doc; a normal
+    50+-word English doc passes all of them."""
+    good = ("the quick brown fox jumps over the lazy dog and that "
+            "is fine because we have plenty of ordinary prose here "
+            "with many normal words that keep going on and on for "
+            "quite a while so the word count clears fifty words "
+            "easily and the mean word length stays moderate too ok")
+    rows = [
+        (1, good),
+        (2, "short doc"),                                   # < 50 words
+        (3, "\n".join("- bullet point line" for _ in range(10))
+            + "\n" + good),                                 # bullets > 90%? no: good line added -> 10/11 > 0.9 fails
+        (4, good.replace("fine", "fine ###### #### ##### ###### ##### "
+                                 "#### ##### ###### ##### ####")),  # symbols
+        (5, "\n".join(f"line trails off {i} ..." for i in range(10))),  # ellipsis + short
+        (6, " ".join("12345" for _ in range(60))),          # no alpha words
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in textstats.gopher_quality_filter(df).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].n_words < 50
+    assert out[3].keep is False and out[3].bullet_frac > 0.9
+    assert out[4].keep is False and out[4].symbol_ratio >= 0.1
+    assert out[5].keep is False and out[5].ellipsis_frac == 1.0
+    assert out[6].keep is False and out[6].alpha_word_frac == 0.0
+    assert out[7].keep is False and out[7].n_words is None

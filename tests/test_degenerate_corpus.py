@@ -486,3 +486,10 @@ def test_resize_images_geometry(spark):
     assert (out[2].dst_width, out[2].dst_height, out[2].resized_len) == (100, 50, 100)
     # extreme aspect: height floors at 1, never 0
     assert out[3].dst_width == 256 and out[3].dst_height == 1
+
+
+def test_gopher_quality_filter_twin(docs_df, docs_path):
+    _assert_twin(
+        textstats.gopher_quality_filter(docs_df),
+        od.gopher_quality_filter_sql(docs_path),
+    )

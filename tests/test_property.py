@@ -381,3 +381,61 @@ def test_connected_components_matches_union_find(edges, spark):
         for r in cluster.connected_components(pairs).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# substring dedup removal vs a pure-Python reference
+# --------------------------------------------------------------------------
+
+doc_st = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+).map(lambda toks: " ".join(toks))
+
+
+def _py_substring_dedup(texts: list[str], window: int) -> dict:
+    """Reference model: positioned windows with the whole-doc floor,
+    duplicated = window text in >= 2 distinct docs, covered = union of
+    duplicated window spans, survivors rejoined in order."""
+    from collections import defaultdict
+
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    gram_docs: dict[str, set] = defaultdict(set)
+    pos_grams: dict[int, list] = defaultdict(list)
+    for i, tk in toks.items():
+        n = len(tk)
+        for s in range(1, max(n - window + 1, 1) + 1):
+            g = " ".join(tk[s - 1 : s - 1 + window])
+            gram_docs[g].add(i)
+            pos_grams[i].append((s, g))
+    out = {}
+    for i, tk in toks.items():
+        n = len(tk)
+        covered: set = set()
+        for s, g in pos_grams[i]:
+            if len(gram_docs[g]) >= 2:
+                covered.update(range(s, min(s + window - 1, n) + 1))
+        kept = [tk[p - 1] for p in range(1, n + 1) if p not in covered]
+        out[i] = (n, len(covered), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_st, min_size=1, max_size=10))
+def test_substring_dedup_matches_python_reference(texts, spark):
+    """Random tiny-vocab corpora (forced window collisions, empty docs,
+    whole-doc floor windows, overlapping covered spans): the
+    distributed removal must equal the in-memory reference exactly."""
+    from logzilla_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in textstats.substring_dedup(df, window=3).collect()
+    }
+    assert got == _py_substring_dedup(texts, 3)
