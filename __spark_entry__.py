@@ -361,6 +361,13 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_pack": lambda s, d: textstats.pack_sequences(_docs(s, d)),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
+        # --- full curation funnel: per-stage survivor counts. Gopher
+        # thresholds relaxed for the short synthetic docs (10-99 words,
+        # sparse stopwords) so every stage is exercised — the operator
+        # defaults stay at the paper's web-page values ---
+        "q_curation_funnel": lambda s, d: textstats.curation_funnel(
+            _docs(s, d), gopher_min_words=20, gopher_min_stop_hits=1
+        ),
         # --- URL curation over the pages corpus (normalize/block/dedup) ---
         "q_url_curate": lambda s, d: urls.url_curate(
             _pages(s, d), blocklist=URL_BLOCKLIST
@@ -443,6 +450,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_line_dedup": oracle_dataops.line_dedup_sql(docs),
         "q_text_pack": oracle_dataops.pack_sequences_sql(docs),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
+        "q_curation_funnel": oracle_dataops.curation_funnel_sql(
+            docs, gopher_min_words=20, gopher_min_stop_hits=1
+        ),
         "q_dedup_keep_best": oracle_dataops.neardup_keep_best_sql(docs),
         "q_text_bpe_pairs": oracle_dataops.bpe_pair_counts_sql(docs),
         "q_text_dup_passages": oracle_dataops.dup_passage_stats_sql(docs),

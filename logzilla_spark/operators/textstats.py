@@ -258,7 +258,11 @@ GOPHER_MIN_STOP_HITS = 2
 
 
 def gopher_quality_filter(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
 ) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 A1.1), each signal exposed
     plus the combined ``keep`` verdict: word count in [50, 100k], mean
@@ -272,6 +276,11 @@ def gopher_quality_filter(
     identity quality_score already uses — bit-portable to the twin.
     One narrow projection over (id, text): scan-bound, no shuffle, no
     explode (line and word checks run inside array expressions).
+
+    ``min_words`` / ``min_stop_hits`` default to the paper's values
+    (tuned for real web pages); corpora with different document shapes
+    pass their own (the curation funnel does, for the short synthetic
+    demo docs).
     """
     stop_lit = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
     base = (
@@ -334,7 +343,7 @@ def gopher_quality_filter(
         )
     )
     keep = (
-        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        (F.col("n_words") >= int(min_words))
         & (F.col("n_words") <= GOPHER_MAX_WORDS)
         & (F.col("mean_word_len") >= GOPHER_MIN_WORD_LEN)
         & (F.col("mean_word_len") <= GOPHER_MAX_WORD_LEN)
@@ -342,7 +351,7 @@ def gopher_quality_filter(
         & (F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC)
         & (F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC)
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("n_stop_hits") >= int(min_stop_hits))
     )
     return base.select(
         "id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
@@ -623,6 +632,109 @@ def chunk_sequences(
             F.col("c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+# Curation-funnel gate defaults (the RefinedWeb-style macro pipeline):
+# Gopher's repetition thresholds for the stage-4 gate.
+FUNNEL_LANG = "en"
+FUNNEL_MIN_QUALITY = 0.4
+FUNNEL_MAX_DUP_LINE_FRAC = 0.30
+FUNNEL_MAX_TOP_BIGRAM_FRAC = 0.20
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = FUNNEL_LANG,
+    min_quality: float = FUNNEL_MIN_QUALITY,
+    max_dup_line_frac: float = FUNNEL_MAX_DUP_LINE_FRAC,
+    max_top_bigram_frac: float = FUNNEL_MAX_TOP_BIGRAM_FRAC,
+    gopher_min_words: int = GOPHER_MIN_WORDS,
+    gopher_min_stop_hits: int = GOPHER_MIN_STOP_HITS,
+) -> DataFrame:
+    """The full RefinedWeb-shaped curation pipeline as a FUNNEL REPORT:
+    run every gate in sequence — language, heuristic quality, Gopher
+    A1.1 rules, Gopher repetition, exact dedup (keep-first), near-dup
+    cluster keep-best — and return the per-stage survivor counts
+    (stage, label, n_docs), the data-card table every production
+    curation run publishes. Composes the UNIT operators (shared
+    builders, so the funnel cannot drift from them); the dedup stages
+    run on the survivors of the gates, exactly like a staged pipeline
+    (a keeper is chosen among surviving copies, not globally).
+
+    Scale shape: stages 0-4 are flag columns from id-keyed joins of
+    scan-shaped operators, counted in ONE aggregation (stack over a
+    single row — no per-stage corpus rescan). Stage 5 is one hash
+    aggregation over gate survivors; stage 6 runs the ngram pair
+    graph + CC + keep-best on the (already much smaller) exact
+    survivors only — the cheapest place in the pipeline to put the
+    quadratic-risk stage, which is why real pipelines order it last.
+    """
+    from logzilla_spark.operators.cluster import neardup_keep_best
+    from logzilla_spark.operators.dedup import ngram_jaccard_pairs
+
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    lang_f = language_id(df, id_col, text_col).select("id", "pred_lang")
+    qual = quality_score(df, id_col, text_col).select("id", "quality")
+    goph = gopher_quality_filter(
+        df, id_col, text_col,
+        min_words=gopher_min_words, min_stop_hits=gopher_min_stop_hits,
+    ).select("id", F.col("keep").alias("_gk"))
+    rep = repetition_stats(df, id_col, text_col).select(
+        "id", "dup_line_frac", "top_bigram_frac"
+    )
+    flags = (
+        ids.join(lang_f, "id").join(qual, "id").join(goph, "id").join(rep, "id")
+        .withColumn("s1", F.col("pred_lang") == lang)
+        .withColumn("s2", F.col("s1") & (F.col("quality") >= min_quality))
+        .withColumn("s3", F.col("s2") & F.col("_gk"))
+        .withColumn(
+            "s4",
+            F.col("s3")
+            # degenerate docs have NULL repetition fractions; they are
+            # already cut by s3 (Gopher word floor), so the repetition
+            # gate passes NULLs through rather than double-deciding
+            & F.coalesce(F.col("dup_line_frac") <= max_dup_line_frac, F.lit(True))
+            & F.coalesce(
+                F.col("top_bigram_frac") <= max_top_bigram_frac, F.lit(True)
+            ),
+        )
+    )
+    head = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum(F.when(F.col(f"s{i}"), 1).otherwise(0)).alias(f"n{i}")
+            for i in range(1, 5)
+        ],
+    )
+    stages = head.selectExpr(
+        "stack(5, 0, 'input', n0, 1, 'language', n1, 2, 'quality', n2, "
+        "3, 'gopher_rules', n3, 4, 'repetition', n4) AS (stage, label, n_docs)"
+    )
+    g4 = (
+        flags.filter("s4").select("id")
+        .join(ids, "id")
+        .select("id", normalize_text("text").alias("_n"))
+    )
+    keepers = g4.groupBy(F.md5("_n").alias("_h")).agg(F.min("id").alias("id"))
+    n5 = keepers.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(5).alias("stage"), F.lit("exact_dedup").alias("label"), "n_docs"
+    )
+    sub5 = keepers.select("id").join(ids, "id").select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    kb = neardup_keep_best(
+        sub5,
+        ngram_jaccard_pairs(sub5),
+        qual.join(keepers.select("id"), "id"),
+    )
+    n6 = kb.filter("is_kept").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(6).alias("stage"),
+        F.lit("neardup_keep_best").alias("label"),
+        "n_docs",
+    )
+    return stages.unionByName(n5).unionByName(n6)
 
 
 # Corpus-level line dedup: a line is boilerplate once it appears in

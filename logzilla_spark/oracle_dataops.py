@@ -282,7 +282,11 @@ FROM kept_blocks a JOIN kept_blocks b
 WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {MAX_SIMHASH_HAMMING}"""
 
 
-def ngram_jaccard_pairs_sql(docs_path: str, max_df: int | None = MAX_GRAM_DF) -> str:
+def ngram_jaccard_pairs_sql(
+    docs_path: str,
+    max_df: int | None = MAX_GRAM_DF,
+    docs_cte: str | None = None,
+) -> str:
     n = WORDGRAM_N
     grams = _wordgrams("t", n)
     # Stop-gram guard mirror (dedup.MAX_GRAM_DF): drop grams appearing
@@ -294,7 +298,10 @@ def ngram_jaccard_pairs_sql(docs_path: str, max_df: int | None = MAX_GRAM_DF) ->
         if max_df is not None
         else "\nkept AS (SELECT * FROM ex),"
     )
-    return f"""WITH {_docs_cte(docs_path)},
+    # docs_cte overrides the source relation ("docs AS (SELECT id, n
+    # ...)") so pipeline compositions (curation_funnel_sql) can run the
+    # same pair SQL over a staged SUBSET instead of the whole table
+    return f"""WITH {docs_cte or _docs_cte(docs_path)},
 toks AS (SELECT id, string_split(n, ' ') AS t FROM docs),
 grams AS (SELECT id, {grams} AS g FROM toks),
 sizes AS (SELECT id, len(g) AS sz FROM grams),
@@ -1077,7 +1084,11 @@ FROM hs LEFT JOIN hot ON hs.h = hot.h
 GROUP BY hs.id"""
 
 
-def gopher_quality_filter_sql(docs_path: str) -> str:
+def gopher_quality_filter_sql(
+    docs_path: str,
+    min_words: int | None = None,
+    min_stop_hits: int | None = None,
+) -> str:
     """Twin of textstats.gopher_quality_filter: same splits, same
     regex counts, same exact divisions; NULL text keeps its row with
     NULL-folded signals, n_stop_hits 0 and keep false."""
@@ -1092,6 +1103,11 @@ def gopher_quality_filter_sql(docs_path: str) -> str:
         GOPHER_MIN_WORD_LEN,
         GOPHER_MIN_WORDS,
         GOPHER_STOPWORDS,
+    )
+
+    GOPHER_MIN_WORDS = int(min_words if min_words is not None else GOPHER_MIN_WORDS)
+    GOPHER_MIN_STOP_HITS = int(
+        min_stop_hits if min_stop_hits is not None else GOPHER_MIN_STOP_HITS
     )
 
     stop_lit = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
@@ -1145,6 +1161,80 @@ SELECT id, n_words,
              >= {GOPHER_MIN_STOP_HITS},
          false) AS keep
 FROM b"""
+
+
+def curation_funnel_sql(
+    docs_path: str,
+    gopher_min_words: int | None = None,
+    gopher_min_stop_hits: int | None = None,
+) -> str:
+    """Twin of textstats.curation_funnel: the unit-operator twins run
+    as subqueries (language/quality/gopher/repetition), cumulative
+    stage flags with the same 3-valued logic, exact keep-first among
+    stage-4 survivors, and the ngram pair graph + recursive closure on
+    the exact survivors — stage 6 = one kept doc per component
+    (count of distinct cluster ids)."""
+    from logzilla_spark.operators.textstats import (
+        FUNNEL_LANG,
+        FUNNEL_MAX_DUP_LINE_FRAC,
+        FUNNEL_MAX_TOP_BIGRAM_FRAC,
+        FUNNEL_MIN_QUALITY,
+    )
+
+    gates = (
+        f"pred_lang = '{FUNNEL_LANG}'",
+        f"quality >= {FUNNEL_MIN_QUALITY}",
+        "keep",
+        f"coalesce(dup_line_frac <= {FUNNEL_MAX_DUP_LINE_FRAC}, true)"
+        f" AND coalesce(top_bigram_frac <= {FUNNEL_MAX_TOP_BIGRAM_FRAC}, true)",
+    )
+    s = [" AND ".join(gates[:k]) for k in range(1, 5)]
+    jp = ngram_jaccard_pairs_sql(
+        docs_path, docs_cte="docs AS (SELECT id, n FROM keep5)"
+    )
+    return f"""WITH RECURSIVE docsrc AS (
+  SELECT doc_id AS id, text FROM {_rel(docs_path)}
+),
+l AS (SELECT id, pred_lang FROM ({language_id_sql(docs_path)})),
+q AS (SELECT id, quality FROM ({quality_score_sql(docs_path)})),
+gq AS (SELECT id, keep FROM ({gopher_quality_filter_sql(docs_path, gopher_min_words, gopher_min_stop_hits)})),
+r AS (SELECT id, dup_line_frac, top_bigram_frac
+      FROM ({repetition_stats_sql(docs_path)})),
+flags AS (
+  SELECT d.id, ({s[0]}) AS s1, ({s[1]}) AS s2, ({s[2]}) AS s3, ({s[3]}) AS s4
+  FROM docsrc d JOIN l USING (id) JOIN q USING (id)
+       JOIN gq USING (id) JOIN r USING (id)
+),
+g4 AS (
+  SELECT d.id, {_norm('d.text')} AS n
+  FROM docsrc d JOIN flags USING (id) WHERE s4
+),
+keepers AS (SELECT min(id) AS id FROM g4 GROUP BY md5(n)),
+keep5 AS (SELECT g4.id, g4.n FROM g4 JOIN keepers USING (id)),
+jp AS ({jp}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+),
+reach(id, rt) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT und.a, reach.rt FROM und JOIN reach ON und.b = reach.id
+),
+cc AS (SELECT id, min(rt) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT k.id, coalesce(cc.cluster_id, k.id) AS cluster_id
+  FROM keep5 k LEFT JOIN cc ON k.id = cc.id
+)
+SELECT 0 AS stage, 'input' AS label, CAST(count(*) AS BIGINT) AS n_docs
+FROM docsrc
+UNION ALL SELECT 1, 'language', CAST(count(*) FILTER (WHERE s1) AS BIGINT) FROM flags
+UNION ALL SELECT 2, 'quality', CAST(count(*) FILTER (WHERE s2) AS BIGINT) FROM flags
+UNION ALL SELECT 3, 'gopher_rules', CAST(count(*) FILTER (WHERE s3) AS BIGINT) FROM flags
+UNION ALL SELECT 4, 'repetition', CAST(count(*) FILTER (WHERE s4) AS BIGINT) FROM flags
+UNION ALL SELECT 5, 'exact_dedup', CAST(count(*) AS BIGINT) FROM keepers
+UNION ALL SELECT 6, 'neardup_keep_best', CAST(count(DISTINCT cluster_id) AS BIGINT) FROM scored"""
 
 
 def substring_dedup_sql(docs_path: str, window: int = DUP_WINDOW) -> str:

@@ -978,3 +978,35 @@ def test_gopher_quality_filter_rules(spark):
     assert out[5].keep is False and out[5].ellipsis_frac == 1.0
     assert out[6].keep is False and out[6].alpha_word_frac == 0.0
     assert out[7].keep is False and out[7].n_words is None
+
+
+def test_curation_funnel_planted_stages(spark):
+    """Every funnel stage cuts exactly the doc planted to trip it, and
+    the report is monotone non-increasing."""
+    en = ("the quick brown fox jumps over the lazy dog and that is a "
+          "perfectly ordinary sentence with plenty of common words in it "
+          "which keeps the scores reasonable for this little test corpus")
+    rows = [
+        (1, en),                                      # survives everything
+        (2, en.replace("quick", "rapid")),            # near-dup of 1 (loses: id 2 > 1, equal-ish quality)
+        (3, en),                                      # exact dup of 1
+        (4, "el la de que y en un los se del " * 5),  # spanish -> stage 1
+        (5, "1 2 3 4 5 6 7 8 9 0 " * 6),              # digits -> quality/gopher
+        (6, en + " " + " ".join(["spam spam"] * 40)), # bigram repetition
+        (7, None),                                    # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.stage: r for r in textstats.curation_funnel(
+        df, gopher_min_words=20, gopher_min_stop_hits=1).collect()}
+    counts = [out[i].n_docs for i in range(7)]
+    assert counts[0] == 7
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[1] <= 5            # spanish + (NULL-lang behavior) cut
+    assert out[4].n_docs < out[3].n_docs or out[3].n_docs < out[2].n_docs
+    # exact dedup collapses 1 and 3; near-dup keep-best collapses 1 and 2
+    assert counts[5] == counts[4] - 1
+    assert counts[6] == counts[5] - 1
+    assert [out[i].label for i in range(7)] == [
+        "input", "language", "quality", "gopher_rules", "repetition",
+        "exact_dedup", "neardup_keep_best",
+    ]

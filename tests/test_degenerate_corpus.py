@@ -493,3 +493,10 @@ def test_gopher_quality_filter_twin(docs_df, docs_path):
         textstats.gopher_quality_filter(docs_df),
         od.gopher_quality_filter_sql(docs_path),
     )
+
+
+def test_curation_funnel_twin(docs_df, docs_path):
+    _assert_twin(
+        textstats.curation_funnel(docs_df),
+        od.curation_funnel_sql(docs_path),
+    )
