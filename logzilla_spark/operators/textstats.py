@@ -1039,6 +1039,76 @@ def bpe_train(
     )
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge table (the encode side
+    of bpe_train; together they close the tokenizer loop): apply the
+    merges in rank order to each word's symbolization, then report the
+    per-document BPE length. Output: (id, n_words, bpe_len) —
+    ``bpe_len`` counts symbols incl. the per-word end-of-word marker,
+    so an unmerged corpus has bpe_len = chars + words. ``merges`` is
+    the driver-side artifact (``[(lhs, rhs), ...]`` in rank order —
+    ``bpe_train``'s rows); tokenizer merge tables are small by
+    definition. NULL-text and empty docs emit no row (the module's
+    contract; an encoder has nothing to tokenize).
+
+    Like training, encode runs on the DISTINCT-word vocab — each word
+    is encoded once, not once per occurrence — then joins back to the
+    (id, word) occurrence stream and aggregates per doc. The k merge
+    folds build ONE lazy plan, truncated every ``checkpoint_every``
+    merges (a 30k-merge production table would otherwise nest 30k
+    aggregate() expressions into a single Catalyst tree).
+
+    No SQL twin (the fold chain is the bpe_train class) — pinned by a
+    differential test against the pure-Python reference encoder.
+    """
+    from logzilla_spark.functions.lineage import truncate
+
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    occ = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+        .select("id", F.explode(F.split("_n", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = occ.select("w").distinct().select(
+        "w", F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))").alias("_s")
+    )
+    for i, (lhs, rhs) in enumerate(merges):
+        lhs_c, rhs_c, merged_c = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+
+        def apply_merge(acc, x):  # noqa: B023 — consumed before rebinding
+            hit = (F.get(acc, F.size(acc) - 1) == lhs_c) & (x == rhs_c)
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_c)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        vocab = vocab.select(
+            "w",
+            F.aggregate(
+                "_s", F.array().cast("array<string>"), apply_merge
+            ).alias("_s"),
+        )
+        if (i + 1) % int(checkpoint_every) == 0:
+            vocab = truncate(vocab, checkpoint_dir)
+    enc = vocab.select("w", F.size("_s").alias("_n_sym"))
+    return (
+        occ.join(enc, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sym").alias("bpe_len"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Cross-document duplicated-passage stats (Lee et al. 2021's decision
 # metric for substring-level dedup)

@@ -1010,3 +1010,50 @@ def test_curation_funnel_planted_stages(spark):
         "input", "language", "quality", "gopher_rules", "repetition",
         "exact_dedup", "neardup_keep_best",
     ]
+
+
+def test_bpe_apply_matches_python_encoder(spark):
+    """Encode with a trained merge table: per-doc BPE lengths equal the
+    reference encoder's; merges genuinely compress (bpe_len shrinks as
+    merges apply); NULL/empty docs emit no row."""
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "wider wide widest wider",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in _py_bpe_train(texts, 6)]
+    assert len(merges) == 6
+
+    # reference encoder: same greedy left-to-right application
+    def encode(word):
+        s = list(word) + [textstats.BPE_EOW]
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    got = {r.id: (r.n_words, r.bpe_len) for r in
+           textstats.bpe_apply(df, merges, checkpoint_every=4).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = [w for w in t.split(" ") if w]
+        want[i] = (len(ws), sum(len(encode(w)) for w in ws))
+    assert got == want
+    # compression: with zero merges bpe_len == chars + words
+    base = {r.id: r.bpe_len for r in textstats.bpe_apply(df, []).collect()}
+    for i in got:
+        raw = sum(len(w) + 1 for w in texts[i].split(" ") if w)
+        assert base[i] == raw and got[i][1] < raw
