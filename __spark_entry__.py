@@ -244,6 +244,8 @@ PROBE_MOD = 100  # every 100th vec_id is an ANN probe
 # data-mixture demo: token budgets forcing sub-1.0 keep rates for the
 # sampled languages at every SF (es/de get no budget -> excluded)
 MIX_BUDGETS = {"en": 6000, "zh": 2000, "fr": 1000}
+# temperature-mix demo budget: below the corpus total so shares bite
+TEMP_MIX_BUDGET = 8000
 # hot2.example is a real (hot) domain in the synthetic corpus, so the
 # blocklist gate drops rows at every SF instead of being a no-op.
 URL_BLOCKLIST = ("hot2.example",) + urls.DEFAULT_URL_BLOCKLIST
@@ -353,6 +355,10 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_mix_sample": lambda s, d: textstats.proportional_token_sample(
             _docs(s, d), MIX_BUDGETS
         ),
+        # --- temperature mixing: tokens^alpha shares, a total budget ---
+        "q_text_mix_temperature": lambda s, d: textstats.temperature_token_sample(
+            _docs(s, d), total_budget=TEMP_MIX_BUDGET
+        ),
         # --- sequence chunking: fixed token windows for training examples ---
         "q_text_chunks": lambda s, d: textstats.chunk_sequences(_docs(s, d)),
         # --- global boilerplate line dedup (RefinedWeb/CCNet) ---
@@ -445,6 +451,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_c4_filter": oracle_dataops.c4_line_filter_sql(docs),
         "q_text_mix_sample": oracle_dataops.proportional_token_sample_sql(
             docs, MIX_BUDGETS
+        ),
+        "q_text_mix_temperature": oracle_dataops.temperature_token_sample_sql(
+            docs, TEMP_MIX_BUDGET
         ),
         "q_text_chunks": oracle_dataops.chunk_sequences_sql(docs),
         "q_text_line_dedup": oracle_dataops.line_dedup_sql(docs),

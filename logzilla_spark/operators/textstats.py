@@ -587,6 +587,102 @@ def proportional_token_sample(
     )
 
 
+def dyadic_pow_sql(x: str, alpha: float, max_denom: int = 16) -> str:
+    """SQL text computing ``x ** alpha`` for a DYADIC alpha (a/2^k,
+    k <= 4) via nested sqrt + multiplication only. IEEE-754 requires
+    sqrt and multiply to be correctly rounded, so — unlike pow()/exp()/
+    ln(), which are engine-dependent transcendentals — this expression
+    produces IDENTICAL BITS in Spark and DuckDB (both dialects spell
+    sqrt/* the same, so one builder serves both plans)."""
+    num = round(alpha * max_denom)
+    if not (0 < num <= max_denom) or abs(alpha * max_denom - num) > 1e-9:
+        raise ValueError(
+            f"alpha must be a multiple of 1/{max_denom} in (0, 1]; got {alpha}"
+        )
+    k = max_denom.bit_length() - 1  # 16 -> 4
+    terms = []
+    for i in range(k + 1):  # bit i of num -> x^(2^i / 2^k) = sqrt^(k-i)(x)
+        if num & (1 << i):
+            t = x
+            for _ in range(k - i):
+                t = f"sqrt({t})"
+            terms.append(t)
+    return " * ".join(terms)
+
+
+def temperature_token_sample(
+    df: DataFrame,
+    total_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based multilingual mixing (mT5/UNIMAX-style): the
+    per-language sampling weight is ``tokens_l ** alpha`` — alpha < 1
+    flattens the distribution, upsampling tail languages relative to
+    the head (alpha = 1 recovers proportional sharing; alpha -> 0
+    approaches uniform). A total token ``total_budget`` is split by
+    the normalized weights and each language is cut to its share with
+    the same deterministic hash threshold as
+    ``proportional_token_sample``.
+
+    Bit-portability: the ONLY float step is tokens^alpha, built from
+    nested sqrt + multiply (``dyadic_pow_sql`` — correctly rounded by
+    IEEE-754 on both engines, unlike pow()); it is floored to integer
+    ppm immediately, the weight NORMALIZATION is an integer sum
+    (order-independent, unlike a float sum), and shares/rates are
+    integer div throughout.
+
+    Shape: one tiny per-language aggregate, integer share arithmetic
+    on the (few-row) language table, rates broadcast back, then a pure
+    hash-threshold filter — no window, no corpus shuffle beyond the
+    lang aggregate's map-side partials. Returns kept (id, lang,
+    n_tokens).
+
+    Integer headroom: the share products stay in BIGINT for
+    per-language tokens^alpha <= 9.2e12 (~8e13 tokens/language at
+    alpha = 1/2) and per-language budgets <= 9.2e12 tokens. alpha = 1
+    callers should use ``proportional_token_sample`` (its exact path
+    has no power step at all).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(normalize_text(text_col), " ")).alias("n_tokens"),
+    )
+    totals = toks.groupBy("lang").agg(F.sum("n_tokens").alias("_t"))
+    w_expr = dyadic_pow_sql("cast(_t as double)", alpha)
+    weights = totals.withColumn(
+        "_w_ppm", F.expr(f"cast(floor(1000000 * ({w_expr})) as bigint)")
+    )
+    denom = weights.agg(F.sum("_w_ppm").alias("_denom"))
+    rates = (
+        weights.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "_share_ppm", F.expr("(_w_ppm * 1000000) div _denom")
+        )
+        .withColumn(
+            "_lang_budget",
+            F.expr(f"({int(total_budget)} * _share_ppm) div 1000000"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "least(1000000L, (_lang_budget * 1000000) div greatest(_t, 1L))"
+            ).alias("_keep_ppm"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(
+            F.pmod(md5_long(F.col("id").cast("string")), F.lit(1_000_000))
+            < F.col("_keep_ppm")
+        )
+        .select("id", "lang", "n_tokens")
+    )
+
+
 def chunk_sequences(
     df: DataFrame,
     window: int = 128,

@@ -525,6 +525,36 @@ FROM toks JOIN rates ON toks.lang = rates.lang
 WHERE (({h} % 1000000) + 1000000) % 1000000 < keep_ppm"""
 
 
+def temperature_token_sample_sql(
+    docs_path: str, total_budget: int, alpha: float = 0.5
+) -> str:
+    """Twin of textstats.temperature_token_sample: the SAME
+    dyadic_pow_sql text (sqrt/multiply spell identically in both
+    dialects), integer share arithmetic, same hash threshold."""
+    from logzilla_spark.operators.textstats import dyadic_pow_sql
+
+    w = dyadic_pow_sql("CAST(t AS DOUBLE)", alpha)
+    h = md5_long_sql("CAST(id AS VARCHAR)")
+    return f"""WITH toks AS (
+  SELECT doc_id AS id, lang,
+         CAST(len(string_split({_norm('text')}, ' ')) AS INT) AS n_tokens
+  FROM {_rel(docs_path)}
+),
+tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t FROM toks GROUP BY 1),
+w AS (SELECT lang, t, CAST(floor(1000000 * ({w})) AS BIGINT) AS w_ppm FROM tot),
+d AS (SELECT CAST(sum(w_ppm) AS BIGINT) AS denom FROM w),
+rates AS (
+  SELECT lang,
+         least(1000000::BIGINT,
+               ((({int(total_budget)}::BIGINT * ((w_ppm * 1000000) // denom))
+                 // 1000000) * 1000000) // greatest(t, 1)) AS keep_ppm
+  FROM w, d
+)
+SELECT id, toks.lang AS lang, n_tokens
+FROM toks JOIN rates ON toks.lang = rates.lang
+WHERE (({h} % 1000000) + 1000000) % 1000000 < keep_ppm"""
+
+
 def c4_line_filter_sql(
     docs_path: str, min_words: int = 3, min_kept_lines: int = 5
 ) -> str:

@@ -1057,3 +1057,30 @@ def test_bpe_apply_matches_python_encoder(spark):
     for i in got:
         raw = sum(len(w) + 1 for w in texts[i].split(" ") if w)
         assert base[i] == raw and got[i][1] < raw
+
+
+def test_temperature_token_sample_flattens(spark):
+    """alpha < 1 upsamples tail languages RELATIVE to the head: the
+    kept fraction of the tiny language exceeds the head's, and a
+    smaller alpha flattens harder; dyadic_pow_sql rejects non-dyadic
+    alphas."""
+    import pytest as _pytest
+
+    rows = [(i, "w " * 20, "en") for i in range(400)]
+    rows += [(1000 + i, "w " * 20, "xx") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def kept_frac(alpha):
+        out = textstats.temperature_token_sample(
+            df, total_budget=4000, alpha=alpha
+        ).groupBy("lang").count().collect()
+        by = {r.lang: r["count"] for r in out}
+        return by.get("en", 0) / 400, by.get("xx", 0) / 20
+
+    en_half, xx_half = kept_frac(0.5)
+    assert xx_half > en_half            # tail upsampled relative to head
+    en_quarter, xx_quarter = kept_frac(0.25)
+    # smaller alpha -> flatter shares -> even more tail-favoring ratio
+    assert xx_quarter / max(en_quarter, 1e-9) >= xx_half / max(en_half, 1e-9)
+    with _pytest.raises(ValueError):
+        textstats.dyadic_pow_sql("x", 0.3)

@@ -500,3 +500,18 @@ def test_curation_funnel_twin(docs_df, docs_path):
         textstats.curation_funnel(docs_df),
         od.curation_funnel_sql(docs_path),
     )
+
+
+def test_temperature_token_sample_twin(docs_df, docs_path):
+    # the degenerate docs table has no lang column — graft one on both
+    # sides deterministically is overkill; reuse the real sf0.001 table
+    import os as _os
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    if not _os.path.exists(sf):
+        pytest.skip("sf0.001 corpus absent")
+    spark = docs_df.sparkSession
+    _assert_twin(
+        textstats.temperature_token_sample(spark.read.parquet(sf), 500),
+        od.temperature_token_sample_sql(sf, 500),
+    )
