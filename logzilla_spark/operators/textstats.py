@@ -594,6 +594,8 @@ def dyadic_pow_sql(x: str, alpha: float, max_denom: int = 16) -> str:
     ln(), which are engine-dependent transcendentals — this expression
     produces IDENTICAL BITS in Spark and DuckDB (both dialects spell
     sqrt/* the same, so one builder serves both plans)."""
+    if max_denom <= 0 or max_denom & (max_denom - 1):
+        raise ValueError(f"max_denom must be a power of two; got {max_denom}")
     num = round(alpha * max_denom)
     if not (0 < num <= max_denom) or abs(alpha * max_denom - num) > 1e-9:
         raise ValueError(
@@ -780,8 +782,13 @@ def curation_funnel(
     rep = repetition_stats(df, id_col, text_col).select(
         "id", "dup_line_frac", "top_bigram_frac"
     )
+    # LEFT joins: every input row must reach the flags frame so
+    # stage 0 counts the true input — a unit operator that drops rows
+    # (a future NULL-text filter, say) must shrink its GATE, not the
+    # 'input' line of the report (missing rows gate false via 3VL)
     flags = (
-        ids.join(lang_f, "id").join(qual, "id").join(goph, "id").join(rep, "id")
+        ids.join(lang_f, "id", "left").join(qual, "id", "left")
+        .join(goph, "id", "left").join(rep, "id", "left")
         .withColumn("s1", F.col("pred_lang") == lang)
         .withColumn("s2", F.col("s1") & (F.col("quality") >= min_quality))
         .withColumn("s3", F.col("s2") & F.col("_gk"))
@@ -808,11 +815,8 @@ def curation_funnel(
         "stack(5, 0, 'input', n0, 1, 'language', n1, 2, 'quality', n2, "
         "3, 'gopher_rules', n3, 4, 'repetition', n4) AS (stage, label, n_docs)"
     )
-    g4 = (
-        flags.filter("s4").select("id")
-        .join(ids, "id")
-        .select("id", normalize_text("text").alias("_n"))
-    )
+    # flags carries text through from ids — no join back needed
+    g4 = flags.filter("s4").select("id", normalize_text("text").alias("_n"))
     keepers = g4.groupBy(F.md5("_n").alias("_h")).agg(F.min("id").alias("id"))
     n5 = keepers.agg(F.count(F.lit(1)).alias("n_docs")).select(
         F.lit(5).alias("stage"), F.lit("exact_dedup").alias("label"), "n_docs"
@@ -1168,10 +1172,15 @@ def bpe_apply(
 
     if checkpoint_dir is not None:
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # persisted: the occurrence stream feeds BOTH the distinct-word
+    # vocab lineage and the final per-doc join, and Spark recomputes
+    # unpersisted lineage per consumer (the dsir_scores/minhash
+    # rationale — without this the corpus explode runs twice)
     occ = (
         df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .select("id", F.explode(F.split("_n", " ")).alias("w"))
         .filter(F.col("w") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = occ.select("w").distinct().select(
         "w", F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))").alias("_s")
@@ -1424,15 +1433,14 @@ def dsir_scores(
     to ~10^11 features per doc.
 
     Scale shape: the target side is tiny by contract (a domain sample)
-    and aggregates to <= B rows; the raw side is ONE explode +
-    count aggregation into B uniform buckets (map-side partials — a
-    Zipf-hot gram spreads over B, not one reducer). The B-row ratio
-    table is broadcast back; per-doc scoring is groupBy(id, bucket)
-    then groupBy(id) — both keyed by the unique doc id. No corpus
-    self-join, nothing corpus-sized on the driver. The feature lineage
-    feeds the global counts AND the per-doc counts — two corpus scans,
-    the module's documented trade (persist upstream if the scan
-    dominates).
+    and aggregates to <= B rows. The raw side builds the (id, bucket)
+    occurrence stream ONCE and persists it; global bucket counts are a
+    B-group aggregation over it (map-side partials — a Zipf-hot gram
+    spreads over B, not one reducer), the B-row ratio table broadcasts
+    back, and scoring is a single groupBy(id) whose partials compress
+    each doc's occurrences per task. No (id, bucket) pre-grouping (at
+    B=256 it moved as many rows as the raw stream), no corpus
+    self-join, nothing corpus-sized on the driver.
     """
     B = int(n_buckets)
 

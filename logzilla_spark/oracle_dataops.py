@@ -834,7 +834,7 @@ g AS (
               WHEN greatest(width, height) <= {md} THEN height
               ELSE greatest((height * {md}) // greatest(width, height), 1)
          END AS dst_height,
-         blen - {HEADER_LEN} AS body_len
+         greatest(blen - {HEADER_LEN}, 0) AS body_len
   FROM m
 ),
 r AS (
@@ -1232,8 +1232,8 @@ r AS (SELECT id, dup_line_frac, top_bigram_frac
       FROM ({repetition_stats_sql(docs_path)})),
 flags AS (
   SELECT d.id, ({s[0]}) AS s1, ({s[1]}) AS s2, ({s[2]}) AS s3, ({s[3]}) AS s4
-  FROM docsrc d JOIN l USING (id) JOIN q USING (id)
-       JOIN gq USING (id) JOIN r USING (id)
+  FROM docsrc d LEFT JOIN l USING (id) LEFT JOIN q USING (id)
+       LEFT JOIN gq USING (id) LEFT JOIN r USING (id)
 ),
 g4 AS (
   SELECT d.id, {_norm('d.text')} AS n

@@ -19,11 +19,14 @@ quadratically the probe would time a different (bigger) problem.
 Writes a markdown report and prints one JSON line. The pair-operator
 report (BENCH/DEDUP_SCALE.md) is hand-curated after the first run —
 re-running with the default op set writes BENCH/DEDUP_SCALE_raw.md so
-the curated analysis is never truncated (the bench.py --scaling lesson);
-the downstream op set writes BENCH/DEDUP_SCALE_DOWNSTREAM.md.
+the curated analysis is never truncated (the bench.py --scaling
+lesson); a downstream op set writes BENCH/DEDUP_SCALE_<ops>.md, one
+file per op set, so no re-run clobbers another set's report (the
+hand-merged cross-set table lives in BENCH/DEDUP_SCALE_DOWNSTREAM.md).
 
 Usage: python scripts/dedup_scale_probe.py [--max-mult 40]
-           [--ops minhash,simhash,ngram | clusters,passages,bpe]
+           [--ops any comma list of: minhash,simhash,ngram,clusters,
+            passages,bpe,bpetrain,substr,dsir]
 """
 
 from __future__ import annotations
@@ -163,7 +166,7 @@ def main(max_mult: int = 40, ops: tuple = PAIR_OPS) -> None:
         )
         + ".",
     ]
-    if downstream:
+    if "clusters" in ops:
         lines += [
             "",
             "`clusters` times connected components over the ngram pair"
@@ -171,10 +174,21 @@ def main(max_mult: int = 40, ops: tuple = PAIR_OPS) -> None:
             " in BENCH/DEDUP_SCALE.md for the pair-gen share); the CC"
             " rounds themselves are bounded by the planted component"
             " diameter (2), so the loop converges in a constant number"
-            " of label-contraction rounds at every scale. `passages`"
-            " and `bpe` are one corpus scan + one hash-uniform count"
-            " shuffle each — the same shape as the token-count"
-            " operators, linear by construction.",
+            " of label-contraction rounds at every scale.",
+        ]
+    scan_ops = [o for o in ops if o in ("passages", "bpe", "substr", "dsir")]
+    if scan_ops:
+        lines += [
+            "",
+            ", ".join(f"`{o}`" for o in scan_ops)
+            + " are corpus scans + hash-uniform shuffles — the"
+            " token-count operator shape, linear by construction.",
+        ]
+    if "bpetrain" in ops:
+        lines += [
+            "",
+            "`bpetrain` adds k vocab-sized iterations after one corpus"
+            " scan (wall = the bpe column + ~constant per merge).",
         ]
     # per-opset filenames: a re-run with a different downstream op set
     # must not clobber another set's (possibly hand-merged) report

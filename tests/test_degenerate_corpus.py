@@ -515,3 +515,32 @@ def test_temperature_token_sample_twin(docs_df, docs_path):
         textstats.temperature_token_sample(spark.read.parquet(sf), 500),
         od.temperature_token_sample_sql(sf, 500),
     )
+
+
+def test_resize_images_subheader_payload_valid_geometry(spark, tmp_path_factory):
+    """A payload SHORTER than the header with valid geometry: body is
+    empty, resized_len must be 0 (never negative — the twin clamps
+    body_len) and the checksum 0, both engines equal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from logzilla_spark.operators import multimodal
+
+    meta_t = pa.struct([
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("sample_rate", pa.int32()), ("duration_ms", pa.int32()),
+    ])
+    tbl = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([b"IM"], pa.binary()),
+        "meta": pa.array(
+            [{"width": 8, "height": 4, "sample_rate": None, "duration_ms": None}],
+            meta_t,
+        ),
+    })
+    p = os.path.join(str(tmp_path_factory.mktemp("subheader")), "media.parquet")
+    pq.write_table(tbl, p)
+    df = spark.read.parquet(p)
+    _assert_twin(multimodal.resize_images(df), od.resize_images_sql(p))
+    row = multimodal.resize_images(df).collect()[0]
+    assert row.resized_len == 0 and row.resized_checksum == 0
