@@ -109,6 +109,12 @@ OPS = {
     "substr": lambda d: T.substring_dedup(d),
     # constant-size target sample (the registered query's shape)
     "dsir": lambda d: T.dsir_scores(d, d.filter("doc_id < 10")),
+    # the composed 6-stage pipeline (gates relaxed for the synthetic
+    # corpus exactly like the registered query)
+    "funnel": lambda d: T.curation_funnel(
+        d, gopher_min_words=20, gopher_min_stop_hits=1
+    ),
+    "gopher": lambda d: T.gopher_quality_filter(d),
 }
 PAIR_OPS = ("minhash", "simhash", "ngram")
 
