@@ -367,6 +367,8 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_pack": lambda s, d: textstats.pack_sequences(_docs(s, d)),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
+        # --- stratified corpus report: per-(lang, band) stats ---
+        "q_corpus_report": lambda s, d: textstats.corpus_report(_docs(s, d)),
         # --- full curation funnel: per-stage survivor counts. Gopher
         # thresholds relaxed for the short synthetic docs (10-99 words,
         # sparse stopwords) so every stage is exercised — the operator
@@ -459,6 +461,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_line_dedup": oracle_dataops.line_dedup_sql(docs),
         "q_text_pack": oracle_dataops.pack_sequences_sql(docs),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
+        "q_corpus_report": oracle_dataops.corpus_report_sql(docs),
         "q_curation_funnel": oracle_dataops.curation_funnel_sql(
             docs, gopher_min_words=20, gopher_min_stop_hits=1
         ),

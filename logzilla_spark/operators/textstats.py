@@ -242,6 +242,35 @@ def curate_corpus(
     )
 
 
+def corpus_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(language, quality-band) corpus statistics — the stratified
+    stats table a corpus data card publishes next to the funnel:
+    (pred_lang, quality_band, n_docs, total_words, distinct_docs).
+    ``distinct_docs`` counts distinct content hashes, so
+    n_docs - distinct_docs is the per-stratum exact-duplicate mass.
+
+    One scan (the shared language + quality builders — cannot drift
+    from the unit operators) and one small shuffle keyed by the
+    (lang, band) stratum: count/sum/count-distinct aggregate with
+    map-side partials; strata cardinality is tiny by construction.
+    All outputs are exact integers.
+    """
+    base = _with_quality(
+        _with_lang_pred(
+            df.select(
+                F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+            ).withColumn("_t", F.split("_n", " "))
+        )
+    )
+    return base.groupBy("pred_lang", "quality_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.count_distinct(F.md5("_n")).alias("distinct_docs"),
+    )
+
+
 # Gopher document-quality rule thresholds (Rae et al. '21 A1.1) — the
 # canonical web-crawl doc gate; repetition_stats covers the same
 # paper's repetition signals, this is its doc-shape/content rule set.

@@ -1114,6 +1114,20 @@ FROM hs LEFT JOIN hot ON hs.h = hot.h
 GROUP BY hs.id"""
 
 
+def corpus_report_sql(docs_path: str) -> str:
+    """Twin of textstats.corpus_report: the language and quality twins
+    joined by id, grouped by stratum, exact integer aggregates."""
+    return f"""WITH l AS (SELECT id, pred_lang FROM ({language_id_sql(docs_path)})),
+q AS (SELECT id, quality_band, n_words FROM ({quality_score_sql(docs_path)})),
+d AS (SELECT doc_id AS id, md5({_norm('text')}) AS h FROM {_rel(docs_path)})
+SELECT pred_lang, quality_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(count(DISTINCT h) AS BIGINT) AS distinct_docs
+FROM l JOIN q USING (id) JOIN d USING (id)
+GROUP BY 1, 2"""
+
+
 def gopher_quality_filter_sql(
     docs_path: str,
     min_words: int | None = None,

@@ -1084,3 +1084,25 @@ def test_temperature_token_sample_flattens(spark):
     assert xx_quarter / max(en_quarter, 1e-9) >= xx_half / max(en_half, 1e-9)
     with _pytest.raises(ValueError):
         textstats.dyadic_pow_sql("x", 0.3)
+
+
+def test_corpus_report_strata(spark):
+    """Strata group by the SAME predictions as the unit operators, and
+    distinct_docs exposes per-stratum exact-duplicate mass."""
+    rows = [
+        (1, BASE), (2, BASE),                       # en dups (one hash)
+        (3, BASE.replace("rain", "snow")),          # en distinct
+        (4, "el la de que y en un los se del " * 3),  # es
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.pred_lang, r.quality_band): r
+           for r in textstats.corpus_report(df).collect()}
+    langs = {r.id: r.pred_lang for r in textstats.language_id(df).collect()}
+    bands = {r.id: r.quality_band for r in textstats.quality_score(df).collect()}
+    # every (lang, band) combination present in the units appears, with
+    # matching doc counts
+    from collections import Counter
+    want = Counter((langs[i], bands[i]) for i in (1, 2, 3, 4))
+    assert {k: r.n_docs for k, r in out.items()} == dict(want)
+    en_key = (langs[1], bands[1])
+    assert out[en_key].n_docs - out[en_key].distinct_docs == 1  # docs 1+2 collapse

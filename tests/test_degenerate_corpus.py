@@ -544,3 +544,7 @@ def test_resize_images_subheader_payload_valid_geometry(spark, tmp_path_factory)
     _assert_twin(multimodal.resize_images(df), od.resize_images_sql(p))
     row = multimodal.resize_images(df).collect()[0]
     assert row.resized_len == 0 and row.resized_checksum == 0
+
+
+def test_corpus_report_twin(docs_df, docs_path):
+    _assert_twin(textstats.corpus_report(docs_df), od.corpus_report_sql(docs_path))
