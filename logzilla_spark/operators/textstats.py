@@ -251,6 +251,12 @@ def corpus_report(
     ``distinct_docs`` counts distinct content hashes, so
     n_docs - distinct_docs is the per-stratum exact-duplicate mass.
 
+    NULL-text docs emit no row (the module's contract) — counting them
+    in a stratum would break both published invariants: md5(NULL) is
+    excluded from count_distinct (phantom 'duplicates') and their NULL
+    n_words can void total_words. Their count is input minus
+    sum(n_docs), one subtraction away.
+
     One scan (the shared language + quality builders — cannot drift
     from the unit operators) and one small shuffle keyed by the
     (lang, band) stratum: count/sum/count-distinct aggregate with
@@ -261,7 +267,9 @@ def corpus_report(
         _with_lang_pred(
             df.select(
                 F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
-            ).withColumn("_t", F.split("_n", " "))
+            )
+            .filter(F.col("_n").isNotNull())
+            .withColumn("_t", F.split("_n", " "))
         )
     )
     return base.groupBy("pred_lang", "quality_band").agg(

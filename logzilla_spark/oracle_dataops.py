@@ -1115,17 +1115,47 @@ GROUP BY hs.id"""
 
 
 def corpus_report_sql(docs_path: str) -> str:
-    """Twin of textstats.corpus_report: the language and quality twins
-    joined by id, grouped by stratum, exact integer aggregates."""
-    return f"""WITH l AS (SELECT id, pred_lang FROM ({language_id_sql(docs_path)})),
-q AS (SELECT id, quality_band, n_words FROM ({quality_score_sql(docs_path)})),
-d AS (SELECT doc_id AS id, md5({_norm('text')}) AS h FROM {_rel(docs_path)})
-SELECT pred_lang, quality_band,
+    """Twin of textstats.corpus_report, computed PER PHYSICAL ROW in
+    one CTE chain (no id joins — a corpus with duplicated doc_ids must
+    amplify nothing; the Spark side never joins either). Same hit /
+    pred-lang / quality expressions as the unit twins, same fixed
+    addition order for the quality double, NULL-text rows excluded."""
+    hit_cols = ", ".join(
+        f"CAST({_hits(STOPWORDS[lang])} AS INT) AS hits_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    quality = (
+        "CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5"
+        " + (CAST(hits_en AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.3"
+        " + (1.0 - CAST(len(regexp_extract_all(n, '[0-9]')) AS DOUBLE)"
+        " / CAST(length(n) AS DOUBLE)) * 0.2"
+    )
+    return f"""WITH docs AS (
+  SELECT {_norm('text')} AS n FROM {_rel(docs_path)} WHERE text IS NOT NULL
+),
+base AS (SELECT n, string_split(n, ' ') AS t FROM docs),
+sig AS (
+  SELECT n, CAST(len(t) AS INT) AS n_words, {hit_cols}
+  FROM base
+),
+q AS (
+  SELECT n, n_words,
+         CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
+                   AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+              WHEN hits_de >= hits_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang,
+         {quality} AS quality
+  FROM sig
+)
+SELECT pred_lang,
+       CASE WHEN quality >= 0.6 THEN 'high'
+            WHEN quality >= 0.4 THEN 'medium'
+            ELSE 'low' END AS quality_band,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS total_words,
-       CAST(count(DISTINCT h) AS BIGINT) AS distinct_docs
-FROM l JOIN q USING (id) JOIN d USING (id)
-GROUP BY 1, 2"""
+       CAST(count(DISTINCT md5(n)) AS BIGINT) AS distinct_docs
+FROM q GROUP BY 1, 2"""
 
 
 def gopher_quality_filter_sql(

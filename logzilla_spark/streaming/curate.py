@@ -39,11 +39,8 @@ from logzilla_spark.streaming.dedup import (
     streaming_exact_dedup,
 )
 
-_GATE_COLS = (
-    ["_n", "_t", "pred_lang", "quality", "quality_band", "n_chars",
-     "n_words", "avg_word_len", "stop_ratio", "digit_ratio"]
-    + [f"hits_{lang}" for lang in ("en", "es", "de", "fr")]
-)
+# columns streaming_curate ADDS to the stream — inputs may not use them
+_RESERVED = ("pred_lang", "quality", "content_hash")
 
 
 def streaming_curate(
@@ -56,19 +53,52 @@ def streaming_curate(
 ) -> DataFrame:
     """Gate a document stream (language + quality, the curation
     funnel's first two stages) and exact-dedup the survivors
-    first-arrival-wins. Returns the input columns plus
-    ``pred_lang``, ``quality`` and ``content_hash``; rows failing a
-    gate never reach the stateful stage.
+    first-arrival-wins. Returns the input columns plus ``pred_lang``,
+    ``quality`` and ``content_hash`` (those three names are reserved —
+    an input using them raises rather than being silently replaced);
+    rows failing a gate never reach the stateful stage.
+
+    Input columns are SHIELDED from the gate computation: the builders
+    create working columns (n_chars, n_words, hits_*, ...) that would
+    otherwise overwrite same-named input columns (the project's own
+    documents table carries ``n_chars``), so every non-text input
+    column is renamed aside, the gates run, their working columns are
+    dropped BY DERIVATION (whatever the builders added — a new builder
+    column cannot silently leak into the sink schema), and the inputs
+    are renamed back. The normalized text is hashed once, up front,
+    and handed to the dedup stage via ``hash_col``.
     """
+    clash = [c for c in docs.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with streaming_curate outputs "
+            f"{_RESERVED}; rename them upstream"
+        )
+    shielded = {}
+    tmp = docs
+    for c in docs.columns:
+        if c == text_col:
+            continue
+        safe = f"__in_{c}"
+        shielded[safe] = c
+        tmp = tmp.withColumnRenamed(c, safe)
     base = _with_quality(
         _with_lang_pred(
-            docs.withColumn("_n", normalize_text(text_col)).withColumn(
+            tmp.withColumn("_n", normalize_text(text_col)).withColumn(
                 "_t", F.split("_n", " ")
             )
         )
     )
     gate = (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
-    kept = base.filter(F.coalesce(gate, F.lit(False))).drop(
-        *[c for c in _GATE_COLS if c not in ("pred_lang", "quality")]
+    keep_cols = set(shielded) | {text_col, "pred_lang", "quality"}
+    kept = (
+        base.filter(F.coalesce(gate, F.lit(False)))
+        .withColumn("content_hash", F.md5(F.col("_n")))
+        .drop(*[c for c in base.columns if c not in keep_cols])
     )
-    return streaming_exact_dedup(kept, text_col, time_col, horizon)
+    for safe, orig in shielded.items():
+        kept = kept.withColumnRenamed(safe, orig)
+    # time_col was shielded through the gates and renamed back above
+    return streaming_exact_dedup(
+        kept, text_col, time_col, horizon, hash_col="content_hash"
+    )

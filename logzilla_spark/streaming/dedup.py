@@ -37,15 +37,22 @@ def streaming_exact_dedup(
     text_col: str = "text",
     time_col: str = "ts",
     horizon: str = DEFAULT_DEDUP_HORIZON,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """First-arrival-wins exact dedup over a streaming DataFrame.
 
     Adds ``content_hash`` (md5 of the normalized text — the batch
     exact_dedup's key, so the two compose) and drops rows whose hash
     was already seen within ``horizon`` of event time. Passes every
-    input column through plus the hash.
+    input column through plus the hash. A caller that already computed
+    the hash (streaming_curate normalizes the text anyway for its
+    gates) passes ``hash_col`` to skip the second normalize+md5 pass —
+    the filter and this projection are separate operators, so Catalyst
+    cannot CSE the regex across them.
     """
-    hashed = docs.withColumn(
-        "content_hash", F.md5(normalize_text(text_col))
-    ).withWatermark(time_col, horizon)
+    if hash_col is None:
+        docs = docs.withColumn("content_hash", F.md5(normalize_text(text_col)))
+    elif hash_col != "content_hash":
+        docs = docs.withColumnRenamed(hash_col, "content_hash")
+    hashed = docs.withWatermark(time_col, horizon)
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])

@@ -26,7 +26,7 @@ hand-merged cross-set table lives in BENCH/DEDUP_SCALE_DOWNSTREAM.md).
 
 Usage: python scripts/dedup_scale_probe.py [--max-mult 40]
            [--ops any comma list of: minhash,simhash,ngram,clusters,
-            passages,bpe,bpetrain,substr,dsir]
+            passages,bpe,bpetrain,substr,dsir,funnel,gopher]
 """
 
 from __future__ import annotations

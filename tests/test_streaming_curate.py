@@ -20,6 +20,10 @@ EN = ("the quick brown fox jumps over the lazy dog and that is a fine "
 def doc_stream(tmp_path):
     src = tmp_path / "src"
     os.makedirs(src)
+    # n_chars mirrors the real documents table: a raw input column whose
+    # name COLLIDES with a gate-internal column — it must pass through
+    # streaming_curate byte-identical (the shield rename), not be
+    # overwritten by the gate's own n_chars or dropped with it
     rows0 = pd.DataFrame(
         {
             "doc_id": [1, 2, 3, 4],
@@ -29,6 +33,7 @@ def doc_stream(tmp_path):
                 "1 2 3 4 5 6 7 8 9 0 " * 6,              # low quality: gated
                 EN + " extra tail words here",           # kept (distinct)
             ],
+            "n_chars": [111, 222, 333, 444],
             "ts": [T0 + timedelta(minutes=i) for i in range(4)],
         }
     )
@@ -36,6 +41,7 @@ def doc_stream(tmp_path):
         {
             "doc_id": [5, 6],
             "text": [EN, EN.replace("fox", "cat")],      # 5 = dup of 1
+            "n_chars": [555, 666],
             "ts": [T0 + timedelta(minutes=10), T0 + timedelta(minutes=11)],
         }
     )
@@ -48,7 +54,7 @@ def doc_stream(tmp_path):
 def test_streaming_curate_matches_batch_gates(spark, doc_stream):
     src, ckpt = doc_stream
     docs = (
-        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        spark.readStream.schema("doc_id long, text string, n_chars long, ts timestamp")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -60,7 +66,7 @@ def test_streaming_curate_matches_batch_gates(spark, doc_stream):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {r.doc_id: r for r in spark.sql("SELECT * FROM stream_curate").collect()}
 
     # batch twin of the gates over the same rows
@@ -79,3 +85,11 @@ def test_streaming_curate_matches_batch_gates(spark, doc_stream):
         assert got[i].pred_lang == langs[i]
         assert got[i].quality == quals[i]
         assert got[i].content_hash is not None
+    # the colliding raw column survives with its ORIGINAL values
+    assert {got[i].n_chars for i in got} == {111 * 1, 444, 666}
+    # reserved output names are rejected loudly
+    import pytest as _pytest
+    from logzilla_spark.streaming.curate import streaming_curate as _sc
+    bad = spark.range(1).selectExpr("'x' AS text", "1.0 AS quality")
+    with _pytest.raises(ValueError):
+        _sc(bad)
