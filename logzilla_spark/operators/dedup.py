@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+from logzilla_spark.functions.caching import persist_tracked
 
 from logzilla_spark.functions.hashing import (
     P31,
@@ -100,12 +100,29 @@ def _spread(df: DataFrame) -> DataFrame:
     at CI scale; a small dimension-ish table generally), that compute
     would serialize onto as many tasks, so a one-off round-robin
     shuffle restores full parallelism. When the input already has
-    enough splits (a 100 TB corpus arrives as thousands), this is a
-    no-op — ``repartition`` is always a full exchange, so it must be
-    GATED, not relied on to collapse.
+    enough splits (a 100 TB corpus arrives as thousands of files),
+    this is a no-op — ``repartition`` is always a full exchange, so it
+    must be GATED, not relied on to collapse.
+
+    The gate reads ``df.inputFiles()`` (a listing, no job) instead of
+    probing the partition count through the DataFrame's RDD: that
+    probe forces a plan conversion per operator call and does not
+    exist under Spark Connect (lint: tests/test_plan_lint.py pins the
+    package RDD-free). File count under-estimates splits when files exceed
+    ``spark.sql.files.maxPartitionBytes`` (they split further), so the
+    gate errs toward repartitioning — harmless: the corpora where the
+    estimate is low are exactly the small ones where the exchange is
+    cheap, and a many-file 100 TB corpus passes the gate outright.
+    ``spark.logzilla.spread`` = off|auto|force overrides (off: never
+    exchange; force: always — for callers whose input is one giant
+    file AND whose downstream is compute-bound).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.logzilla.spread", "auto")
+    if mode == "off":
+        return df
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if mode != "force" and len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
 
@@ -289,7 +306,7 @@ def minhash_lsh_pairs(
     # behalf without forfeiting the reuse it exists to provide.
     feat = _minhash_features(df, id_col, text_col)
     if cache_features:
-        feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+        feat = persist_tracked(feat)
     bands = minhash_band_hashes(feat.select("id", "sig"))
     if max_bucket is not None:
         # Pre-aggregation guard: drop pathological buckets (boilerplate)

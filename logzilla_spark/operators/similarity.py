@@ -33,8 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
+from logzilla_spark.functions.caching import persist_tracked
 from logzilla_spark.functions.hashing import hyperplanes
 from logzilla_spark.operators.dedup import COSINE_THRESHOLD, cosine_expr
 
@@ -346,7 +345,7 @@ def semdedup(
     # embedding + three scalars, MEMORY_AND_DISK spills instead of
     # OOMing, lineage recomputes on executor loss.
     if cache_assign:
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned = persist_tracked(assigned)
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
     small = assigned.join(F.broadcast(sizes), "cell").filter(
         F.col("_csz") <= int(max_cell)

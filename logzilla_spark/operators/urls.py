@@ -47,6 +47,14 @@ DOMAIN_RE = "://(?:[^/?#@]*@)?([^:/?#]+)"
 # entry OR domain ends with '.' + entry).
 DEFAULT_URL_BLOCKLIST = ("ads.example", "tracker.example")
 
+# Micros from 0001-01-01 (the minimum timestamp both engines can
+# represent, proleptic Gregorian) to the Unix epoch: 719162 days.
+# Added before zero-padding the keep-newest order key so the padded
+# string is non-negative — and therefore numerically ordered — over
+# the ENTIRE timestamp domain, including pre-1970 captures whose raw
+# epoch micros are negative. Shared with the DuckDB twin.
+_MICROS_SINCE_YEAR_1 = 719_162 * 86_400 * 1_000_000  # 62135596800000000
+
 
 def blocklist_regex(blocklist: tuple[str, ...]) -> str | None:
     """ONE anchored regex for the whole blocklist (suffix-at-dot
@@ -140,11 +148,19 @@ def url_curate(
     )
     # total order: zero-padded epoch micros, then the raw url. The
     # ntz->ltz cast is wall-clock identity (session TZ pinned UTC) and
-    # matches DuckDB's epoch_us over the naive timestamp.
+    # matches DuckDB's epoch_us over the naive timestamp. The offset
+    # shifts epoch micros to the count since 0001-01-01 (the minimum
+    # representable timestamp on both engines), so pre-1970 captures —
+    # negative epoch values, whose '-'-prefixed strings would compare
+    # magnitude-REVERSED after lpad — stay non-negative and the string
+    # order equals the numeric order across the whole domain.
     order_key = F.concat(
         F.coalesce(
             F.lpad(
-                F.unix_micros(F.col("warc_ts").cast("timestamp")).cast("string"),
+                (
+                    F.unix_micros(F.col("warc_ts").cast("timestamp"))
+                    + F.lit(_MICROS_SINCE_YEAR_1)
+                ).cast("string"),
                 20,
                 "0",
             ),

@@ -38,6 +38,7 @@ from logzilla_spark.operators.urls import (
     DOMAIN_RE,
     SCHEME_HOST_RE,
     TRACKING_PARAM_RE,
+    _MICROS_SINCE_YEAR_1,
     blocklist_regex,
 )
 from logzilla_spark.operators.textstats import (
@@ -952,7 +953,7 @@ SELECT norm_url, k.url AS url, k.warc_ts AS warc_ts, k.domain AS domain,
 FROM (
   SELECT norm_url,
          arg_max(struct_pack(url := url, warc_ts := warc_ts, domain := domain),
-                 coalesce(lpad(CAST(epoch_us(warc_ts) AS VARCHAR), 20, '0'), '')
+                 coalesce(lpad(CAST(epoch_us(warc_ts) + {_MICROS_SINCE_YEAR_1} AS VARCHAR), 20, '0'), '')
                    || '|' || url) AS k,
          CAST(count(*) AS BIGINT) AS n_crawls
   FROM gated GROUP BY norm_url

@@ -50,6 +50,14 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = "logzilla-spark"
     records: DataFrame  # bound by make_server
     trusted_origins: tuple[str, ...] = ()  # bound by make_server
+    # Per-connection socket timeout (BaseRequestHandler.setup applies
+    # it to the accepted socket). Without it a client that connects
+    # and never sends bytes — including a TLS client that never sends
+    # a ClientHello, since the deferred handshake runs on first read —
+    # pins its handler thread forever, and ThreadingHTTPServer spawns
+    # threads unbounded. On timeout handle_one_request closes the
+    # connection and the thread is reaped.
+    timeout = 30
 
     def _cors_headers(self) -> None:
         """Trusted-origin CORS, the reference's corsMiddleware
@@ -142,16 +150,23 @@ def make_server(
     cert_file: str | None = None,
     key_file: str | None = None,
     trusted_origins: tuple[str, ...] = (),
+    handler_timeout: float = 30.0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server bound to a records DataFrame.
 
     ``port=0`` picks a free port (``server.server_address[1]``).
     TLS is enabled exactly like the reference (api/server.go:57-64):
-    only when BOTH cert_file and key_file are configured."""
+    only when BOTH cert_file and key_file are configured.
+    ``handler_timeout`` bounds how long an idle connection (or a
+    never-completing TLS handshake) may hold its handler thread."""
     handler = type(
         "BoundHandler",
         (_Handler,),
-        {"records": records, "trusted_origins": tuple(trusted_origins)},
+        {
+            "records": records,
+            "trusted_origins": tuple(trusted_origins),
+            "timeout": handler_timeout,
+        },
     )
     srv = ThreadingHTTPServer((host, port), handler)
     if cert_file and key_file:

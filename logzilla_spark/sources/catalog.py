@@ -196,8 +196,14 @@ class LocalCatalog:
             groups = prev_groups + [
                 {"base": self._data_dir(name), "files": new_files}
             ]
+            sid = self._commit(name, groups, "append", summary or {})
+            # invalidate AFTER publish, still inside the lock: a
+            # confirm serialized behind this commit then re-scans the
+            # NEW head; invalidating before publish (or outside the
+            # lock) lets a confirm racing the commit re-cache a
+            # verdict for the superseded snapshot.
             _invalidate_partitioned_cache(self.warehouse, name)
-            return self._commit(name, groups, "append", summary or {})
+            return sid
 
     def append_external(
         self,
@@ -215,8 +221,9 @@ class LocalCatalog:
             prev = self.last_snapshot_id(name)
             prev_groups = self._groups(name, prev) if prev else []
             groups = prev_groups + [{"base": base_path, "files": sorted(files)}]
-            _invalidate_partitioned_cache(self.warehouse, name)
-            return self._commit(name, groups, "append", summary or {})
+            sid = self._commit(name, groups, "append", summary or {})
+            _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
+            return sid
 
     def overwrite(
         self,
@@ -227,8 +234,10 @@ class LocalCatalog:
     ) -> int:
         new_files = self._stage_write(df, name, partition_by)
         groups = [{"base": self._data_dir(name), "files": new_files}]
-        _invalidate_partitioned_cache(self.warehouse, name)
-        return self._commit(name, groups, "overwrite", summary or {})
+        with _COMMIT_LOCK:
+            sid = self._commit(name, groups, "overwrite", summary or {})
+            _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
+            return sid
 
     def overwrite_partitions(
         self,
@@ -281,13 +290,17 @@ class LocalCatalog:
             ]
             kept = [g for g in kept if g["files"]]
             groups = kept + [{"base": self._data_dir(name), "files": new_files}]
-            # staged files are guaranteed under partition_by= dirs (the
-            # stray check), so the verdict for THIS column survives;
-            # any other column's cached verdict may no longer hold
+            sid = self._commit(
+                name, groups, "overwrite_partitions", summary or {}
+            )
+            # after publish (see append). Staged files are guaranteed
+            # under partition_by= dirs (the stray check), so the
+            # verdict for THIS column survives; any other column's
+            # cached verdict may no longer hold.
             _invalidate_partitioned_cache(
                 self.warehouse, name, keep_partition_by=partition_by
             )
-            return self._commit(name, groups, "overwrite_partitions", summary or {})
+            return sid
 
     def read_partitions(
         self,
@@ -369,15 +382,25 @@ class LocalCatalog:
         holds for an EXISTING table (a nonexistent table is not cached:
         a legacy writer could still create it unpartitioned). drop()
         invalidates, so a dropped-and-recreated legacy table is
-        re-checked instead of silently skipping its migration."""
+        re-checked instead of silently skipping its migration.
+
+        Scan + cache run under _COMMIT_LOCK: unlocked, a confirm that
+        scanned snapshot N could be overtaken by a writer committing
+        unpartitioned files at N+1 (which invalidates an empty cache)
+        and then cache its stale fully-partitioned verdict — after
+        which streaming upserts would skip the legacy migration and
+        double-count the unpartitioned files. Serialized, the verdict
+        always describes the head snapshot at cache time and every
+        later commit's invalidation runs after it."""
         key = (self.warehouse, name, partition_by)
-        if key in _FULLY_PARTITIONED:
+        with _COMMIT_LOCK:
+            if key in _FULLY_PARTITIONED:
+                return True
+            if self.has_unpartitioned_files(name, partition_by):
+                return False
+            if self.exists(name):
+                _FULLY_PARTITIONED.add(key)
             return True
-        if self.has_unpartitioned_files(name, partition_by):
-            return False
-        if self.exists(name):
-            _FULLY_PARTITIONED.add(key)
-        return True
 
     def exists(self, name: str) -> bool:
         return self.last_snapshot_id(name) is not None
@@ -389,13 +412,15 @@ class LocalCatalog:
         """Publish a new snapshot whose state equals ``to_snapshot_id``
         (Iceberg rollback analog). Used by checkpoint-resume to drop
         commits from a run that died before its checkpoint was written."""
-        _invalidate_partitioned_cache(self.warehouse, name)
-        return self._commit(
-            name,
-            self._groups(name, to_snapshot_id),
-            "rollback",
-            {"rolled_back_to": to_snapshot_id},
-        )
+        with _COMMIT_LOCK:
+            sid = self._commit(
+                name,
+                self._groups(name, to_snapshot_id),
+                "rollback",
+                {"rolled_back_to": to_snapshot_id},
+            )
+            _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
+            return sid
 
     # -- reads ----------------------------------------------------------
     def _read_groups(self, spark: SparkSession, groups: list[dict]) -> DataFrame:
@@ -443,8 +468,9 @@ class LocalCatalog:
         return self._read_groups(spark, new_groups)
 
     def drop(self, name: str) -> None:
-        shutil.rmtree(self._tbl(name), ignore_errors=True)
-        _invalidate_partitioned_cache(self.warehouse, name)
+        with _COMMIT_LOCK:
+            shutil.rmtree(self._tbl(name), ignore_errors=True)
+            _invalidate_partitioned_cache(self.warehouse, name)
 
 
 def iceberg_ddl(catalog: str = "local", db: str = "logzilla") -> dict[str, str]:

@@ -214,3 +214,59 @@ def test_partition_values_hive_escaped_rejected_literal_ok(spark, tmp_path):
     cat.overwrite_partitions(ok, "t2", "k", ["a b", "c"])
     got = cat.read_partitions(spark, "t2", "k", ["a b"])
     assert got is not None and [(r.v, r.k) for r in got.collect()] == [(1, "a b")]
+
+
+def test_confirm_cannot_cache_stale_verdict_across_commit(spark, tmp_path, monkeypatch):
+    """A confirm whose manifest scan races a commit that introduces
+    unpartitioned files must not cache a stale fully-partitioned
+    verdict (ADVICE r3): scan+cache run under the commit lock, so the
+    racing writer serializes behind the confirm and its invalidation
+    lands AFTER the stale cache write would have."""
+    import threading
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    part = spark.range(4).selectExpr(
+        "CAST(id AS STRING) AS id", "CAST(id % 2 AS STRING) AS month"
+    )
+    cat.overwrite(part, "t", partition_by=["month"])
+
+    # pre-stage unpartitioned files so the racing append is pure metadata
+    ext = str(tmp_path / "ext")
+    spark.range(2).selectExpr("CAST(id AS STRING) AS id").write.parquet(ext)
+    import glob
+
+    ext_files = sorted(glob.glob(f"{ext}/*.parquet"))
+
+    orig_scan = LocalCatalog.has_unpartitioned_files
+    in_scan = threading.Event()
+    release = threading.Event()
+
+    def slow_scan(self, name, partition_by):
+        out = orig_scan(self, name, partition_by)
+        in_scan.set()
+        release.wait(20)  # hold the verdict while the writer commits
+        return out
+
+    monkeypatch.setattr(LocalCatalog, "has_unpartitioned_files", slow_scan)
+
+    verdicts: list[bool] = []
+    confirmer = threading.Thread(
+        target=lambda: verdicts.append(cat.confirmed_fully_partitioned("t", "month"))
+    )
+    confirmer.start()
+    assert in_scan.wait(20)
+    # metadata-only append of unpartitioned files, racing the confirm
+    appender = threading.Thread(
+        target=lambda: cat.append_external("t", ext_files, ext)
+    )
+    appender.start()
+    import time
+
+    time.sleep(0.5)  # give the appender time to reach the commit lock
+    release.set()
+    confirmer.join(30)
+    appender.join(30)
+    monkeypatch.setattr(LocalCatalog, "has_unpartitioned_files", orig_scan)
+    # whatever the racing confirm saw, the post-append truth must win:
+    # the table now HAS unpartitioned files and the migration must run
+    assert cat.confirmed_fully_partitioned("t", "month") is False

@@ -213,3 +213,40 @@ def test_cors_trusted_origin_and_preflight(spark, records_sf0001):
         assert exc.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_stalled_tls_client_is_reaped(spark, records_sf0001, tmp_path):
+    """A client that connects and never sends a ClientHello must not
+    pin its handler thread forever (ADVICE r3): the per-connection
+    timeout closes the socket, and the server keeps serving."""
+    import socket
+    import ssl
+    import threading
+
+    from logzilla_spark.server import make_server
+
+    cert_p, key_p = _selfsigned(tmp_path)
+    srv = make_server(
+        records_sf0001, cert_file=cert_p, key_file=key_p, handler_timeout=1.0
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        stall = socket.create_connection(
+            ("127.0.0.1", srv.server_address[1]), timeout=15
+        )
+        stall.settimeout(15)
+        try:
+            # EOF (or reset) when the server reaps the stalled handshake
+            assert stall.recv(1) == b""
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            stall.close()
+        # the listener is still healthy afterwards
+        ctx = ssl.create_default_context(cafile=cert_p)
+        url = f"https://127.0.0.1:{srv.server_address[1]}/healthcheck"
+        with urllib.request.urlopen(url, context=ctx, timeout=15) as r:
+            assert r.status == 200
+    finally:
+        srv.shutdown()
