@@ -17,10 +17,9 @@ no shuffle, fully pipelined with the parquet scan, column-pruned to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
+from logzilla_spark.functions.caching import persist_tracked
 from logzilla_spark.functions.hashing import P31, md5_long, md5_long_expr
 from logzilla_spark.operators.dedup import normalize_text
 
@@ -319,15 +318,35 @@ def gopher_quality_filter(
     pass their own (the curation funnel does, for the short synthetic
     demo docs).
     """
-    stop_lit = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
-    base = (
+    base = _with_gopher(
         df.select(
             F.col(id_col).alias("id"),
             F.split(F.col(text_col), "\n").alias("_lines"),
             normalize_text(text_col).alias("_n"),
-        )
-        .withColumn("_t", F.split("_n", " "))
-        .withColumn("n_words", F.size("_t"))
+        ).withColumn("_t", F.split("_n", " ")),
+        min_words=min_words,
+        min_stop_hits=min_stop_hits,
+    )
+    return base.select(
+        "id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_word_frac", "n_stop_hits",
+        F.col("gopher_keep").alias("keep"),
+    )
+
+
+def _with_gopher(
+    base: DataFrame,
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
+) -> DataFrame:
+    """Add the Gopher A1.1 signal columns and the combined
+    ``gopher_keep`` verdict to a frame carrying ``_lines``/``_n``/
+    ``_t``. Shared by gopher_quality_filter and curation_funnel (the
+    _with_lang_pred non-drift rationale: the composed funnel and the
+    unit operator must gate on ONE definition)."""
+    stop_lit = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    base = (
+        base.withColumn("n_words", F.size("_t"))
         .withColumn("n_lines", F.size("_lines"))
         .withColumn(
             "mean_word_len",
@@ -390,11 +409,7 @@ def gopher_quality_filter(
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
         & (F.col("n_stop_hits") >= int(min_stop_hits))
     )
-    return base.select(
-        "id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
-        "ellipsis_frac", "alpha_word_frac", "n_stop_hits",
-        F.coalesce(keep, F.lit(False)).alias("keep"),
-    )
+    return base.withColumn("gopher_keep", F.coalesce(keep, F.lit(False)))
 
 
 def repetition_stats(
@@ -420,14 +435,34 @@ def repetition_stats(
     per-element counting (the SimHash probe's lesson: nested aggregate
     lambdas are interpreted and O(n*d) per doc).
     """
-    base = (
+    base = _with_repetition(
         df.select(
             F.col(id_col).alias("id"),
             F.split(F.col(text_col), "\n").alias("_lines"),
             normalize_text(text_col).alias("_n"),
+        ).withColumn("_t", F.split("_n", " "))
+    )
+    return (
+        base.join(_top_bigram_counts(base), "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            "dup_line_frac",
+            "n_tokens",
+            "dup_token_frac",
+            _top_bigram_frac().alias("top_bigram_frac"),
         )
-        .withColumn("_t", F.split("_n", " "))
-        .withColumn("n_lines", F.size("_lines"))
+    )
+
+
+def _with_repetition(base: DataFrame) -> DataFrame:
+    """Add the projection-shaped repetition signals (n_lines, n_tokens,
+    dup_line_frac, dup_token_frac) to a frame carrying ``_lines``/
+    ``_t``. Shared by repetition_stats and curation_funnel (the
+    _with_lang_pred non-drift rationale); the top-bigram mode lives in
+    :func:`_top_bigram_counts` because it alone needs an explode+agg."""
+    return (
+        base.withColumn("n_lines", F.size("_lines"))
         .withColumn("n_tokens", F.size("_t"))
         .withColumn(
             "dup_line_frac",
@@ -444,13 +479,20 @@ def repetition_stats(
             ),
         )
     )
+
+
+def _top_bigram_counts(base: DataFrame) -> DataFrame:
+    """(id, _top_cnt) — count of the most frequent token bigram per doc,
+    over a frame carrying ``_t``. The ONLY repetition signal that needs
+    an explode and aggregations (the other fractions are array
+    expressions inside the scan projection)."""
     # bigram arrays: one interpreted transform per DOC (array build),
     # counting itself stays in codegen aggregations below
     bigrams = base.select(
         "id",
         F.explode(
             F.when(
-                F.col("n_tokens") >= 2,
+                F.size("_t") >= 2,
                 F.expr(
                     "transform(sequence(1, size(_t) - 1), "
                     "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
@@ -458,25 +500,20 @@ def repetition_stats(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
-    top = (
+    return (
         bigrams.groupBy("id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")
         .agg(F.max("c").alias("_top_cnt"))
     )
-    return (
-        base.join(top, "id", "left")
-        .select(
-            "id",
-            "n_lines",
-            "dup_line_frac",
-            "n_tokens",
-            "dup_token_frac",
-            F.try_divide(
-                F.col("_top_cnt").cast("double"),
-                (F.col("n_tokens") - 1).cast("double"),
-            ).alias("top_bigram_frac"),
-        )
+
+
+def _top_bigram_frac() -> Column:
+    """``_top_cnt / (n_tokens - 1)`` — NULL for degenerate docs on both
+    engines (try_divide; _top_cnt is NULL off the left join)."""
+    return F.try_divide(
+        F.col("_top_cnt").cast("double"),
+        (F.col("n_tokens") - 1).cast("double"),
     )
 
 
@@ -798,10 +835,16 @@ def curation_funnel(
     run on the survivors of the gates, exactly like a staged pipeline
     (a keeper is chosen among surviving copies, not globally).
 
-    Scale shape: stages 0-4 are flag columns from id-keyed joins of
-    scan-shaped operators, counted in ONE aggregation (stack over a
-    single row — no per-stage corpus rescan). Stage 5 is one hash
-    aggregation over gate survivors; stage 6 runs the ngram pair
+    Scale shape: stages 0-4 are flag columns built from the shared
+    expression builders in ONE projection over ONE scan of the corpus
+    (column-pruned to (id, text), fully codegen), counted in ONE
+    aggregation (stack over a single row). The only per-stage lineage
+    that survives is the top-bigram count — the one signal that
+    genuinely needs an explode + aggregations — LEFT-joined by id
+    (round-3 verdict: the previous shape built lang/quality/gopher/
+    repetition as four separate lineages + id joins, ~5 corpus scans
+    for THE report a curation run always produces). Stage 5 is one
+    hash aggregation over gate survivors; stage 6 runs the ngram pair
     graph + CC + keep-best on the (already much smaller) exact
     survivors only — the cheapest place in the pipeline to put the
     quadratic-risk stage, which is why real pipelines order it last.
@@ -809,38 +852,19 @@ def curation_funnel(
     from logzilla_spark.operators.cluster import neardup_keep_best
     from logzilla_spark.operators.dedup import ngram_jaccard_pairs
 
+    flags = _funnel_verdicts(
+        df, id_col, text_col, lang, min_quality,
+        max_dup_line_frac, max_top_bigram_frac,
+        gopher_min_words, gopher_min_stop_hits,
+    )
+    # persisted (tracked — functions/caching.py): the verdict frame
+    # has FOUR consumers (stage counts, exact-dedup keepers, the
+    # keep-best score table, and the stage-6 survivor ids); without
+    # the persist each consumer re-runs the whole flag expression
+    # tree over its own corpus scan — exactly the multi-scan shape
+    # this operator exists to avoid.
+    flags = persist_tracked(flags)
     ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    lang_f = language_id(df, id_col, text_col).select("id", "pred_lang")
-    qual = quality_score(df, id_col, text_col).select("id", "quality")
-    goph = gopher_quality_filter(
-        df, id_col, text_col,
-        min_words=gopher_min_words, min_stop_hits=gopher_min_stop_hits,
-    ).select("id", F.col("keep").alias("_gk"))
-    rep = repetition_stats(df, id_col, text_col).select(
-        "id", "dup_line_frac", "top_bigram_frac"
-    )
-    # LEFT joins: every input row must reach the flags frame so
-    # stage 0 counts the true input — a unit operator that drops rows
-    # (a future NULL-text filter, say) must shrink its GATE, not the
-    # 'input' line of the report (missing rows gate false via 3VL)
-    flags = (
-        ids.join(lang_f, "id", "left").join(qual, "id", "left")
-        .join(goph, "id", "left").join(rep, "id", "left")
-        .withColumn("s1", F.col("pred_lang") == lang)
-        .withColumn("s2", F.col("s1") & (F.col("quality") >= min_quality))
-        .withColumn("s3", F.col("s2") & F.col("_gk"))
-        .withColumn(
-            "s4",
-            F.col("s3")
-            # degenerate docs have NULL repetition fractions; they are
-            # already cut by s3 (Gopher word floor), so the repetition
-            # gate passes NULLs through rather than double-deciding
-            & F.coalesce(F.col("dup_line_frac") <= max_dup_line_frac, F.lit(True))
-            & F.coalesce(
-                F.col("top_bigram_frac") <= max_top_bigram_frac, F.lit(True)
-            ),
-        )
-    )
     head = flags.agg(
         F.count(F.lit(1)).alias("n0"),
         *[
@@ -852,9 +876,8 @@ def curation_funnel(
         "stack(5, 0, 'input', n0, 1, 'language', n1, 2, 'quality', n2, "
         "3, 'gopher_rules', n3, 4, 'repetition', n4) AS (stage, label, n_docs)"
     )
-    # flags carries text through from ids — no join back needed
-    g4 = flags.filter("s4").select("id", normalize_text("text").alias("_n"))
-    keepers = g4.groupBy(F.md5("_n").alias("_h")).agg(F.min("id").alias("id"))
+    # the content hash was computed in the verdict projection
+    keepers = flags.filter("s4").groupBy("_h").agg(F.min("id").alias("id"))
     n5 = keepers.agg(F.count(F.lit(1)).alias("n_docs")).select(
         F.lit(5).alias("stage"), F.lit("exact_dedup").alias("label"), "n_docs"
     )
@@ -864,7 +887,7 @@ def curation_funnel(
     kb = neardup_keep_best(
         sub5,
         ngram_jaccard_pairs(sub5),
-        qual.join(keepers.select("id"), "id"),
+        flags.select("id", "quality").join(keepers.select("id"), "id"),
     )
     n6 = kb.filter("is_kept").agg(F.count(F.lit(1)).alias("n_docs")).select(
         F.lit(6).alias("stage"),
@@ -872,6 +895,71 @@ def curation_funnel(
         "n_docs",
     )
     return stages.unionByName(n5).unionByName(n6)
+
+
+def _funnel_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = FUNNEL_LANG,
+    min_quality: float = FUNNEL_MIN_QUALITY,
+    max_dup_line_frac: float = FUNNEL_MAX_DUP_LINE_FRAC,
+    max_top_bigram_frac: float = FUNNEL_MAX_TOP_BIGRAM_FRAC,
+    gopher_min_words: int = GOPHER_MIN_WORDS,
+    gopher_min_stop_hits: int = GOPHER_MIN_STOP_HITS,
+) -> DataFrame:
+    """The funnel's per-doc verdict frame: (id, s1..s4, quality, _h).
+
+    ONE projection over ONE corpus scan builds every gate flag from the
+    shared expression builders (language, quality, Gopher, repetition —
+    the same definitions the unit operators gate on, so the funnel
+    cannot drift from them), LEFT-joined with the top-bigram count —
+    the only signal that genuinely needs an explode + aggregations.
+    Exactly two scans of the corpus, pinned by a plan test
+    (tests/test_plan_lint.py); every input row flows through
+    (projections never drop rows), so stage 0 counts the true input
+    and degenerate docs gate false via 3VL exactly as the unit
+    operators decide them. The content hash is computed here so no
+    downstream funnel stage ever recomputes corpus text.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), "\n").alias("_lines"),
+            normalize_text(text_col).alias("_n"),
+        ).withColumn("_t", F.split("_n", " "))
+    )
+    sig = _with_repetition(
+        _with_gopher(
+            _with_quality(_with_lang_pred(base)),
+            min_words=gopher_min_words,
+            min_stop_hits=gopher_min_stop_hits,
+        )
+    )
+    return (
+        sig.join(_top_bigram_counts(base), "id", "left")
+        .withColumn("top_bigram_frac", _top_bigram_frac())
+        .withColumn("s1", F.col("pred_lang") == lang)
+        .withColumn("s2", F.col("s1") & (F.col("quality") >= min_quality))
+        .withColumn("s3", F.col("s2") & F.col("gopher_keep"))
+        .withColumn(
+            "s4",
+            F.col("s3")
+            # degenerate docs have NULL repetition fractions; they are
+            # already cut by s3 (Gopher word floor), so the repetition
+            # gate passes NULLs through rather than double-deciding
+            & F.coalesce(F.col("dup_line_frac") <= max_dup_line_frac, F.lit(True))
+            & F.coalesce(
+                F.col("top_bigram_frac") <= max_top_bigram_frac, F.lit(True)
+            ),
+        )
+        # narrow per-doc verdict frame: booleans + quality + the
+        # content hash — ~60 bytes/doc, cheap to persist/spill
+        .select(
+            "id", "s1", "s2", "s3", "s4", "quality",
+            F.md5("_n").alias("_h"),
+        )
+    )
 
 
 # Corpus-level line dedup: a line is boilerplate once it appears in
@@ -1091,12 +1179,22 @@ _SYM_PAIRS = (
 DEFAULT_BPE_MERGES = 10
 
 
+def bpe_candidate_scan(batch_size: int) -> int:
+    """How deep into the sorted pair-count list a training round scans
+    for pairwise-disjoint picks. Part of the ALGORITHM (mirrored by the
+    reference trainer): a bounded prefix keeps the per-round collect
+    O(batch) instead of O(vocab-pairs) — at 100 TB the full pair table
+    is tens of millions of rows and must never reach the driver."""
+    return 4 * int(batch_size) + 16
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = DEFAULT_BPE_MERGES,
     text_col: str = "text",
     min_freq: int = MIN_PAIR_FREQ,
     checkpoint_dir: str | None = None,
+    batch_size: int = 1,
 ) -> DataFrame:
     """Full BPE merge-table training (Sennrich et al. 2016): iterate
     ``bpe_pair_counts``' merge decision — count adjacent symbol pairs
@@ -1106,23 +1204,44 @@ def bpe_train(
     ``min_freq``. Returns the merge table (step, lhs, rhs, freq) — the
     tokenizer artifact, tiny by definition (one row per merge).
 
+    ``batch_size`` > 1 is the production-scale path (round-3 verdict:
+    one Spark job per merge makes a 30k-merge table 30k sequential
+    jobs — hours of scheduler latency on vocab-sized work). Each round
+    scans the top ``bpe_candidate_scan(batch_size)`` candidates of ONE
+    pair count (sorted freq DESC, lhs, rhs) and greedily takes up to
+    ``batch_size`` PAIRWISE-DISJOINT pairs — no symbol shared between
+    picks and no pick's lhs/rhs equal to another's concatenation — then
+    applies them all in ONE vocab rewrite. Disjointness makes each
+    pick's count invariant under the others' application (a merge can
+    only create or destroy pairs that contain one of its own symbols),
+    so the recorded frequencies are exact; the deviation from the
+    classic sequential trainer is only that a pair NEWLY CREATED by
+    pick #1 cannot out-rank pick #2 until the next round — standard
+    batched-BPE practice, and the differential reference trainer
+    applies the identical rule. ``batch_size=1`` IS the classic
+    sequential algorithm. Job count: O(n_merges / batch_size) rounds,
+    two jobs per round (candidate collect + checkpointed rewrite).
+
     No DuckDB twin: the merge loop is iterative argmax-and-rewrite
     (the neardup_clusters class) — correctness is pinned by a
     differential test against a pure-Python reference trainer
     (tests/test_dataops.py), the streaming-dedup verification pattern.
 
     Scale shape: the corpus is touched ONCE (the explode+count word
-    shuffle inherited from bpe_pair_counts); every iteration runs on
-    the DISTINCT-word vocab only — millions of rows at 100 TB, not
-    trillions — with one 1-row collect per merge (the same
+    shuffle inherited from bpe_pair_counts); every round runs on the
+    DISTINCT-word vocab only — millions of rows at 100 TB, not
+    trillions — with one O(batch)-row collect per round (the same
     driver-coordination footprint as the CC loop's convergence check).
-    Merge application is greedy left-to-right non-overlapping via an
-    array fold; the fold cannot cascade within a step because the
-    merged symbol is strictly longer than lhs. Per-round lineage is
-    truncated (functions/lineage.py: localCheckpoint, or reliable
-    checkpoint() via ``checkpoint_dir`` — the neardup_clusters trade)
-    and the loop REBINDS ``vocab`` each round, so superseded rounds
-    are dereferenced immediately and the run holds ~2 vocab snapshots
+    Merge application is greedy left-to-right non-overlapping via ONE
+    array fold per round whose lambda dispatches on the batch's pair
+    set (a when-chain, not nested per-merge folds — one pass over each
+    word regardless of batch size); the fold cannot cascade within a
+    round because merged symbols are strictly longer than any lhs and
+    disjoint from every pick's symbols. Per-round lineage is truncated
+    (functions/lineage.py: localCheckpoint, or reliable checkpoint()
+    via ``checkpoint_dir`` — the neardup_clusters trade) and the loop
+    REBINDS ``vocab`` each round, so superseded rounds are
+    dereferenced immediately and the run holds ~2 vocab snapshots
     regardless of n_merges (reliable checkpoint files are deleted by
     the cleaner — session.py enables cleanCheckpoints).
     """
@@ -1134,38 +1253,62 @@ def bpe_train(
 
     vocab = truncate(_bpe_word_symbols(df, text_col), checkpoint_dir)
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(int(n_merges)):
-        best = (
+    step, n_merges = 0, int(n_merges)
+    while step < n_merges:
+        want = min(int(batch_size), n_merges - step)
+        top = (
             vocab.select(F.explode(F.expr(_SYM_PAIRS)).alias("p"), "wf")
             .groupBy("p.lhs", "p.rhs")
             .agg(F.sum("wf").alias("freq"))
+            .filter(F.col("freq") >= int(min_freq))
             .orderBy(F.col("freq").desc(), F.col("lhs").asc(), F.col("rhs").asc())
-            .limit(1)
+            .limit(bpe_candidate_scan(want))
             .collect()
         )
-        if not best or best[0]["freq"] < int(min_freq):
+        picks: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            lhs, rhs, merged = r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
+            # disjointness: no symbol shared with an earlier pick, and
+            # no symbol equal to an earlier pick's merged string (a
+            # pre-existing 'ab' symbol must not be confused with the
+            # 'ab' a concurrent (a,b) merge creates)
+            if lhs in used or rhs in used or merged in used:
+                continue
+            picks.append((lhs, rhs, int(r["freq"])))
+            used.update((lhs, rhs, merged))
+            if len(picks) == want:
+                break
+        if not picks:
             break
-        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
-        merges.append((step, lhs, rhs, int(best[0]["freq"])))
-        # Column-API lambda (not an expr string): lhs/rhs are
+        for lhs, rhs, freq in picks:
+            merges.append((step, lhs, rhs, freq))
+            step += 1
+
+        # Column-API lambdas (not an expr string): lhs/rhs are
         # data-derived symbols — splicing them into SQL text would
         # need escaping and break on quotes/backslashes. F.get is the
         # ANSI-safe peek (element_at THROWS on out-of-bounds in
         # Spark 4's ANSI mode; get returns NULL, so the empty-acc
-        # probe falls through to the otherwise branch).
-        lhs_c, rhs_c, merged_c = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+        # probe falls through to the otherwise branch). A concrete
+        # adjacent pair matches at most ONE pick (symbol sets are
+        # disjoint), so the when-chain order never decides anything.
+        batch = list(picks)
 
-        def apply_merge(acc, x):  # noqa: B023 — consumed before rebinding
-            hit = (F.get(acc, F.size(acc) - 1) == lhs_c) & (x == rhs_c)
-            return F.when(
-                hit,
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_c)),
-            ).otherwise(F.concat(acc, F.array(x)))
+        def apply_merges(acc, x):  # noqa: B023 — consumed before rebinding
+            out = None
+            tail = F.slice(acc, 1, F.size(acc) - 1)
+            last = F.get(acc, F.size(acc) - 1)
+            for lhs, rhs, _ in batch:
+                hit = (last == F.lit(lhs)) & (x == F.lit(rhs))
+                m = F.concat(tail, F.array(F.lit(lhs + rhs)))
+                out = F.when(hit, m) if out is None else out.when(hit, m)
+            return out.otherwise(F.concat(acc, F.array(x)))
 
         vocab = truncate(
             vocab.select(
                 F.aggregate(
-                    "_s", F.array().cast("array<string>"), apply_merge
+                    "_s", F.array().cast("array<string>"), apply_merges
                 ).alias("_s"),
                 "wf",
             ),
@@ -1217,8 +1360,8 @@ def bpe_apply(
         df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
         .select("id", F.explode(F.split("_n", " ")).alias("w"))
         .filter(F.col("w") != "")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    occ = persist_tracked(occ)
     vocab = occ.select("w").distinct().select(
         "w", F.expr(f"concat(split(w, ''), array('{BPE_EOW}'))").alias("_s")
     )
@@ -1513,7 +1656,7 @@ def dsir_scores(
     # (id, bucket) pre-grouping: per-doc distinct buckets ~ doc tokens
     # at B=256, so that shuffle moved as many rows as the raw stream —
     # measured pure overhead at the 40x probe scale.
-    occ = _features(df).persist(StorageLevel.MEMORY_AND_DISK)
+    occ = persist_tracked(_features(df))
     raw_counts = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
     tgt_counts = _features(target).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("_tc")

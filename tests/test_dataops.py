@@ -867,10 +867,18 @@ def test_semdedup_planted(spark):
     assert guarded == {1: True, 2: False, 3: True, 4: True, 5: True}
 
 
-def _py_bpe_train(texts, n_merges, min_freq=2):
+def _py_bpe_train(texts, n_merges, min_freq=2, batch_size=1):
     """Pure-Python reference BPE trainer (Sennrich et al. 2016 alg.1):
     same normalization, same (freq DESC, lhs ASC, rhs ASC) merge
-    decision, classic left-to-right non-overlapping merge application."""
+    decision, classic left-to-right non-overlapping merge application.
+    ``batch_size`` mirrors the distributed trainer's batching rule
+    EXACTLY: per round, scan the top ``bpe_candidate_scan(want)``
+    sorted candidates, greedily take up to ``want`` pairwise-disjoint
+    pairs (no symbol shared, none equal to an earlier pick's merged
+    string), apply them sequentially. Sequential application of a
+    disjoint batch equals the distributed single-pass fold: a concrete
+    adjacent pair matches at most one pick, and no pick's rewrite can
+    create or destroy another pick's occurrences."""
     import re
     from collections import Counter
 
@@ -883,31 +891,42 @@ def _py_bpe_train(texts, n_merges, min_freq=2):
                 wf[w] += 1
     syms = [(list(w) + [textstats.BPE_EOW], f) for w, f in wf.items()]
     merges = []
-    for step in range(n_merges):
+    step = 0
+    while step < n_merges:
+        want = min(batch_size, n_merges - step)
         pc = Counter()
         for s, f in syms:
             for i in range(len(s) - 1):
                 pc[(s[i], s[i + 1])] += f
-        if not pc:
+        top = sorted(
+            ((p, f) for p, f in pc.items() if f >= min_freq),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )[: textstats.bpe_candidate_scan(want)]
+        picks, used = [], set()
+        for (lhs, rhs), freq in top:
+            if lhs in used or rhs in used or lhs + rhs in used:
+                continue
+            picks.append((lhs, rhs, freq))
+            used.update((lhs, rhs, lhs + rhs))
+            if len(picks) == want:
+                break
+        if not picks:
             break
-        (lhs, rhs), freq = sorted(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )[0]
-        if freq < min_freq:
-            break
-        merges.append((step, lhs, rhs, freq))
-        nxt = []
-        for s, f in syms:
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
-                    out.append(lhs + rhs)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            nxt.append((out, f))
-        syms = nxt
+        for lhs, rhs, freq in picks:
+            merges.append((step, lhs, rhs, freq))
+            step += 1
+            nxt = []
+            for s, f in syms:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                nxt.append((out, f))
+            syms = nxt
     return merges
 
 
@@ -934,6 +953,34 @@ def test_bpe_train_matches_python_reference(spark):
     pc = textstats.bpe_pair_counts(df).collect()
     top = sorted(pc, key=lambda r: (-r.freq, r.lhs, r.rhs))[0]
     assert (got[0][1], got[0][2], got[0][3]) == (top.lhs, top.rhs, top.freq)
+
+
+def test_bpe_train_batched_matches_python_reference(spark):
+    """batch_size>1 (the production path: O(n_merges/batch) jobs) must
+    match the reference trainer running the identical batching rule —
+    AND stay internally consistent: a batched run's merge table applied
+    via bpe_apply tokenizes identically to the table built by the same
+    reference rule."""
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "wider wide widest wider",
+        "the cat and the hat sat on the mat with the bat",
+        None,
+        "low lower newer wider the cat sat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    for bs in (3, 8):
+        got = [(r.step, r.lhs, r.rhs, r.freq)
+               for r in textstats.bpe_train(df, n_merges=12, batch_size=bs)
+               .collect()]
+        want = _py_bpe_train(texts, 12, batch_size=bs)
+        assert got == want, f"batch_size={bs}"
+        assert len(got) >= 6
+    # batch_size=1 stays the classic sequential algorithm
+    classic = _py_bpe_train(texts, 12, batch_size=1)
+    assert classic == _py_bpe_train(texts, 12)
 
 
 def test_bpe_train_min_freq_stops_early(spark):
@@ -1106,3 +1153,73 @@ def test_corpus_report_strata(spark):
     assert {k: r.n_docs for k, r in out.items()} == dict(want)
     en_key = (langs[1], bands[1])
     assert out[en_key].n_docs - out[en_key].distinct_docs == 1  # docs 1+2 collapse
+
+
+def test_url_curate_pre1970_order(spark, tmp_path):
+    """Negative epoch micros (pre-1970 captures) must order NUMERICALLY
+    in the keep-newest key: equal-length '-'-prefixed strings compare
+    magnitude-reversed after lpad, so the un-offset key picked the
+    OLDER capture (ADVICE r3). Spark and the DuckDB twin must agree."""
+    import duckdb
+
+    from logzilla_spark.operators.urls import url_curate
+    from logzilla_spark.oracle_dataops import url_curate_sql
+
+    rows = [
+        ("https://old.example/p?a=1", "1969-12-31 22:00:00"),  # -7.2e9 us
+        ("https://old.example/p?a=1&utm_source=x", "1969-12-31 23:00:00"),
+        ("https://new.example/q", "1971-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string").selectExpr(
+        "url", "to_timestamp(warc_ts) AS warc_ts"
+    )
+    got = {r.norm_url: r for r in url_curate(df).collect()}
+    key = "https://old.example/p?a=1"
+    assert got[key].n_crawls == 2
+    # newest pre-1970 capture wins (23:00, i.e. -3.6e9 us > -7.2e9 us)
+    assert str(got[key].warc_ts) == "1969-12-31 23:00:00"
+
+    d = str(tmp_path / "pages")
+    df.write.parquet(d)
+    con = duckdb.connect()
+    odf = con.sql(url_curate_sql(f"{d}/*.parquet")).df()
+    orow = odf[odf.norm_url == key].iloc[0]
+    assert str(orow.warc_ts) == "1969-12-31 23:00:00"
+    assert orow.url == got[key].url
+
+
+def test_operator_cache_scope_releases_tracked_persists(spark):
+    """Operators that persist internals (minhash features, semdedup
+    assignment, bpe/dsir occurrence streams) register them; a scope
+    frees exactly its own additions on exit (ADVICE r3 leak-by-default
+    finding)."""
+    import time
+
+    from logzilla_spark.functions import caching
+
+    def rdd_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    # earlier tests register tracked persists outside any scope —
+    # drain them so the no-op check at the end sees a clean registry
+    # (their async unpersists may still be in flight: compare RDD id
+    # SETS, not sizes, so concurrent drains cannot mask the scope's
+    # own additions)
+    caching.release_operator_caches()
+    base = rdd_ids()
+    df = _docs(spark)
+    with caching.operator_cache_scope():
+        pairs = dedup.minhash_lsh_pairs(df)
+        n = pairs.count()
+        added = rdd_ids() - base
+        assert added  # the feature persist registered and materialized
+        assert n >= 1
+    # scope exit unpersisted the feature table (async — poll briefly)
+    for _ in range(50):
+        if not (rdd_ids() & added):
+            break
+        time.sleep(0.1)
+    assert not (rdd_ids() & added)
+    # release_operator_caches with nothing tracked is a no-op
+    assert caching.release_operator_caches() == 0

@@ -49,3 +49,40 @@ def test_query_plan_lint(spark, name, fn):
     assert "CartesianProduct" not in plan, (
         f"{name}: unbroadcast cartesian join in plan\n{plan}"
     )
+
+
+def test_no_rdd_access_in_engine_source():
+    """The engine never touches DataFrame RDD internals: every
+    ``.rdd``/``mapPartitions`` escape hatch forces a plan conversion,
+    exits whole-stage codegen, and does not exist under Spark Connect.
+    (``sparkContext`` is allowed — session/lineage plumbing — but data
+    paths must stay declarative.)"""
+    import pathlib
+
+    import logzilla_spark
+
+    root = pathlib.Path(logzilla_spark.__file__).parent
+    hits = [
+        str(p.relative_to(root))
+        for p in sorted(root.rglob("*.py"))
+        if ".rdd" in p.read_text() or "mapPartitions" in p.read_text()
+    ]
+    assert not hits, f"RDD access in engine source: {hits}"
+
+
+def test_funnel_verdicts_exactly_two_corpus_scans(spark):
+    """curation_funnel's stage-0-4 flags come from ONE corpus scan plus
+    ONE bigram explode scan (round-3 verdict: the previous shape built
+    four per-operator lineages + id joins — ~5 scans of documents for
+    the report every curation run publishes). A third Relation in this
+    plan means a builder regressed into its own lineage."""
+    from logzilla_spark.operators.textstats import _funnel_verdicts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        _funnel_verdicts(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Relation [") == 2, plan
