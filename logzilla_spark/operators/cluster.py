@@ -192,6 +192,7 @@ def neardup_keep_best(
     score_col: str = "quality",
     max_iter: int = MAX_CC_ITER,
     checkpoint_dir: str | None = None,
+    cache_scored: bool = True,
 ) -> DataFrame:
     """Near-dup curation endpoint: per cluster, keep the HIGHEST-score
     member (tie -> lowest id) instead of the min-id canonical.
@@ -217,19 +218,26 @@ def neardup_keep_best(
     keep-first). The winner table (one row per cluster) joins back on
     cluster_id; AQE broadcasts it when small and skew-splits the
     mega-cluster key when not. win derives from scored, so the scored
-    lineage runs twice (DeduplicateRelations' clones don't share
-    exchanges) — but the expensive part, the CC rounds, is already
-    checkpointed inside connected_components, leaving only the docs
-    scan, the ``scores`` lineage and the mapping-composition joins to
-    re-run (measured CHEAPER at sf0.1 than eagerly checkpointing
-    scored, 5.9s vs 7.1s). A caller with an expensive model-based
-    scorer should persist the scores frame before passing it in.
+    lineage has two consumers (DeduplicateRelations' clones don't
+    share exchanges); ``cache_scored`` (default ON) persists the
+    narrow (id, cluster_id, score) frame through the tracked-cache
+    registry (functions/caching.py) so the docs scan, the ``scores``
+    lineage and the mapping-composition joins run once — measured
+    6.6s -> 5.5s steady at sf0.1 in an ABBA pair even with the cheap
+    heuristic scorer (an EAGER checkpoint of scored was measured
+    SLOWER than the double-run, 7.1s vs 5.9s — the extra job; the
+    lazy persist pays neither cost). Callers that persist their own
+    scores frame can pass cache_scored=False.
     """
+    from logzilla_spark.functions.caching import persist_tracked
+
     cc = neardup_clusters(
         docs, pairs, id_col=id_col, a_col=a_col, b_col=b_col,
         max_iter=max_iter, checkpoint_dir=checkpoint_dir,
     )
     scored = cc.select("id", "cluster_id").join(scores, "id", "left")
+    if cache_scored:
+        scored = persist_tracked(scored)
     # winner ordering key: min over (ns, id) where ns = -score, with
     # NULL and NaN scores mapped to +inf (worst). Explicit mapping on
     # BOTH engines — Spark's struct comparison sorts NULL keys FIRST

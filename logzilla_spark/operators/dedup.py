@@ -262,9 +262,9 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     Pipeline: one persisted per-doc feature pass (sig + hashed
-    shingles) -> banded bucket aggregation (shuffle key = (band_id,
-    band_hash), uniform) -> distinct pairs -> signature est_sim
-    prefilter -> exact shingle-Jaccard verify.
+    shingles) -> guarded band rows (shuffle key = (band_id,
+    band_hash), uniform) -> bucket self-join -> distinct pairs ->
+    signature est_sim prefilter -> exact shingle-Jaccard verify.
 
     Returns (doc_a, doc_b, est_sim, inter_n, union_n, jaccard) with
     jaccard >= min_jaccard. est_sim is an exact multiple of
@@ -278,10 +278,10 @@ def minhash_lsh_pairs(
     which is the adaptive behavior you want). The bucket-size guard is
     a window count — sort-based and disk-spillable, so one boilerplate
     mega-bucket cannot blow aggregation memory, and the guard shares
-    ONE signature lineage with the collect_list (a count-join guard
-    recomputes the whole md5+sig pass a second time: measured +2 s at
-    sf0.1). collect_list state stays O(max_bucket) because the filter
-    runs BEFORE the aggregation.
+    ONE signature lineage with the bucket self-join (a count-join
+    guard recomputes the whole md5+sig pass a second time: measured
+    +2 s at sf0.1). Per-bucket join blowup stays O(max_bucket^2)
+    because the filter runs BEFORE the join.
     """
     # Per-doc features — the signature AND the hashed shingle set —
     # built in ONE lineage (normalize once, md5 once) and PERSISTED:
@@ -309,9 +309,9 @@ def minhash_lsh_pairs(
         feat = persist_tracked(feat)
     bands = minhash_band_hashes(feat.select("id", "sig"))
     if max_bucket is not None:
-        # Pre-aggregation guard: drop pathological buckets (boilerplate)
-        # BEFORE collect_list so per-group aggregation state is
-        # genuinely O(max_bucket), never corpus-sized. A window count
+        # Pre-join guard: drop pathological buckets (boilerplate)
+        # BEFORE the bucket self-join so per-bucket pair blowup is
+        # genuinely O(max_bucket^2), never corpus-sized. A window count
         # (the DuckDB twin's QUALIFY, same semantics) buffers bucket
         # rows in a spillable sorter — bounded memory even for a
         # corpus-sized bucket — and reuses the bands lineage instead of
@@ -322,27 +322,39 @@ def minhash_lsh_pairs(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    # Candidate pairs via ONE aggregation: collect each band bucket's
-    # member ids (bounded at max_bucket by the guard above, so
-    # per-group state is O(max_bucket), never corpus-sized) and
-    # generate the intra-bucket pairs in place. The previous bucket
-    # self-join recomputed the signature lineage once per plan consumer
-    # (Spark's ReuseExchange does not fire across DeduplicateRelations'
-    # cloned subtrees); the aggregation computes it once, and map-side
-    # partial aggregation shrinks the shuffle to one row per bucket.
-    # The quadratic pair expansion stays spread across tasks by bucket
-    # (the groupBy's own hash partitioning).
-    grouped = bands.groupBy("band_id", "band_hash").agg(
-        F.collect_list("id").alias("m")
+    # Candidate pairs via a bucket SELF-JOIN on the persisted band
+    # list: shuffle both sides by (band_id, band_hash) — the same key
+    # the previous collect_list aggregation shuffled on — join within
+    # the bucket, keep a < b, distinct. History of this stage, all
+    # measured at sf0.1 steady-state:
+    #   1. self-join over the UNPERSISTED lineage: recomputed the
+    #      signature pass once per plan consumer (DeduplicateRelations
+    #      clones defeat ReuseExchange) — replaced in r3 by
+    #   2. collect_list + a flatten(transform(...)) pair expansion:
+    #      one aggregation, but the expansion runs as INTERPRETED
+    #      higher-order lambdas (no codegen — the SimHash lesson) and
+    #      cost ~2s of the operator's 7.6s — replaced by
+    #   3. this self-join over the PERSISTED guarded band rows (the
+    #      persist makes variant 1's recompute concern moot): the join
+    #      and the a<b filter are whole-stage codegen; 7.6s -> 5.7s.
+    # Per-bucket blowup stays bounded by the max_bucket guard above;
+    # at 100 TB the shuffle carries (8-byte key, 8-byte id) rows —
+    # comparable volume to the partial collect_list rows it replaces.
+    bands = persist_tracked(bands)
+    bl = bands.select(
+        F.col("band_id").alias("_bi"),
+        F.col("band_hash").alias("_bh"),
+        F.col("id").alias("doc_a"),
     )
-    pair = (
-        "flatten(transform(m, (x, i) -> transform(slice(m, i + 2, size(m)), "
-        "y -> struct(IF(x < y, x, y) AS doc_a, IF(x < y, y, x) AS doc_b))))"
+    br = bands.select(
+        F.col("band_id").alias("_bi"),
+        F.col("band_hash").alias("_bh"),
+        F.col("id").alias("doc_b"),
     )
     cand = (
-        grouped.filter(F.size("m") >= 2)
-        .select(F.explode(F.expr(pair)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bl.join(br, ["_bi", "_bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     # Verify runs on HASHED shingle sets (array<long>): 8-byte longs

@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from logzilla_spark.functions import png
 from logzilla_spark.functions.hashing import P31
 
 MEDIA_STATS_SCHEMA = (
@@ -117,56 +118,107 @@ def media_stats(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(stats, schema=MEDIA_STATS_SCHEMA)
 
 
-def decode_image_features(media: DataFrame) -> DataFrame:
-    """Per-image features. Decode step is STUBBED (see module doc).
+def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Real decode dispatch: PIL when importable (the full-format
+    production path), the pure-stdlib PNG codec otherwise. Returns
+    (width, height, channels, raw pixel bytes) or None when the
+    payload is not a decodable image (callers fall back to the
+    deterministic byte stub)."""
+    try:  # pragma: no cover - PIL absent in this sandbox
+        import io
 
-    With PIL available the real path would decode payload bytes and
-    measure actual pixels; in this container the deterministic fake
-    derives mean_byte_milli = floor(1000 * sum(bytes)/len) from the raw
-    payload — same schema, same batch shape, marked via ``decoder``.
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB")
+        px = img.tobytes()
+        return img.width, img.height, (1 if img.mode == "L" else 3), px
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    if not png.is_png(payload):
+        return None
+    try:
+        return png.decode_png(payload)
+    except ValueError:  # outside the codec's supported subset
+        return None
+
+
+def _has_pil() -> bool:
+    try:  # pragma: no cover - PIL absent in this sandbox
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """Per-image features with a REAL decode branch.
+
+    Payloads that are decodable images (PIL when installed; the
+    pure-stdlib PNG codec in ``functions/png.py`` otherwise) are
+    actually decoded: width/height are the DECODED dimensions and
+    mean_byte_milli = floor(1000 * sum(pixel bytes) / n_pixel_bytes)
+    over the raw pixels — decoder column 'pil' / 'png-pure'. Anything
+    else (the ASCII oracle fixtures, corrupt bytes, formats outside
+    the codec subset) keeps the deterministic byte stub: meta
+    dimensions, mean over RAW payload bytes, decoder
+    'stub-deterministic' — so the DuckDB twin keeps recomputing the
+    stub rows bit-for-bit while the codec branch is covered by PNG
+    fixture tests.
     """
     imgs = media.filter("kind = 'image'").select(
         "media_id", "payload", "meta.width", "meta.height"
     )
-
-    try:  # pragma: no cover - PIL absent in this environment
-        import PIL.Image  # noqa: F401
-
-        decoder = "pil"
-    except ImportError:
-        decoder = "stub-deterministic"
+    decoder_name = "pil" if _has_pil() else "png-pure"
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "pil":  # pragma: no cover
-                # Real path: PIL.Image.open(io.BytesIO(b)) per payload.
-                raise NotImplementedError(
-                    "real codec path requires fixture payloads that are "
-                    "valid image bytes; not exercised in this sandbox"
+            rows: dict[str, list] = {
+                "media_id": [], "width": [], "height": [], "byte_len": [],
+                "mean_byte_milli": [], "decoder": [],
+            }
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                rows["media_id"].append(mid)
+                decoded = None if payload is None else _decode_pixels(payload)
+                if decoded is not None:
+                    dw, dh, _ch, px = decoded
+                    rows["width"].append(dw)
+                    rows["height"].append(dh)
+                    rows["byte_len"].append(len(payload))
+                    rows["mean_byte_milli"].append(
+                        None
+                        if not px
+                        else (1000 * int(np.frombuffer(px, np.uint8).sum(dtype=np.int64)))
+                        // len(px)
+                    )
+                    rows["decoder"].append(decoder_name)
+                    continue
+                # deterministic byte stub: NULL meta stays NULL (the
+                # fixture meta struct is sparse by kind), NULL/empty
+                # payloads get NULL mean (the twin's x // 0 is NULL).
+                rows["width"].append(None if pd.isna(w) else int(w))
+                rows["height"].append(None if pd.isna(h) else int(h))
+                blen = None if payload is None else len(payload)
+                rows["byte_len"].append(blen)
+                rows["mean_byte_milli"].append(
+                    None
+                    if not blen
+                    else (1000 * int(np.frombuffer(payload, np.uint8).sum(dtype=np.int64)))
+                    // blen
                 )
-            payloads = pdf["payload"]
-            # nullable Int dtypes: NULL meta stays NULL (the fixture
-            # meta struct is sparse by kind), NULL/empty payloads get
-            # NULL mean (the twin's x // 0 is NULL) instead of raising.
-            lens = payloads.map(lambda b: None if b is None else len(b)).astype(
-                "Int64"
-            )
-            sums = payloads.map(
-                lambda b: None
-                if b is None
-                else int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
-            ).astype("Int64")
-            mean = (sums * 1000).floordiv(lens.where(lens != 0))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pdf["width"].astype("Int32"),
-                    "height": pdf["height"].astype("Int32"),
-                    "byte_len": lens,
-                    "mean_byte_milli": mean.astype("Int64"),
-                    "decoder": decoder,
-                }
-            )
+                rows["decoder"].append("stub-deterministic")
+            out = pd.DataFrame(rows)
+            for c in ("width", "height"):
+                out[c] = out[c].astype("Int32")
+            for c in ("byte_len", "mean_byte_milli"):
+                out[c] = out[c].astype("Int64")
+            yield out
 
     return imgs.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -263,15 +315,28 @@ def video_frame_sample(
     return vids.mapInPandas(frames, schema=VIDEO_FRAMES_SCHEMA)
 
 
+def _resize_geometry(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Longest side capped at ``max_dim``, aspect preserved via exact
+    integer division — float scale factors are not oracle-portable."""
+    long_side = max(w, h)
+    if long_side <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // long_side), max(1, (h * max_dim) // long_side)
+
+
 def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
-    """Resize plumbing for image assets: integer target geometry
-    (longest side capped at ``max_dim``, aspect preserved via exact
-    integer division — float scale factors are not oracle-portable)
-    plus a stubbed byte resample: the "resized payload" is the body
-    prefix proportional to the pixel-count change, its length and
-    checksum computed from real byte slicing. A real decoder
-    (PIL.Image.resize) would replace the prefix math; schema, batch
-    shape and NULL semantics are production's.
+    """Resize for image assets, with a REAL resample branch.
+
+    Decodable payloads (PIL if installed, else the pure-stdlib PNG
+    codec) are actually decoded, nearest-neighbor resampled to the
+    capped geometry (computed from the DECODED dimensions) and
+    re-encoded as PNG; resized_len/resized_checksum are over the real
+    re-encoded bytes (decoder 'pil' / 'png-pure'). Everything else
+    keeps the deterministic byte stub — geometry from meta, "resized
+    payload" = body prefix proportional to the pixel-count change —
+    so the DuckDB twin's rows stay bit-identical (the oracle fixtures
+    are ASCII payloads) while the codec branch is covered by PNG
+    fixture tests.
 
     NULL geometry/payload yield NULL outputs (row kept — the twin's
     NULL folds); images already within max_dim pass through at
@@ -280,17 +345,34 @@ def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
     imgs = media.filter("kind = 'image'").select(
         "media_id", "payload", "meta.width", "meta.height"
     )
+    decoder_name = "pil" if _has_pil() else "png-pure"
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {
                 "media_id": [], "width": [], "height": [], "dst_width": [],
                 "dst_height": [], "resized_len": [], "resized_checksum": [],
+                "decoder": [],
             }
             for mid, payload, w, h in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 rows["media_id"].append(mid)
+                decoded = None if payload is None else _decode_pixels(payload)
+                if decoded is not None:
+                    dw0, dh0, ch, px = decoded
+                    dw, dh = _resize_geometry(dw0, dh0, max_dim)
+                    out_px = png.resize_nearest(dw0, dh0, ch, px, dw, dh)
+                    out_bytes = png.encode_png(dw, dh, out_px, ch)
+                    rows["width"].append(dw0)
+                    rows["height"].append(dh0)
+                    rows["dst_width"].append(dw)
+                    rows["dst_height"].append(dh)
+                    rows["resized_len"].append(len(out_bytes))
+                    rows["resized_checksum"].append(_byte_sum(out_bytes))
+                    rows["decoder"].append(decoder_name)
+                    continue
+                rows["decoder"].append("stub-deterministic")
                 if payload is None or pd.isna(w) or pd.isna(h):
                     rows["width"].append(None if pd.isna(w) else int(w))
                     rows["height"].append(None if pd.isna(h) else int(h))
@@ -300,12 +382,7 @@ def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
                     rows["resized_checksum"].append(None)
                     continue
                 w, h = int(w), int(h)
-                long_side = max(w, h)
-                if long_side <= max_dim:
-                    dw, dh = w, h
-                else:
-                    dw = max(1, (w * max_dim) // long_side)
-                    dh = max(1, (h * max_dim) // long_side)
+                dw, dh = _resize_geometry(w, h, max_dim)
                 body = payload[HEADER_LEN:]
                 # zero-area geometry: NULL resample outputs (the twin's
                 # x // 0 folds to NULL), identity dst
@@ -326,7 +403,6 @@ def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
                 pdf_out[c] = pdf_out[c].astype("Int32")
             for c in ("resized_len", "resized_checksum"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
-            pdf_out["decoder"] = "stub-deterministic"
             yield pdf_out
 
     return imgs.mapInPandas(rs, schema=RESIZE_SCHEMA)
