@@ -340,6 +340,13 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(
             _emb(s, d), _probes(_emb(s, d))
         ),
+        # rows-only (no oracle twin): k-means-trained centroids are
+        # float means whose summation order is Spark's — not
+        # bit-portable to DuckDB (similarity.ivf_train_kmeans). Recall
+        # vs the exact baseline is quantified in BENCH/ANN_RECALL.md.
+        "q_sim_topk_ivf_trained": lambda s, d: similarity.cosine_topk_ivf_trained(
+            _emb(s, d), _probes(_emb(s, d))
+        ),
         # --- text analysis (documents table) ---
         "q_text_langid": lambda s, d: textstats.language_id(_docs(s, d)),
         "q_text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),

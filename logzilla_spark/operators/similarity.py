@@ -292,6 +292,115 @@ def cosine_topk_ivf(
     return _topk(scored, k)
 
 
+IVF_TRAIN_ITERS = 5
+
+
+def ivf_train_kmeans(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = IVF_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF coarse quantizer: deterministic Lloyd k-means over
+    cosine assignment (spherical k-means without the normalization
+    step — ivf_assign already scores by cosine, so centroid SCALE never
+    changes an assignment). Returns (cell, seed) — a drop-in
+    replacement for :func:`ivf_seeds`'s output that adapts cells to
+    the data distribution (measured recall uplift:
+    BENCH/ANN_RECALL.md).
+
+    Deterministic by construction: init = ivf_seeds (lowest-id
+    vectors), a FIXED iteration count (no data-dependent convergence
+    test), deterministic tie-breaks in the assignment, and per-cell
+    means computed by (cell, dimension)-keyed aggregation. Float sums
+    still depend on Spark's partial-aggregation order, so trained
+    centroids are NOT bit-portable to the DuckDB twin — this is the
+    documented reason the seeded quantizer remains the oracle-checked
+    path (ivf_seeds docstring); the trained query is registered
+    rows-only and graded by the recall report.
+
+    Scale shape: each iteration is ivf_assign's one-row-per-vector
+    shuffle plus a (cell, pos) mean over the exploded corpus —
+    corpus×dim rows into a two-phase avg with map-side partials
+    (uniform keys: pos is uniform, cells are bounded by the quantizer),
+    then a k×dim regroup to rebuild centroid arrays. No corpus-sized
+    broadcast, no window over the corpus, no driver-side data moves.
+    Empty cells keep their previous centroid (left-join coalesce), so
+    k never silently shrinks. The k-row seed frame is lineage-truncated
+    every iteration (the CC-loop discipline): ``seeds`` has two
+    consumers per round (the assignment and the empty-cell fallback),
+    so an untruncated loop would DOUBLE the lazy plan each iteration —
+    2^n_iters clones of the corpus scan by the time a consumer runs.
+    """
+    from logzilla_spark.functions.lineage import truncate
+
+    seeds = ivf_seeds(emb, n_cells, id_col, vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    for _ in range(int(n_iters)):
+        assigned = ivf_assign(vecs, seeds, "vec_id", "embedding")
+        dims = assigned.select(
+            "cell", F.posexplode("embedding").alias("pos", "v")
+        )
+        means = dims.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+        new_seeds = means.groupBy("cell").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("seed")
+        )
+        seeds = truncate(
+            seeds.select("cell", F.col("seed").alias("_old"))
+            .join(new_seeds, "cell", "left")
+            .select("cell", F.coalesce("seed", "_old").alias("seed")),
+            None,
+        )
+    return seeds
+
+
+def cosine_topk_ivf_trained(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    n_iters: int = IVF_TRAIN_ITERS,
+) -> DataFrame:
+    """cosine_topk_ivf with k-means-trained centroids instead of the
+    seeded quantizer — same plan shape (assign -> invert -> probe
+    nprobe cells), better cell geometry. Rows-only correctness (the
+    trained floats are not oracle-portable — see ivf_train_kmeans);
+    recall vs the exact baseline is quantified in BENCH/ANN_RECALL.md.
+    """
+    seeds = ivf_train_kmeans(emb, n_cells, n_iters, id_col, vec_col)
+    corpus = ivf_assign(emb, seeds, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("embedding").alias("_ce"),
+        "cell",
+    )
+    pc = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        pc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= int(nprobe))
+        .select("probe_id", "_pe", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .select("probe_id", "neighbor_id", "cosine")
+    )
+    return _topk(scored, k)
+
+
 # SemDeDup cell-size guard: cells larger than this skip the pairwise
 # stage entirely (all members kept) — the MAX_LSH_BUCKET posture: a
 # degenerate quantizer (all embeddings identical) must not buy a

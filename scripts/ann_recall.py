@@ -1,0 +1,129 @@
+"""ANN recall report: recall@k of the approximate top-k paths vs the
+exact brute-force baseline (round-3 verdict item 6 — the LSH/IVF paths
+are oracle-equal on fixed probes, but approximation quality must be
+MEASURED, not asserted).
+
+Usage:
+    python scripts/ann_recall.py [sf_dir] [k]
+
+Writes BENCH/ANN_RECALL.md. Ground truth = cosine_topk (exact, the
+CI-scale recall oracle the operator docstrings designate); recall@k =
+|approx top-k ∩ exact top-k| / k averaged over probes, the standard
+ANN metric. Ties at the k-boundary are broken identically in every
+path (cosine desc, id asc — similarity._topk), so recall is exact, not
+tie-lucky.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def recall_at_k(exact, approx, k: int) -> float:
+    """Mean over probes of |approx ∩ exact| / k."""
+    e = exact.select("probe_id", "neighbor_id")
+    a = approx.select("probe_id", "neighbor_id")
+    hits = e.join(a, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    row = (
+        e.select("probe_id").distinct()
+        .join(hits, "probe_id", "left")
+        .agg(F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(k))))
+        .collect()[0]
+    )
+    return float(row[0])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from logzilla_spark.session import get_spark
+    from logzilla_spark.operators import similarity
+    import __spark_entry__ as entry
+
+    spark = get_spark(cores=32)
+    emb = entry._emb(spark, sf_dir)
+    probes = entry._probes(emb)
+    n_vec, n_probe = emb.count(), probes.count()
+
+    t0 = time.time()
+    exact = similarity.cosine_topk(emb, probes, k=k).cache()
+    exact.count()
+    t_exact = time.time() - t0
+
+    rows = []
+
+    def add(name: str, df, note: str) -> None:
+        t = time.time()
+        r = recall_at_k(exact, df, k)
+        rows.append((name, r, time.time() - t, note))
+        print(f"{name}: recall@{k}={r:.4f}")
+
+    add(
+        "sign-LSH multiprobe (hamming<=1)",
+        similarity.cosine_topk_lsh(emb, probes, k=k),
+        f"{similarity.N_PLANES} planes, probe bucket + {similarity.N_PLANES} flips",
+    )
+    for nprobe in (1, 2, 4):
+        add(
+            f"IVF seeded nprobe={nprobe}",
+            similarity.cosine_topk_ivf(emb, probes, k=k, nprobe=nprobe),
+            f"{similarity.IVF_CELLS} cells, lowest-id seed quantizer",
+        )
+    for nprobe in (1, 2, 4):
+        add(
+            f"IVF k-means nprobe={nprobe}",
+            similarity.cosine_topk_ivf_trained(emb, probes, k=k, nprobe=nprobe),
+            f"{similarity.IVF_CELLS} cells, {similarity.IVF_TRAIN_ITERS} Lloyd iters",
+        )
+
+    lines = [
+        "# ANN recall@k vs exact brute force",
+        "",
+        f"Reproduce: `python scripts/ann_recall.py {sf_dir} {k}`",
+        "",
+        f"- corpus: `{sf_dir}/embeddings.parquet` ({n_vec} vectors, "
+        f"dim {similarity.EMB_DIM}); probes: every {entry.PROBE_MOD}th id "
+        f"({n_probe})",
+        f"- ground truth: `cosine_topk` exact brute force, k={k} "
+        f"({t_exact:.1f}s) — the CI-scale recall oracle the approximate "
+        "paths are graded against",
+        "- recall@k = |approx ∩ exact| / k, averaged over probes; all "
+        "paths share the deterministic (cosine desc, id asc) tie-break, "
+        "so boundary ties cannot inflate recall",
+        "",
+        "| path | recall@{k} | note |".replace("{k}", str(k)),
+        "|---|---|---|",
+    ]
+    for name, r, _, note in rows:
+        lines.append(f"| {name} | {r:.4f} | {note} |")
+    lines += [
+        "",
+        "Reading: the seeded quantizer (lowest-id vectors as centroids) is "
+        "the oracle-checked plan shape; k-means training (deterministic "
+        "Lloyd, fixed iterations) adapts cells to the data and is the "
+        "recall path — `q_sim_topk_ivf_trained`, rows-only correctness "
+        "since trained float centroids are not bit-portable across "
+        "engines. Raising nprobe trades candidate volume for recall "
+        "linearly in probed cells; the LSH multiprobe path is "
+        "data-independent and serves as the no-training baseline.",
+        "",
+    ]
+    import pathlib
+
+    out = pathlib.Path(__file__).resolve().parent.parent / "BENCH" / "ANN_RECALL.md"
+    out.write_text("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
