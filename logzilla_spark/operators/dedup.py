@@ -282,6 +282,16 @@ def minhash_lsh_pairs(
     guard recomputes the whole md5+sig pass a second time: measured
     +2 s at sf0.1). Per-bucket join blowup stays O(max_bucket^2)
     because the filter runs BEFORE the join.
+
+    Considered and rejected: gating the est_sim join on the per-pair
+    SHARED-BAND COUNT (free from the pre-distinct expansion). A shared
+    band only LOWER-bounds est_sim (one shared band ⇒ >= LSH_ROWS
+    matched positions); matched positions need not align into whole
+    bands, so a pair at exactly min_est can share as FEW as one band —
+    the count can never soundly reject, only confirm, and confirming
+    doesn't skip anything because est_sim is an output column. The
+    honest cut was making the pair expansion codegen (the self-join
+    above) instead of shrinking it unsoundly.
     """
     # Per-doc features — the signature AND the hashed shingle set —
     # built in ONE lineage (normalize once, md5 once) and PERSISTED:
