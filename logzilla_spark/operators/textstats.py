@@ -888,6 +888,10 @@ def curation_funnel(
         sub5,
         ngram_jaccard_pairs(sub5),
         flags.select("id", "quality").join(keepers.select("id"), "id"),
+        # scored's lineage here reads the PERSISTED verdict frame, so
+        # keep_best's own scored-persist would pay a materialization
+        # job to save an already-cheap double-run
+        cache_scored=False,
     )
     n6 = kb.filter("is_kept").agg(F.count(F.lit(1)).alias("n_docs")).select(
         F.lit(6).alias("stage"),

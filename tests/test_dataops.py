@@ -1223,3 +1223,40 @@ def test_operator_cache_scope_releases_tracked_persists(spark):
     assert not (rdd_ids() & added)
     # release_operator_caches with nothing tracked is a no-op
     assert caching.release_operator_caches() == 0
+
+
+def test_spread_gate_modes(spark, tmp_path):
+    """_spread (the per-doc-compute parallelism restorer) honors its
+    conf: off never exchanges, force always does, and auto exchanges
+    exactly when the input has fewer files than the session's shuffle
+    parallelism (r3 ADVICE: the gate must not probe the RDD — see the
+    package-wide no-.rdd lint)."""
+    d = str(tmp_path / "one_file")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).coalesce(1).write.parquet(d)
+    one_file = spark.read.parquet(d)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Repartition")
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(one_file.inputFiles()) < target  # precondition for auto
+    try:
+        spark.conf.set("spark.logzilla.spread", "off")
+        assert n_exchanges(dedup._spread(one_file)) == 0
+        spark.conf.set("spark.logzilla.spread", "force")
+        assert n_exchanges(dedup._spread(one_file)) == 1
+        spark.conf.set("spark.logzilla.spread", "auto")
+        assert n_exchanges(dedup._spread(one_file)) == 1  # 1 file < target
+        # many-file input passes the auto gate outright (no exchange)
+        dm = str(tmp_path / "many_files")
+        spark.range(1000).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        ).repartition(target).write.parquet(dm)
+        many = spark.read.parquet(dm)
+        assert len(many.inputFiles()) >= target
+        assert n_exchanges(dedup._spread(many)) == 0
+    finally:
+        spark.conf.set("spark.logzilla.spread", "auto")
