@@ -99,10 +99,11 @@ def _q_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index tier: build the inverted index AND the semi-join target
     from ONE persisted records frame — the parse runs once, both
     consumers read the cache (a real deployment reads a committed index
-    table; the cache stands in for that materialization)."""
-    from pyspark.storagelevel import StorageLevel
+    table; the cache stands in for that materialization). Tracked
+    (functions/caching.py) like every operator-internal persist."""
+    from logzilla_spark.functions.caching import persist_tracked
 
-    rec = _records(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    rec = persist_tracked(_records(spark, sf_dir))
     return _flat_records(
         search_index(build_inverted_index(rec), rec, "disk svc3")
     )
