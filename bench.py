@@ -97,7 +97,7 @@ def run_pipeline_once(spark, sf_dir: str, warehouse: str) -> dict:
 
 
 def bench_queries(
-    spark, sf_dir: str, trials: int = 2
+    spark, sf_dir: str, trials: int = 3
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Time each registered query; (best-of-``trials``, cold-first-run).
 
@@ -109,6 +109,14 @@ def bench_queries(
     the output for transparency. Caches are cleared between trials so
     persisted feature tables (dedup.py) are rebuilt per trial — the
     delta is JIT, not cache reuse.
+
+    Three trials, not two: HotSpot's tiered compilation keeps
+    promoting the generated code past the second execution on the
+    join-heavy plans — measured per-trial walls at sf0.1/32 cores:
+    q_dedup_minhash_pairs 13.5/5.7/5.4/5.1/4.5, q_dedup_keep_best
+    4.2/3.8/3.5/3.4 — so best-of-2 still charges ~15% of C2 compile
+    to the steady-state figure. Trial 3 captures most of the
+    remaining descent at ~+90 s total harness cost.
     """
     import __spark_entry__ as entry
 
