@@ -184,3 +184,70 @@ def test_neardup_empty_batch_is_noop(spark, tmp_path):
     res = neardup_batch(empty, cat, "q", 0)
     assert res == {"kept": 0, "suppressed": 0}
     assert not cat.exists(KEPT_TABLE) and not cat.exists(REGISTRY_TABLE)
+
+
+# ---------------------------------------------------------------------------
+# property test: random corpora, random trigger splits, vs the
+# sequential reference — same differential construction as above
+# (band sets come from the operator's own builders)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@st.composite
+def _corpus_splits(draw):
+    n = draw(st.integers(min_value=2, max_value=10))
+    texts = []
+    for i in range(n):
+        if texts and draw(st.booleans()):
+            # duplicate or near-duplicate of an earlier doc
+            base = texts[draw(st.integers(0, len(texts) - 1))]
+            if draw(st.booleans()):
+                texts.append(base)
+            else:
+                texts.append(base + " " + draw(st.sampled_from(_WORDS)))
+        else:
+            words = draw(
+                st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12)
+            )
+            texts.append(" ".join(words))
+    n_trig = draw(st.integers(min_value=1, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(0, n), min_size=n_trig - 1, max_size=n_trig - 1
+            )
+        )
+    )
+    bounds = [0, *cuts, n]
+    return [
+        pd.DataFrame(
+            {
+                "doc_id": list(range(bounds[i], bounds[i + 1])),
+                "text": texts[bounds[i]: bounds[i + 1]],
+            }
+        )
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(trigs=_corpus_splits())
+def test_neardup_property_matches_reference(trigs, spark, tmp_path_factory):
+    cat = LocalCatalog(str(tmp_path_factory.mktemp("wh")))
+    for i, t in enumerate(trigs):
+        neardup_batch(spark.createDataFrame(t), cat, "q", i)
+    expected = _simulate([_band_sets(spark, t) for t in trigs])
+    got = sorted(
+        r["doc_id"] for r in cat.read(spark, KEPT_TABLE).collect()
+    )
+    assert got == expected
