@@ -251,3 +251,31 @@ def test_neardup_property_matches_reference(trigs, spark, tmp_path_factory):
         r["doc_id"] for r in cat.read(spark, KEPT_TABLE).collect()
     )
     assert got == expected
+
+
+def test_batch_compaction_composition(spark, tmp_path):
+    """The documented closure of the streaming trade
+    (streaming/neardup.py module docstring): periodic BATCH
+    compaction over the kept sink — minhash pairs (verified Jaccard)
+    + connected components keep-first — collapses any near-dup family
+    the candidate-level stream let through and keeps every
+    singleton. Asserted structurally over whatever the stream kept:
+    compaction output ⊆ stream keeps, exactly one doc per cluster."""
+    from logzilla_spark.operators.cluster import neardup_clusters
+    from logzilla_spark.operators.dedup import minhash_lsh_pairs
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    t0 = pd.DataFrame({"doc_id": [1, 2, 3], "text": [BASE, BASE, OTHER]})
+    t1 = pd.DataFrame({"doc_id": [4, 5], "text": [EDIT1, "wholly new"]})
+    neardup_batch(spark.createDataFrame(t0), cat, "q", 0)
+    neardup_batch(spark.createDataFrame(t1), cat, "q", 1)
+    kept = cat.read(spark, KEPT_TABLE)
+    pairs = minhash_lsh_pairs(kept)
+    compacted = neardup_clusters(kept, pairs).filter("is_canonical")
+    ids = sorted(r["id"] for r in compacted.collect())
+    # compaction output is a subset of the stream's keeps, one doc
+    # per verified near-dup family, and retains every singleton
+    stream_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert set(ids) <= set(stream_ids)
+    assert 1 in ids or 4 in ids  # the BASE family survives as one doc
+    assert len(ids) == compacted.select("cluster_id").distinct().count()
