@@ -32,6 +32,7 @@ from logzilla_spark.operators.fulltext import (
 )
 from logzilla_spark.operators.multiline import reassemble_multiline
 from logzilla_spark.operators import parsers as parser_registry
+from logzilla_spark.operators.lua import lua_parser
 from logzilla_spark.operators.parse import explode_lines, parse_records, text_from_html
 from logzilla_spark.operators.sessionize import sessionize, sessionize_sql
 from logzilla_spark.operators.query import (
@@ -112,6 +113,34 @@ def _q_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _custom_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = parser_registry.parse_records_chain(
         _pages(spark, sf_dir), chain=("access", "json", "legacy")
+    )
+    return rec.select(
+        "id", "source", "timestamp", "level", "message", "category", "lang",
+        "parse_ok", F.col("metadata")["n"].alias("m_n"),
+    )
+
+
+# O21 through the ACTUAL Lua slot: the same third format declared as a
+# reference-style parse_log script (processor/lua.go contract). The
+# script has the canonical string.match shape, so lua_parser compiles
+# it to the codegen GrokParser tier — zero Python per row (asserted in
+# tests/test_lua_parser.py; the Arrow interpreter tier is the fallback
+# for scripts with conditionals/json.decode).
+_LUA_LEGACY_SCRIPT = """
+function parse_log(line)
+  local n = string.match(line, "^garbage line (%d+)$")
+  if not n then return nil, nil, nil, {} end
+  return "debug", n, "1970-01-01T00:00:00Z", { n = n }
+end
+"""
+parser_registry.register_parser(
+    lua_parser("lua_legacy", script=_LUA_LEGACY_SCRIPT), replace=True
+)
+
+
+def _lua_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = parser_registry.parse_records_chain(
+        _pages(spark, sf_dir), chain=("access", "json", "lua_legacy")
     )
     return rec.select(
         "id", "source", "timestamp", "level", "message", "category", "lang",
@@ -501,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O21 parity — a USER-registered third format ('legacy' grok for
         # the corpus's unparsed tail) through the never-drop chain
         "q_pipeline_records_custom": _custom_records,
+        "q_pipeline_records_lua": _lua_records,
         # --- parse fidelity invariant (north_rule byte-identity) ---
         "q_parse_fidelity": lambda s, d: _pages(s, d).select(
             F.count(F.lit(1)).alias("n_pages"),
@@ -632,6 +662,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict[str, str]:
         "q_pipeline_records_native": oracle.records_sql(p),
         "q_pipeline_records_hybrid": oracle.records_sql(p),
         "q_pipeline_records_custom": oracle.records_custom_sql(p),
+        "q_pipeline_records_lua": oracle.records_lua_sql(p),
         "q_parse_fidelity": oracle.fidelity_sql(p),
         "q_pipeline_window_agg": oracle.windowed_counts_sql(p),
         "q_pipeline_window_agg_salted": oracle.windowed_counts_sql(p),

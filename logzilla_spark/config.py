@@ -29,11 +29,16 @@ Schema (TOML shown; JSON/YAML mirror it):
 
     [[parsers]]                          # optional registry entries (O21)
     name           = "legacy"
-    kind           = "grok"              # grok | pandas
+    kind           = "grok"              # grok | pandas | lua
     pattern        = '^garbage line (?P<n>\\d+)$'
     level_static   = "DEBUG"
     message_groups = ["n"]
     # pandas kind instead takes: fn = "package.module:function"
+    # lua kind instead takes:    script-path = "/path/parse.lua"
+    #   (the reference's LuaLogProcessorConfig field, lua.go:15-17;
+    #   inline `script = "..."` also accepted) — compiled to codegen
+    #   when the script has the canonical string.match shape, else run
+    #   in the sandboxed Arrow interpreter (operators/lua.py)
 
     [session]
     shuffle_partitions = 32              # optional conf overrides
@@ -150,6 +155,19 @@ def _register_configured_parsers(entries: list[dict[str, Any]]) -> None:
                 PandasParser(name=name, fn=fn, candidate_re=e.get("candidate_re")),
                 replace=True,
             )
+        elif kind == "lua":
+            from .operators.lua import LuaScriptError, lua_parser
+
+            try:
+                parser = lua_parser(
+                    name=name,
+                    script=e.get("script"),
+                    script_path=e.get("script-path") or e.get("script_path"),
+                    candidate_re=e.get("candidate_re"),
+                )
+            except LuaScriptError as err:
+                raise ConfigError(f"parsers[{name!r}]: {err}") from err
+            register_parser(parser, replace=True)
         else:
             raise ConfigError(f"parsers[{name!r}].kind: unknown kind {kind!r}")
 

@@ -11,11 +11,17 @@ Real vs stubbed, explicitly:
   Arrow transfer, byte-level stats (length/header/checksum/slices).
   These are tested and oracle-checked (the fixture payloads are
   ASCII-range bytes so DuckDB can recompute checksums via decode()).
-- STUBBED: actual image/audio codec work. The container has no
-  PIL/libsndfile; ``decode_image_features`` tries to import PIL and
-  otherwise falls back to a clearly-marked deterministic fake
-  (checksum-derived "mean pixel"), keeping the UDF signature, batch
-  shape and output schema identical to what a real decoder would use.
+- REAL codec branches for the formats a pure stdlib can decode:
+  payloads that actually ARE images/audio take a true decode path —
+  PIL when importable, else the from-scratch PNG codec
+  (``functions/png.py``) for images, and the PCM-WAV RIFF codec
+  (``functions/wav.py``) for audio. Decoded truth beats metadata on
+  these branches (tests/test_png_codec.py, tests/test_wav_codec.py).
+- STUBBED: every other codec (JPEG, MP3, video containers — no
+  PIL/libsndfile/ffmpeg in this container): clearly-marked
+  deterministic byte math with the UDF signature, batch shape and
+  output schema a real decoder would use; the oracle fixtures stay on
+  this branch so the DuckDB twins recompute them bit-for-bit.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize on the driver and never shuffle (all outputs are narrow
@@ -49,7 +55,7 @@ IMAGE_FEATURES_SCHEMA = (
 
 AUDIO_FRAMES_SCHEMA = (
     "media_id long, sample_rate int, duration_ms int, n_frames long, "
-    "frame0_checksum long"
+    "frame0_checksum long, decoder string"
 )
 
 VIDEO_FRAMES_SCHEMA = (
@@ -224,13 +230,20 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
 
 def audio_frame_sample(media: DataFrame, frame_ms: int = AUDIO_FRAME_MS) -> DataFrame:
-    """Frame sampling plumbing for audio assets.
+    """Frame sampling for audio assets, with a REAL PCM-WAV branch.
 
-    n_frames = duration_ms div frame_ms (real arithmetic from typed
-    metadata); frame0_checksum = byte-sum of the first frame-sized
-    slice after the header (real byte slicing — DuckDB-verifiable).
-    Actual resampling/codec work would replace the slice math; the
-    partitioning, batch shape and schema are what production uses.
+    Payloads that actually are PCM WAV files (the pure-stdlib RIFF
+    codec in ``functions/wav.py``) are decoded: sample_rate comes from
+    the file's fmt chunk (decoded truth beats lying metadata, same
+    rule as the PNG image branch), duration_ms from the real sample
+    count, and frame0_checksum is the byte-sum of the FIRST FRAME'S
+    PCM bytes (sample_rate*frame_ms/1000 frames x block_align) —
+    decoder 'wav-pcm'. Everything else (the ASCII oracle fixtures,
+    corrupt bytes, non-WAV formats) keeps the deterministic byte
+    stub: n_frames = meta duration_ms div frame_ms, checksum over the
+    first 64 bytes after the header, decoder 'stub-deterministic' —
+    the DuckDB twin recomputes the stub rows bit-for-bit while the
+    codec branch is covered by WAV fixture tests.
     """
     auds = media.filter("kind = 'audio'").select(
         "media_id", "payload", "meta.sample_rate", "meta.duration_ms"
@@ -240,24 +253,56 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = AUDIO_FRAME_MS) -> Data
         # nullable Int dtypes + None-safe slicing: corrupt assets
         # (NULL payload / NULL meta) yield NULL fields, same as the
         # DuckDB twin's NULL folds — never a job-killing exception.
+        from ..functions import wav
+
+        slice_len = 64  # stub: bytes per sampled frame slice (fixture-scale)
         for pdf in batches:
-            n_frames = (pdf["duration_ms"].astype("Int64") // frame_ms)
-            slice_len = 64  # bytes per sampled frame slice (fixture-scale)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "sample_rate": pdf["sample_rate"].astype("Int32"),
-                    "duration_ms": pdf["duration_ms"].astype("Int32"),
-                    "n_frames": n_frames,
-                    "frame0_checksum": pdf["payload"].map(
-                        lambda b: _byte_sum_safe(
-                            None
-                            if b is None
-                            else b[HEADER_LEN : HEADER_LEN + slice_len]
-                        )
-                    ).astype("Int64"),
-                }
-            )
+            rows: dict[str, list] = {
+                "media_id": [], "sample_rate": [], "duration_ms": [],
+                "n_frames": [], "frame0_checksum": [], "decoder": [],
+            }
+            for mid, payload, rate, dur in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["sample_rate"], pdf["duration_ms"],
+            ):
+                rows["media_id"].append(mid)
+                info = None
+                if payload is not None and wav.is_wav(payload):
+                    try:
+                        info = wav.decode_wav(payload)
+                    except ValueError:  # outside the PCM subset
+                        info = None
+                if info is not None:
+                    dur_ms = info.duration_ms
+                    per_frame = info.sample_rate * frame_ms // 1000
+                    rows["sample_rate"].append(info.sample_rate)
+                    rows["duration_ms"].append(dur_ms)
+                    rows["n_frames"].append(dur_ms // frame_ms)
+                    rows["frame0_checksum"].append(
+                        _byte_sum(info.pcm[: per_frame * info.block_align])
+                    )
+                    rows["decoder"].append("wav-pcm")
+                    continue
+                rows["sample_rate"].append(None if pd.isna(rate) else int(rate))
+                dur_i = None if pd.isna(dur) else int(dur)
+                rows["duration_ms"].append(dur_i)
+                rows["n_frames"].append(
+                    None if dur_i is None else dur_i // frame_ms
+                )
+                rows["frame0_checksum"].append(
+                    _byte_sum_safe(
+                        None
+                        if payload is None
+                        else payload[HEADER_LEN : HEADER_LEN + slice_len]
+                    )
+                )
+                rows["decoder"].append("stub-deterministic")
+            out = pd.DataFrame(rows)
+            for c in ("sample_rate", "duration_ms"):
+                out[c] = out[c].astype("Int32")
+            for c in ("n_frames", "frame0_checksum"):
+                out[c] = out[c].astype("Int64")
+            yield out
 
     return auds.mapInPandas(frames, schema=AUDIO_FRAMES_SCHEMA)
 

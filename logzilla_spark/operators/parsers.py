@@ -98,20 +98,38 @@ class GrokParser:
       ``ts=None`` handling in the assembler.
     - ``level_group``: optional group run through the exact reference
       level table; else ``level_static``.
-    - ``message_groups``: groups joined with spaces into the message.
+    - ``message_groups``: groups joined with spaces into the message;
+      when empty, ``message_static`` (default "") is the message.
+    - ``ts_static``: a constant timestamp string parsed with
+      ``ts_format_spark`` — a claimed line gets this fixed ts, and an
+      unparseable constant means the parser never claims (the Lua
+      contract for a bad constant: every record errors, lua.go:104-107).
+    - ``metadata_groups``: ``None`` -> every named group becomes a
+      metadata key (the original behavior); else an ordered tuple of
+      ``"group"`` or ``("map_key", "group")`` entries selecting and
+      renaming what reaches metadata (the Lua fast path maps a table
+      constructor here; also lets grok users keep scratch groups out
+      of the stored map).
     """
 
     name: str
     pattern: str
     ts_group: str | None = None
     ts_format_spark: str | None = None
+    ts_static: str | None = None
     level_group: str | None = None
     level_static: str = "UNKNOWN"
     message_groups: tuple[str, ...] = ()
+    message_static: str = ""
+    metadata_groups: tuple | None = None
 
     def plan(self, lines: DataFrame, claimed: Column):
         if self.ts_group and not self.ts_format_spark:
             raise ValueError(f"{self.name}: ts_group needs ts_format_spark")
+        if self.ts_static is not None and not self.ts_format_spark:
+            raise ValueError(f"{self.name}: ts_static needs ts_format_spark")
+        if self.ts_static is not None and self.ts_group:
+            raise ValueError(f"{self.name}: ts_static and ts_group are exclusive")
         line = F.col("line")
         spark_re, idx = _spark_pattern(self.pattern)
         n = len(idx)
@@ -176,6 +194,11 @@ class GrokParser:
         if self.ts_group:
             ts = F.try_to_timestamp(g(self.ts_group), F.lit(self.ts_format_spark))
             ok = ok & ts.isNotNull()
+        elif self.ts_static is not None:
+            ts = F.try_to_timestamp(
+                F.lit(self.ts_static), F.lit(self.ts_format_spark)
+            )
+            ok = ok & ts.isNotNull()
         level = (
             parse_level_col(g(self.level_group))
             if self.level_group
@@ -184,10 +207,26 @@ class GrokParser:
         message = (
             F.concat_ws(" ", *[g(m) for m in self.message_groups])
             if self.message_groups
-            else F.lit("")
+            else F.lit(self.message_static)
         )
-        metadata = F.create_map(
-            *_it_chain.from_iterable((F.lit(n_), g(n_)) for n_ in idx)
+        if self.metadata_groups is None:
+            entries = [(n_, n_) for n_ in idx]
+        else:
+            entries = [
+                (e, e) if isinstance(e, str) else (e[0], e[1])
+                for e in self.metadata_groups
+            ]
+            for _, grp in entries:
+                if grp not in idx:
+                    raise ValueError(
+                        f"{self.name}: metadata group {grp!r} not in pattern"
+                    )
+        metadata = (
+            F.create_map(
+                *_it_chain.from_iterable((F.lit(k_), g(g_)) for k_, g_ in entries)
+            )
+            if entries
+            else empty_metadata()
         )
         return lines, {
             "ok": ok, "ts": ts, "level": level,

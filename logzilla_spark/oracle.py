@@ -135,6 +135,33 @@ SELECT r.id, r.source, r."timestamp",
 FROM records r LEFT JOIN leg l ON r.id = l.id"""
 
 
+def records_lua_sql(pages_path: str) -> str:
+    """Twin of the Lua-script chain (access, json, lua_legacy): a
+    reference-style ``parse_log`` Lua script (operators/lua.py, here
+    compiled to the codegen tier) claims the `garbage line N` tail.
+    The Lua contract requires a parseable RFC3339 timestamp
+    (reference lua.go:104-107) — the script returns an epoch constant
+    rather than inheriting ingest time, so claimed rows get it."""
+    return f"""WITH {records_cte(pages_path)},
+leg AS (
+  SELECT url || '#' || printf('%04d', pos) AS id,
+         regexp_matches(line, '{LEGACY_RE_SQL}') AS leg_ok,
+         regexp_extract(line, '{LEGACY_RE_SQL}', 1) AS n
+  FROM classified WHERE NOT json_ok AND NOT acc_ok
+)
+SELECT r.id, r.source,
+       CASE WHEN coalesce(l.leg_ok, FALSE)
+            THEN TIMESTAMP '1970-01-01 00:00:00' ELSE r."timestamp"
+       END AS "timestamp",
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN 'DEBUG' ELSE r.level END AS level,
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN l.n ELSE r.message END AS message,
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN 'lua_legacy' ELSE r.category END AS category,
+       r.lang,
+       (r.parse_ok OR coalesce(l.leg_ok, FALSE)) AS parse_ok,
+       CASE WHEN coalesce(l.leg_ok, FALSE) THEN l.n END AS m_n
+FROM records r LEFT JOIN leg l ON r.id = l.id"""
+
+
 RECORDS_SELECT = (
     'SELECT id, source, "timestamp", level, message, category, lang, parse_ok, '
     "url, warc_ts, m_service, m_request_id, m_attempt, m_ip, m_method, m_path, "

@@ -779,7 +779,8 @@ def audio_frames_sql(media_path: str, frame_ms: int = 250) -> str:
 )
 SELECT media_id, sample_rate, duration_ms,
        CAST(duration_ms // {frame_ms} AS BIGINT) AS n_frames,
-       {_ascii_sum("substring(d, 5, 64)")} AS frame0_checksum
+       {_ascii_sum("substring(d, 5, 64)")} AS frame0_checksum,
+       'stub-deterministic' AS decoder
 FROM m"""
 
 
