@@ -532,3 +532,82 @@ def test_config_lua_kind_bad_script_fails_fast(tmp_path):
         _register_configured_parsers(
             [{"name": "bad", "kind": "lua", "script": "this is not lua ((("}]
         )
+
+
+def test_lua_chain_on_structured_stream(spark, tmp_path):
+    """Both Lua tiers inside ONE real Structured Streaming query over
+    three micro-batch triggers, landing exactly the batch result — the
+    streaming twin of the reference running its Lua processor on live
+    sources (engine/orchestrator.go applies processors per record as
+    sources produce them). records_from_lines is stateless narrow
+    transforms only, so the same plan runs batch and streaming."""
+    import os
+
+    fast = lua_parser("luafaststream", script=_CANONICAL)
+    slow = lua_parser(
+        "luaevtstream",
+        script="""
+local json = require("json")
+function parse_log(line)
+  local body = string.match(line, "^EVT (.*)$")
+  if body == nil then error("not EVT") end
+  local t = json.decode(body)
+  return t.sev, t.msg, t.ts, { svc = t.svc }
+end
+""",
+        candidate_re=r"^EVT ",
+    )
+    assert fast.mode == "codegen" and slow.mode == "arrow"
+    P.register_parser(fast, replace=True)
+    P.register_parser(slow, replace=True)
+    chain = ("luafaststream", "luaevtstream")
+    all_lines = [
+        "2024-03-05T06:07:08Z error [500] upstream timed out",
+        'EVT {"sev":"warn","msg":"spill","ts":"2024-03-05T06:07:09Z","svc":"db"}',
+        "garbage neither claims",
+        "2024-03-05T06:07:10+02:00 info [200] ok",
+        'EVT {"sev":"info","msg":"x","ts":"bad-ts","svc":"db"}',  # errors -> unparsed
+        "2024-13-05T06:07:08Z error [1] bad month",
+    ]
+    try:
+        in_dir = str(tmp_path / "lines_in")
+        os.makedirs(in_dir)
+        for b in range(3):  # 2 lines per micro-batch
+            part = all_lines[b * 2 : b * 2 + 2]
+            df = _line_rows(spark, *part).withColumn(
+                "url", F.concat(F.lit(f"b{b}-"), F.col("url"))
+            )
+            df.coalesce(1).write.parquet(str(tmp_path / f"stage{b}"))
+            src = next(
+                f
+                for f in os.listdir(tmp_path / f"stage{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(tmp_path / f"stage{b}" / src, f"{in_dir}/batch{b}.parquet")
+
+        stream = (
+            spark.readStream.schema(_LINES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            P.records_from_lines(stream, chain=chain)
+            .writeStream.format("memory")
+            .queryName("lua_chain_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        got = _envelope(spark.table("lua_chain_stream"))
+
+        batch = spark.read.parquet(in_dir)
+        want = _envelope(P.records_from_lines(batch, chain=chain))
+        assert got == want
+        cats = {r[1] for r in got}
+        assert {"luafaststream", "luaevtstream", "unparsed"} <= cats
+        claimed = [r for r in got if r[6]]
+        assert len(claimed) == 3  # two fast-tier lines + one EVT line
+    finally:
+        P.unregister_parser("luafaststream")
+        P.unregister_parser("luaevtstream")
