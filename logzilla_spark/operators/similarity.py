@@ -333,10 +333,20 @@ def ivf_train_kmeans(
     so an untruncated loop would DOUBLE the lazy plan each iteration —
     2^n_iters clones of the corpus scan by the time a consumer runs.
     """
+    from logzilla_spark.functions.caching import persist_tracked
     from logzilla_spark.functions.lineage import truncate
 
     seeds = ivf_seeds(emb, n_cells, id_col, vec_col)
-    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # every Lloyd iteration re-reads the vector frame (assignment) —
+    # persist it ONCE for the loop instead of n_iters parquet scans
+    # (tracked: functions/caching.py). Measured NEUTRAL at sf0.1
+    # (5.6s -> 5.8s best-of-3, within noise: the toy table scans in
+    # ~ms and the loop is stage-latency-bound), but n_iters scans of a
+    # production-scale training sample is the term that dominates at
+    # 100 TB — the persist is for that regime.
+    vecs = persist_tracked(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
     for _ in range(int(n_iters)):
         assigned = ivf_assign(vecs, seeds, "vec_id", "embedding")
         dims = assigned.select(
@@ -482,4 +492,170 @@ def semdedup(
     return assigned.join(dropped, "id", "left").select(
         "id", "cell", "centroid_cos",
         F.col("_dropped").isNull().alias("is_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public): split the embedding
+# into PQ_M subvectors and quantize each against a PQ_KSUB-codeword
+# codebook. A float vector (dim x 4 B) becomes PQ_M small ints — the
+# compression that makes 100 TB-scale ANN memory-resident (the corpus
+# scan for a query touches codes, never raw vectors). Scoring is ADC
+# (asymmetric distance computation): per probe, an m x ksub lookup
+# table of partial L2^2 distances; a candidate's score is m table
+# lookups summed.
+#
+# Exactness pattern (same as the IVF quantizer above): codebooks are
+# SEEDED — subvectors of the ksub lowest-id corpus vectors — so codes
+# and ADC scores are bit-reproducible in the DuckDB twin (every fold
+# below is a pinned left-to-right aggregate; see dedup.cosine_expr).
+# Trained (k-means) codebooks are a deployment swap, exactly like
+# ivf_train_kmeans for cells.
+# --------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces (dim 64 -> 8-dim subvectors)
+PQ_KSUB = 16   # codewords per subspace (codes fit 4 bits; stored int)
+
+
+def l2sq_expr(a_col: str, b_col: str) -> str:
+    """Pinned-order squared-L2 fold — bit-identical in DuckDB (the
+    same discipline as ``dedup.cosine_expr``: zip_with then a
+    left-to-right aggregate, all doubles)."""
+    return (
+        f"aggregate(zip_with({a_col}, {b_col}, (p, q) -> "
+        "(cast(p as double) - cast(q as double)) * "
+        "(cast(p as double) - cast(q as double))), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _subvectors(vec_col: str, m: int, dim: int) -> str:
+    """array of (sub, subvector) structs — one narrow expression."""
+    dsub = dim // m
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"named_struct('sub', cast(s as int), "
+        f"'sv', slice({vec_col}, s * {dsub} + 1, {dsub})))"
+    )
+
+
+def pq_codebooks_seeded(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, codeword): codewords are the subvectors of the
+    ``ksub`` lowest-id corpus vectors (deterministic; the global
+    window runs on ksub rows only, like ivf_seeds)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = Window.orderBy("id")
+    base = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(int(ksub))
+        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+    )
+    return base.select(
+        "code", F.explode(F.expr(_subvectors("v", m, dim))).alias("_s")
+    ).select(F.col("_s.sub").alias("sub"), "code", F.col("_s.sv").alias("codeword"))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the L2^2-nearest
+    codeword (ties -> lowest code).
+
+    Scale shape: the corpus explodes to m rows per vector, joins the
+    broadcast (m x ksub)-row codebook, and the argmin is a min_by that
+    completes map-side — the only shuffles carry m rows then 1 row per
+    vector. No corpus broadcast, no window over the corpus.
+    """
+    sv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
+    ).select("vec_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
+        "_d", F.expr(l2sq_expr("sv", "codeword"))
+    )
+    picked = scored.groupBy("vec_id", "sub").agg(
+        F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code")
+    )
+    return picked.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))), s -> s.code)"
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes: smallest summed partial
+    L2^2 wins (rank by adc ASC, id ASC tiebreak).
+
+    The probe LUTs (m x ksub doubles per probe) are broadcast; the
+    corpus side is the CODES table — m ints per vector — so the scan
+    that serves a query never touches raw embeddings. The adc fold is
+    zip_with(codes, luts) ordered by sub, pinned left-to-right, so the
+    DuckDB twin reproduces the exact double bits.
+    """
+    codebooks = pq_codebooks_seeded(emb, m, ksub, dim, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    psv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
+    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    lut_sub = (
+        psv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
+        .groupBy("probe_id", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
+            ).alias("lut")
+        )
+    )
+    luts = lut_sub.groupBy("probe_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
+        ).alias("luts")
+    )
+    scored = (
+        codes.join(F.broadcast(luts), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+                "cast(0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("probe_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("probe_id", "neighbor_id", "adc", "rank")
     )

@@ -1029,6 +1029,79 @@ WHERE pc.probe_id != a.id
 QUALIFY rank <= {int(k)}"""
 
 
+def _l2sq_sql(x: str, y: str, dsub: int) -> str:
+    """Pinned-order squared-L2 fold over dsub dims — bit-matches
+    similarity.l2sq_expr (same discipline as _dot_sql)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dsub + 1}), "
+        f"i -> (CAST({x}[i] AS DOUBLE) - CAST({y}[i] AS DOUBLE)) * "
+        f"(CAST({x}[i] AS DOUBLE) - CAST({y}[i] AS DOUBLE)))), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def pq_topk_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+    m: int = similarity.PQ_M,
+    ksub: int = similarity.PQ_KSUB,
+) -> str:
+    """Twin of similarity.pq_topk: seeded codebooks (subvectors of the
+    ksub lowest-id vectors), per-subspace argmin encode (L2^2 ASC,
+    code ASC — Spark's min_by over (d, code)), and the ADC score as a
+    sub-ordered pinned fold (list_sort by sub, then list_reduce
+    left-to-right == Spark's zip_with(codes, luts) aggregate)."""
+    dsub = dim // m
+    enc_d = _l2sq_sql("sv.sv", "cb.codeword", dsub)
+    lut_d = _l2sq_sql("psv.sv", "cb.codeword", dsub)
+    return f"""WITH e AS (SELECT vec_id, embedding FROM {_rel(emb_path)}),
+subs AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS sub),
+cb AS (
+  SELECT s.sub, b.code,
+         list_slice(b.embedding, s.sub * {dsub} + 1, s.sub * {dsub} + {dsub}) AS codeword
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+               embedding
+        FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {int(ksub)})) b
+  CROSS JOIN subs s
+),
+sv AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.embedding, s.sub * {dsub} + 1, s.sub * {dsub} + {dsub}) AS sv
+  FROM e CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {enc_d} ASC, cb.code) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1
+),
+psv AS (
+  SELECT vec_id AS probe_id, sub, sv FROM sv WHERE vec_id % {probe_mod} = 0
+),
+lut AS (
+  SELECT psv.probe_id, psv.sub, cb.code, {lut_d} AS pd
+  FROM psv JOIN cb USING (sub)
+),
+scored AS (
+  SELECT l.probe_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(struct_pack(sub := c.sub, pd := l.pd))),
+                          x -> x.pd)),
+           (acc, v) -> acc + v) AS adc
+  FROM enc c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE l.probe_id != c.vec_id
+  GROUP BY l.probe_id, c.vec_id
+)
+SELECT probe_id, neighbor_id, adc,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= {int(k)}"""
+
+
 def bpe_pair_counts_sql(docs_path: str, min_freq: int = MIN_PAIR_FREQ) -> str:
     """Twin of textstats.bpe_pair_counts: word-frequency table once,
     char pairs + end-of-word boundary pair enumerated per distinct

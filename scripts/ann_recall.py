@@ -86,6 +86,49 @@ def main() -> None:
             f"{similarity.IVF_CELLS} cells, {similarity.IVF_TRAIN_ITERS} Lloyd iters",
         )
 
+    # PQ ranks by ADC squared-L2, so its native ground truth is the
+    # exact L2 top-k (same brute-force shape); the cosine-baseline row
+    # is shown too for cross-path comparability (the synthetic vectors
+    # have near-equal norms, so the two rankings mostly agree).
+    from pyspark.sql import Window
+
+    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_ce"))
+    wl2 = Window.partitionBy("probe_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    exact_l2 = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("l2", F.expr(similarity.l2sq_expr("_pe", "_ce")))
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id")
+        .cache()
+    )
+    exact_l2.count()
+    pq = similarity.pq_topk(emb, probes, k=k).cache()
+    pq_note = (
+        f"m={similarity.PQ_M}, ksub={similarity.PQ_KSUB} seeded codebooks "
+        f"({similarity.EMB_DIM * 4 // similarity.PQ_M}x code compression)"
+    )
+    t = time.time()
+    r = recall_at_k(exact_l2, pq, k)
+    rows.append(("PQ ADC vs exact-L2 truth", r, time.time() - t, pq_note))
+    print(f"PQ vs L2: recall@{k}={r:.4f}")
+    add("PQ ADC vs cosine truth", pq, pq_note)
+    for ksub in (64, 256):
+        pq_k = similarity.pq_topk(emb, probes, k=k, ksub=ksub)
+        t = time.time()
+        r = recall_at_k(exact_l2, pq_k, k)
+        rows.append(
+            (
+                f"PQ ADC ksub={ksub} vs exact-L2 truth", r, time.time() - t,
+                f"m={similarity.PQ_M} seeded codebooks — the codebook-size "
+                "recall lever",
+            )
+        )
+        print(f"PQ ksub={ksub} vs L2: recall@{k}={r:.4f}")
+
     lines = [
         "# ANN recall@k vs exact brute force",
         "",
@@ -118,6 +161,14 @@ def main() -> None:
         "operator (oracle-checked). On clustered real-world embeddings all "
         "bucketed paths improve; the RELATIVE ordering (k-means > seeded at "
         "every nprobe, monotone in nprobe) is the load-bearing result.",
+        "",
+        "PQ (product quantization, Jégou '11) is the COMPRESSION path, not "
+        "a pruning path: it scans every candidate but touches only m-int "
+        "codes — its recall ceiling is set by quantization error, "
+        "independent of bucketing, and improves with ksub/m or trained "
+        "codebooks (the seeded codebooks here are the oracle-exact shape, "
+        "like the seeded IVF quantizer). Compose with IVF for "
+        "prune-then-compress at full scale.",
         "",
         "Reading: the seeded quantizer (lowest-id vectors as centroids) is "
         "the oracle-checked plan shape; k-means training (deterministic "
