@@ -382,6 +382,10 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_topk_pq": lambda s, d: similarity.pq_topk(
             _emb(s, d), _probes(_emb(s, d))
         ),
+        # IVF x PQ: prune-then-compress, the full-scale ANN shape
+        "q_sim_topk_ivfpq": lambda s, d: similarity.pq_topk_ivf(
+            _emb(s, d), _probes(_emb(s, d))
+        ),
         # --- text analysis (documents table) ---
         "q_text_langid": lambda s, d: textstats.language_id(_docs(s, d)),
         "q_text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
@@ -486,6 +490,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_sim_topk_lsh": oracle_dataops.cosine_topk_lsh_sql(emb, probe_mod=PROBE_MOD),
         "q_sim_topk_ivf": oracle_dataops.cosine_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
         "q_sim_topk_pq": oracle_dataops.pq_topk_sql(emb, probe_mod=PROBE_MOD),
+        "q_sim_topk_ivfpq": oracle_dataops.pq_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
         "q_text_langid": oracle_dataops.language_id_sql(docs),
         "q_text_quality": oracle_dataops.quality_score_sql(docs),
         "q_text_tokens": oracle_dataops.token_counts_sql(docs),

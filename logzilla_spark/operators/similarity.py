@@ -659,3 +659,96 @@ def pq_topk(
         .filter(F.col("rank") <= int(k))
         .select("probe_id", "neighbor_id", "adc", "rank")
     )
+
+
+def pq_topk_ivf(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMB_DIM,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ — prune-then-compress, the full-scale ANN shape
+    (FAISS's IVFPQ index family, from the public Jégou '11 paper):
+    the IVF coarse quantizer restricts candidates to each probe's
+    ``nprobe`` nearest cells, and those candidates are scored by ADC
+    over PQ codes — the serving scan touches (cell, codes) rows only,
+    never raw embeddings.
+
+    Both quantizers are the SEEDED oracle-exact variants (swap in
+    ivf_train_kmeans cells / trained codebooks at deployment). At
+    100 TB: the corpus is assigned and encoded ONCE (one row per
+    vector through each shuffle), the codes table is the only thing a
+    query reads, and per-query work is nprobe cells x m lookups per
+    candidate.
+    """
+    seeds = ivf_seeds(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(emb, seeds, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    codebooks = pq_codebooks_seeded(emb, m, ksub, dim, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    corpus = codes.join(assigned, "neighbor_id")
+
+    pc = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        pc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= int(nprobe))
+        .select("probe_id", "_pe", "cell")
+    )
+
+    psv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
+    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    lut_sub = (
+        psv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
+        .groupBy("probe_id", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
+            ).alias("lut")
+        )
+    )
+    luts = lut_sub.groupBy("probe_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
+        ).alias("luts")
+    )
+    probe_side = probe_cells.select("probe_id", "cell").join(luts, "probe_id")
+
+    scored = (
+        corpus.join(F.broadcast(probe_side), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+                "cast(0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("probe_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("probe_id", "neighbor_id", "adc", "rank")
+    )

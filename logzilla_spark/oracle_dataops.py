@@ -1102,6 +1102,92 @@ SELECT probe_id, neighbor_id, adc,
 FROM scored QUALIFY rank <= {int(k)}"""
 
 
+def pq_topk_ivf_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+    m: int = similarity.PQ_M,
+    ksub: int = similarity.PQ_KSUB,
+    n_cells: int = similarity.IVF_CELLS,
+    nprobe: int = similarity.IVF_NPROBE,
+) -> str:
+    """Twin of similarity.pq_topk_ivf: the cosine_topk_ivf_sql seeded
+    quantizer + assignment composed with the pq_topk_sql seeded
+    codebooks + encode + pinned ADC fold; candidates are the probe's
+    nprobe cells only."""
+    dsub = dim // m
+    enc_d = _l2sq_sql("sv.sv", "cb.codeword", dsub)
+    lut_d = _l2sq_sql("psv.sv", "cb.codeword", dsub)
+    cos_assign = _cosine_sql("e.embedding", "s.seed", dim)
+    cos_probe = _cosine_sql("p.embedding", "s.seed", dim)
+    return f"""WITH e AS (SELECT vec_id, embedding FROM {_rel(emb_path)}),
+subs AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS sub),
+cb AS (
+  SELECT s.sub, b.code,
+         list_slice(b.embedding, s.sub * {dsub} + 1, s.sub * {dsub} + {dsub}) AS codeword
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+               embedding
+        FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {int(ksub)})) b
+  CROSS JOIN subs s
+),
+sv AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.embedding, s.sub * {dsub} + 1, s.sub * {dsub} + {dsub}) AS sv
+  FROM e CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {enc_d} ASC, cb.code) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding AS seed
+  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {int(n_cells)})
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_assign} DESC, s.cell) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1
+),
+p AS (SELECT vec_id, embedding FROM e WHERE vec_id % {probe_mod} = 0),
+pc AS (
+  SELECT vec_id AS probe_id, cell FROM (
+    SELECT p.vec_id, s.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {cos_probe} DESC, s.cell) AS rn
+    FROM p CROSS JOIN seeds s) WHERE rn <= {int(nprobe)}
+),
+psv AS (
+  SELECT vec_id AS probe_id, sub, sv FROM sv WHERE vec_id % {probe_mod} = 0
+),
+lut AS (
+  SELECT psv.probe_id, psv.sub, cb.code, {lut_d} AS pd
+  FROM psv JOIN cb USING (sub)
+),
+scored AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(struct_pack(sub := c.sub, pd := l.pd))),
+                          x -> x.pd)),
+           (acc, v) -> acc + v) AS adc
+  FROM pc
+  JOIN assign a ON a.cell = pc.cell AND a.vec_id != pc.probe_id
+  JOIN enc c ON c.vec_id = a.vec_id
+  JOIN lut l ON l.probe_id = pc.probe_id AND l.sub = c.sub AND l.code = c.code
+  GROUP BY pc.probe_id, a.vec_id
+)
+SELECT probe_id, neighbor_id, adc,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= {int(k)}"""
+
+
 def bpe_pair_counts_sql(docs_path: str, min_freq: int = MIN_PAIR_FREQ) -> str:
     """Twin of textstats.bpe_pair_counts: word-frequency table once,
     char pairs + end-of-word boundary pair enumerated per distinct

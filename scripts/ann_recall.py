@@ -128,6 +128,19 @@ def main() -> None:
             )
         )
         print(f"PQ ksub={ksub} vs L2: recall@{k}={r:.4f}")
+    for nprobe in (2, 4):
+        ivfpq = similarity.pq_topk_ivf(emb, probes, k=k, ksub=256, nprobe=nprobe)
+        t = time.time()
+        r = recall_at_k(exact_l2, ivfpq, k)
+        rows.append(
+            (
+                f"IVFxPQ nprobe={nprobe} ksub=256 vs exact-L2 truth", r,
+                time.time() - t,
+                "prune-then-compress: recall ~= IVF(nprobe) ceiling x PQ "
+                "quantization quality",
+            )
+        )
+        print(f"IVFxPQ nprobe={nprobe}: recall@{k}={r:.4f}")
 
     lines = [
         "# ANN recall@k vs exact brute force",

@@ -133,3 +133,47 @@ def test_pq_compression_contract(spark, emb_df):
 def test_pq_rejects_indivisible_dim(spark, emb_df):
     with pytest.raises(ValueError):
         S.pq_codebooks_seeded(emb_df, m=5, ksub=KSUB, dim=DIM)
+
+
+def test_pq_topk_ivf_consistent_with_components(spark, emb_df):
+    """IVF x PQ composition: every returned neighbor lives in one of
+    its probe's nprobe cells, and its adc equals the pure-PQ adc for
+    the same (probe, neighbor) pair (the composition changes the
+    CANDIDATE SET, never the score)."""
+    from pyspark.sql import functions as F
+
+    probes_df = emb_df.filter("vec_id % 10 = 0")
+    ivfpq = S.pq_topk_ivf(
+        emb_df, probes_df, k=3, m=M, ksub=KSUB, dim=DIM, n_cells=4, nprobe=2
+    ).collect()
+    assert ivfpq and all(r.rank <= 3 for r in ivfpq)
+
+    # score consistency vs the unpruned PQ scorer
+    pq_all = {
+        (r.probe_id, r.neighbor_id): r.adc
+        for r in S.pq_topk(
+            emb_df, probes_df, k=len(emb_df.collect()), m=M, ksub=KSUB, dim=DIM
+        ).collect()
+    }
+    for r in ivfpq:
+        assert pq_all[(r.probe_id, r.neighbor_id)] == r.adc
+
+    # candidate-set consistency vs the IVF assignment
+    seeds = S.ivf_seeds(emb_df, 4)
+    cell_of = {
+        r.id: r.cell for r in S.ivf_assign(emb_df, seeds).collect()
+    }
+    pc = (
+        probes_df.select(F.col("vec_id").alias("probe_id"), "embedding")
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cos", F.expr(S.cosine_expr("embedding", "seed")))
+        .collect()
+    )
+    by_probe = {}
+    for row in pc:
+        by_probe.setdefault(row.probe_id, []).append((-row._cos, row.cell))
+    probe_cells = {
+        p: {c for _, c in sorted(v)[:2]} for p, v in by_probe.items()
+    }
+    for r in ivfpq:
+        assert cell_of[r.neighbor_id] in probe_cells[r.probe_id]
