@@ -752,3 +752,129 @@ def pq_topk_ivf(
         .filter(F.col("rank") <= int(k))
         .select("probe_id", "neighbor_id", "adc", "rank")
     )
+
+
+PQ_TRAIN_ITERS = 5
+
+
+def pq_train_kmeans(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMB_DIM,
+    n_iters: int = PQ_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained PQ codebooks: deterministic Lloyd k-means run PER
+    SUBSPACE, all m subspaces in ONE lineage (the sub column keys the
+    aggregations — no per-subspace jobs). Drop-in for
+    :func:`pq_codebooks_seeded`'s output; same determinism contract as
+    :func:`ivf_train_kmeans` (seeded init, fixed iterations, (d, code)
+    tie-breaks) and the same caveat: float means are not bit-portable
+    across engines, so trained codebooks are graded by the recall
+    report, not the hash oracle.
+
+    Scale shape per iteration: corpus x m rows join the broadcast
+    (m x ksub)-row codebook, the argmin min_by completes map-side (one
+    row per (vector, sub) crosses the shuffle), then a
+    (sub, code, pos) mean over the exploded subvectors — uniform keys,
+    two-phase with map-side partials. The codebook frame is
+    lineage-truncated every iteration (the CC-loop discipline).
+    """
+    from logzilla_spark.functions.caching import persist_tracked
+    from logzilla_spark.functions.lineage import truncate
+
+    cb = pq_codebooks_seeded(emb, m, ksub, dim, id_col, vec_col)
+    sv = persist_tracked(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
+        ).select("vec_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    )
+    for _ in range(int(n_iters)):
+        assigned = (
+            sv.join(F.broadcast(cb), "sub")
+            .withColumn("_d", F.expr(l2sq_expr("sv", "codeword")))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("code", "sv"), F.struct(F.col("_d"), F.col("code"))
+                ).alias("_k")
+            )
+            .select("sub", F.col("_k.code").alias("code"), F.col("_k.sv").alias("sv"))
+        )
+        means = assigned.select(
+            "sub", "code", F.posexplode("sv").alias("pos", "v")
+        ).groupBy("sub", "code", "pos").agg(F.avg("v").alias("m"))
+        new_cb = means.groupBy("sub", "code").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("codeword")
+        )
+        cb = truncate(
+            cb.select("sub", "code", F.col("codeword").alias("_old"))
+            .join(new_cb, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce("codeword", "_old").alias("codeword")
+            ),
+            None,
+        )
+    return cb
+
+
+def pq_topk_trained(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMB_DIM,
+    n_iters: int = PQ_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_topk with k-means-trained codebooks (recall path; see
+    pq_train_kmeans for why it is recall-graded, not hash-graded)."""
+    codebooks = pq_train_kmeans(emb, m, ksub, dim, n_iters, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    psv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
+    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    lut_sub = (
+        psv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
+        .groupBy("probe_id", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
+            ).alias("lut")
+        )
+    )
+    luts = lut_sub.groupBy("probe_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
+        ).alias("luts")
+    )
+    scored = (
+        codes.join(F.broadcast(luts), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+                "cast(0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("probe_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("probe_id", "neighbor_id", "adc", "rank")
+    )

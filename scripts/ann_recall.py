@@ -128,6 +128,19 @@ def main() -> None:
             )
         )
         print(f"PQ ksub={ksub} vs L2: recall@{k}={r:.4f}")
+    for ksub in (16, 64):
+        pq_t = similarity.pq_topk_trained(emb, probes, k=k, ksub=ksub)
+        t = time.time()
+        r = recall_at_k(exact_l2, pq_t, k)
+        rows.append(
+            (
+                f"PQ ADC k-means ksub={ksub} vs exact-L2 truth", r,
+                time.time() - t,
+                f"{similarity.PQ_TRAIN_ITERS} Lloyd iters per subspace "
+                "(one lineage, sub-keyed)",
+            )
+        )
+        print(f"PQ trained ksub={ksub} vs L2: recall@{k}={r:.4f}")
     for nprobe in (2, 4):
         ivfpq = similarity.pq_topk_ivf(emb, probes, k=k, ksub=256, nprobe=nprobe)
         t = time.time()

@@ -177,3 +177,43 @@ def test_pq_topk_ivf_consistent_with_components(spark, emb_df):
     }
     for r in ivfpq:
         assert cell_of[r.neighbor_id] in probe_cells[r.probe_id]
+
+
+def test_pq_train_kmeans_deterministic_and_improving(spark, emb_df):
+    """Trained codebooks: same input -> identical codebooks across two
+    runs (seeded init, fixed iterations, pinned tie-breaks), codebook
+    shape preserved, and total quantization error does not increase
+    vs the seeded init (Lloyd iterations are non-increasing in the
+    summed assignment distance)."""
+    from pyspark.sql import functions as F
+
+    cb1 = {
+        (r.sub, r.code): list(r.codeword)
+        for r in S.pq_train_kmeans(emb_df, M, KSUB, DIM, n_iters=3).collect()
+    }
+    cb2 = {
+        (r.sub, r.code): list(r.codeword)
+        for r in S.pq_train_kmeans(emb_df, M, KSUB, DIM, n_iters=3).collect()
+    }
+    assert cb1 == cb2
+    assert len(cb1) == M * KSUB
+    assert all(len(cw) == DSUB for cw in cb1.values())
+
+    def total_err(cb_df):
+        sv = emb_df.select(
+            F.explode(F.expr(S._subvectors("embedding", M, DIM))).alias("_s")
+        ).select(F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+        return (
+            sv.join(F.broadcast(cb_df), "sub")
+            .withColumn("_d", F.expr(S.l2sq_expr("sv", "codeword")))
+            .groupBy("sub", "sv")
+            .agg(F.min("_d").alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    seeded_err = total_err(S.pq_codebooks_seeded(emb_df, M, KSUB, DIM))
+    trained_err = total_err(
+        S.pq_train_kmeans(emb_df, M, KSUB, DIM, n_iters=3)
+    )
+    assert trained_err <= seeded_err + 1e-9
