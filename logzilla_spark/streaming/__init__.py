@@ -1,6 +1,7 @@
 from .stream_pipeline import (
     route_batch,
     start_agg_stream,
+    start_logfile_routing_stream,
     start_routing_stream,
     stream_pages,
     streaming_windowed_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "stream_pages",
     "streaming_windowed_counts",
     "start_routing_stream",
+    "start_logfile_routing_stream",
     "start_agg_stream",
     "route_batch",
     "upsert_agg_batch",

@@ -146,7 +146,11 @@ def _already_committed(cat: LocalCatalog, table: str, query_id: str, batch_id: i
 
 
 def route_batch(
-    batch: DataFrame, cat: LocalCatalog, query_id: str, batch_id: int
+    batch: DataFrame,
+    cat: LocalCatalog,
+    query_id: str,
+    batch_id: int,
+    categories: tuple[str, ...] | None = None,
 ) -> dict[str, int]:
     """Fan one micro-batch of records out to the per-category sinks.
 
@@ -161,16 +165,19 @@ def route_batch(
     metadata-only, and per-sink row counts come from parquet footers
     (zero extra Spark jobs, vs the previous persist + per-category
     filter/append/count N-jobs-per-batch shape).
+
+    ``categories`` defaults to the engine's builtin sink set; a custom
+    parser chain passes its own (chain names + 'unparsed') so records a
+    user-registered parser claims are routed, not dropped.
     """
     import pyarrow.parquet as pq
 
     from ..operators.route import sink_name, write_partitioned_tables
 
-    committed = {c: _committed_map(cat, sink_name(c)) for c in CATEGORIES}
-    pending = [
-        c for c in CATEGORIES if committed[c].get(query_id, -1) < batch_id
-    ]
-    routed: dict[str, int] = {c: -1 for c in CATEGORIES if c not in pending}
+    cats = list(categories) if categories is not None else list(CATEGORIES)
+    committed = {c: _committed_map(cat, sink_name(c)) for c in cats}
+    pending = [c for c in cats if committed[c].get(query_id, -1) < batch_id]
+    routed: dict[str, int] = {c: -1 for c in cats if c not in pending}
     if not pending:
         return routed  # fully replayed epoch
     snaps = write_partitioned_tables(
@@ -207,6 +214,54 @@ def start_routing_stream(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         route_batch(batch, cat, query_id="route", batch_id=batch_id)
+
+    writer = records.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_logfile_routing_stream(
+    spark: SparkSession,
+    logs_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    chain: tuple[str, ...] = ("access", "json"),
+    source: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """RAW LOG FILES -> parser chain -> routed warehouse sinks — the
+    reference's entire operating loop (`logzilla -config`: tail files,
+    run processors, flush batches to storage) on its native input.
+
+    The source is :func:`..sources.textfiles.text_file_lines_stream`
+    (one micro-batch unit per new file; rotation = new path); the
+    parse stage is the REGISTRY chain, so user-registered grok /
+    pandas / Lua parsers apply on the stream unchanged; the sink is
+    the same exactly-once ``route_batch`` the pages stream uses
+    (query_id 'route_logs' keeps its commit ledger separate from the
+    pages stream's)."""
+    from ..operators.parsers import records_from_lines
+    from ..sources.textfiles import text_file_lines_stream
+
+    cat = LocalCatalog(warehouse)
+    lines = text_file_lines_stream(
+        spark, logs_dir, source=source,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    records = records_from_lines(lines, chain=chain)
+    # category values = chain parser names + the never-drop fallback —
+    # custom (grok/pandas/Lua) parsers get their own routed sinks
+    cats = tuple(dict.fromkeys(tuple(chain) + ("unparsed",)))
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        route_batch(
+            batch, cat, query_id="route_logs", batch_id=batch_id,
+            categories=cats,
+        )
 
     writer = records.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

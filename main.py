@@ -54,6 +54,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="parse stage implementation (hybrid = codegen grok + "
                         "JSON-only Arrow UDF; arrow = all-Python spec-exact UDF)")
     p.add_argument("--run-id", default=None, help="run id for lineage/metrics rows")
+    p.add_argument("--tail", default=None, metavar="LOGS_DIR",
+                   help="instead of a pipeline run, stream RAW LOG FILES from "
+                        "this directory through the parser chain into the "
+                        "warehouse's routed sinks (the reference's operating "
+                        "loop on its native input; availableNow drain — "
+                        "re-invoking resumes from the checkpoint)")
+    p.add_argument("--chain", default="access,json",
+                   help="parser chain for --tail (registry names, comma list)")
     p.add_argument("--shuffle-partitions", type=int, default=None,
                    help="override spark.sql.shuffle.partitions (default: leave "
                         "submit-conf/AQE in charge)")
@@ -102,6 +110,20 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.ingest:
             pipe.ingest_pages(spark.read.parquet(args.ingest))
+
+    if args.tail is not None:
+        import os
+
+        from logzilla_spark.streaming import start_logfile_routing_stream
+
+        ckpt = os.path.join(pipe.cat.warehouse, "_checkpoints", "route_logs")
+        q = start_logfile_routing_stream(
+            spark, args.tail, pipe.cat.warehouse, ckpt,
+            chain=tuple(c.strip() for c in args.chain.split(",") if c.strip()),
+        )
+        q.awaitTermination()
+        print(json.dumps({"tailed": args.tail, "warehouse": pipe.cat.warehouse}))
+        return 0
 
     if args.serve is not None:
         from logzilla_spark.operators.route import read_all_sinks

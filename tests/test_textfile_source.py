@@ -114,3 +114,64 @@ def test_stream_matches_batch_per_file_triggers(spark, tmp_path):
     new = [r for r in after if r not in got]
     assert len(after) == 6 and len(new) == 1
     assert new[0][0].endswith("c.log#0000")
+
+
+def test_logfile_routing_stream_end_to_end(spark, tmp_path):
+    """The reference's whole operating loop on its native input: raw
+    log files -> registry chain (including a LUA parser) -> routed
+    warehouse sinks, exactly-once, incremental across invocations."""
+    from logzilla_spark.operators.lua import lua_parser
+    from logzilla_spark.operators.route import sink_name
+    from logzilla_spark.sources.catalog import LocalCatalog
+    from logzilla_spark.streaming import start_logfile_routing_stream
+
+    in_dir = str(tmp_path / "logs")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _write(in_dir, "a.log", LOG_A)
+    _write(in_dir, "b.log", LOG_B + "garbage line 3\n")
+
+    P.register_parser(
+        lua_parser(
+            "luatail",
+            script=(
+                'function parse_log(line)\n'
+                '  local n = string.match(line, "^garbage line (%d+)$")\n'
+                '  if not n then return nil, nil, nil, {} end\n'
+                '  return "debug", n, "1970-01-01T00:00:00Z", { n = n }\n'
+                'end'
+            ),
+        ),
+        replace=True,
+    )
+    chain = ("access", "json", "luatail")
+    try:
+        q = start_logfile_routing_stream(
+            spark, in_dir, wh, ckpt, chain=chain, max_files_per_trigger=1
+        )
+        q.awaitTermination(timeout=300)
+        cat = LocalCatalog(wh)
+        counts = {
+            c: cat.read(spark, sink_name(c)).count()
+            for c in chain + ("unparsed",)
+        }
+        # LOG_A: json, access, blank->unparsed, "not a log line"->unparsed
+        # LOG_B file: json + the Lua-claimed garbage line
+        assert counts == {"json": 2, "access": 1, "luatail": 1, "unparsed": 2}
+        lua_rows = cat.read(spark, sink_name("luatail")).collect()
+        assert lua_rows[0].level == "DEBUG" and lua_rows[0].message == "3"
+
+        # rotation/incremental: a new file -> ONLY its rows append
+        _write(in_dir, "c.log", "garbage line 7\nnoise\n")
+        q2 = start_logfile_routing_stream(
+            spark, in_dir, wh, ckpt, chain=chain, max_files_per_trigger=1
+        )
+        q2.awaitTermination(timeout=300)
+        counts2 = {
+            c: cat.read(spark, sink_name(c)).count()
+            for c in chain + ("unparsed",)
+        }
+        assert counts2 == {"json": 2, "access": 1, "luatail": 2, "unparsed": 3}
+    finally:
+        P.unregister_parser("luatail")
