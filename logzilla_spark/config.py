@@ -23,6 +23,9 @@ Schema (TOML shown; JSON/YAML mirror it):
 
     [source]                             # optional one-shot ingest
     pages = "/path/pages.parquet"
+    # OR raw log files (the reference's file source, config.go:52-83):
+    # logs  = "/path/log_dir"            # consumed by main.py --config
+    #                                    # as a tail-follow stream
 
     [enrich]                             # optional broadcast dims
     dims_dir = "/path/dims"              # dim_lang.parquet, dim_severity.parquet
@@ -70,6 +73,7 @@ class PipelineConfig:
     chain: tuple[str, ...] | None = None
     use_html: bool = True
     pages_path: str | None = None
+    logs_dir: str | None = None
     dims_dir: str | None = None
     parsers: list[dict[str, Any]] = field(default_factory=list)
     shuffle_partitions: int | None = None
@@ -118,6 +122,7 @@ def load_config(path: str) -> PipelineConfig:
         chain=tuple(chain) if chain else None,
         use_html=bool(pipe.get("use_html", True)),
         pages_path=(doc.get("source") or {}).get("pages"),
+        logs_dir=(doc.get("source") or {}).get("logs"),
         dims_dir=(doc.get("enrich") or {}).get("dims_dir"),
         parsers=list(doc.get("parsers") or []),
         shuffle_partitions=(doc.get("session") or {}).get("shuffle_partitions"),

@@ -94,9 +94,16 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     if args.config:
-        from logzilla_spark.config import pipeline_from_file
+        from logzilla_spark.config import build_pipeline, load_config
 
-        pipe = pipeline_from_file(spark, args.config)
+        cfg = load_config(args.config)
+        pipe = build_pipeline(spark, cfg)
+        # config-declared file source (the reference's YAML file
+        # source) -> run the tail-follow loop with the config's chain
+        if args.tail is None and cfg.logs_dir:
+            args.tail = cfg.logs_dir
+            if cfg.chain:
+                args.chain = ",".join(cfg.chain)
     else:
         if not args.warehouse:
             build_arg_parser().error("--warehouse (or --config) is required")

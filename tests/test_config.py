@@ -125,3 +125,56 @@ def test_config_errors(tmp_path):
     q.write_text("x")
     with pytest.raises(ConfigError, match="unsupported config format"):
         load_config(str(q))
+
+
+def test_config_logs_source_drives_tail_loop(spark, tmp_path):
+    """A reference-style config — file source + a Lua script parser —
+    drives the whole tail-follow loop through main.py: the config's
+    chain applies on the stream and the Lua-claimed category gets its
+    own routed sink (the one-config switch-over story)."""
+    import os
+
+    import main as cli
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "x.log").write_text(
+        'garbage line 5\n'
+        '{"timestamp":"2024-01-02T03:04:05Z","level":"info","message":"m"}\n'
+    )
+    script = tmp_path / "legacy.lua"
+    script.write_text(
+        'function parse_log(line)\n'
+        '  local n = string.match(line, "^garbage line (%d+)$")\n'
+        '  if not n then return nil, nil, nil, {} end\n'
+        '  return "debug", n, "1970-01-01T00:00:00Z", { n = n }\nend\n'
+    )
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f"""
+[pipeline]
+warehouse = "{tmp_path}/wh"
+chain = ["access", "json", "cfgluatail"]
+
+[source]
+logs = "{logs}"
+
+[[parsers]]
+name = "cfgluatail"
+kind = "lua"
+script-path = "{script}"
+"""
+    )
+    c = load_config(str(cfg))
+    assert c.logs_dir == str(logs) and c.pages_path is None
+    try:
+        assert cli.main(["--config", str(cfg)]) == 0
+        cat = LocalCatalog(f"{tmp_path}/wh")
+        assert cat.read(spark, sink_name("cfgluatail")).count() == 1
+        assert cat.read(spark, sink_name("json")).count() == 1
+        row = cat.read(spark, sink_name("cfgluatail")).collect()[0]
+        assert row.level == "DEBUG" and row.metadata["n"] == "5"
+    finally:
+        from logzilla_spark.operators.parsers import unregister_parser
+
+        unregister_parser("cfgluatail")
