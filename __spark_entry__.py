@@ -308,6 +308,35 @@ def _probes(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % PROBE_MOD == 0)
 
 
+# Disk-cache version for the persisted ANN index fixture — bump when
+# build_ann_index's default geometry changes, or a stale index would be
+# served (the ensure_media posture).
+_ANN_VERSION = "v1"
+
+
+def _ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per sf, disk-cached) the persisted IVF x PQ index
+    and serve the standard probe set ENTIRELY from the catalog tables
+    (operators.ann_index) — zero training/encoding at query time, codes
+    read pruned to the probed cells. Seeded quantizers, so the result
+    equals q_sim_topk_ivfpq bit-for-bit and shares its DuckDB twin:
+    the oracle match proves index persistence perturbs nothing."""
+    import os
+
+    from logzilla_spark.operators import ann_index
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    from logzilla_spark.testdata import REPO_ROOT
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    cat = LocalCatalog(
+        os.path.join(REPO_ROOT, ".cache", "ann", f"{sf}_{_ANN_VERSION}")
+    )
+    if not ann_index.ann_index_exists(cat, "emb"):
+        ann_index.build_ann_index(_emb(spark, sf_dir), cat, "emb")
+    return ann_index.ann_serve_topk(spark, cat, "emb", _probes(_emb(spark, sf_dir)))
+
+
 def _rank_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank() over a count aggregate: top-3 sources per category.
 
@@ -386,6 +415,11 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_topk_ivfpq": lambda s, d: similarity.pq_topk_ivf(
             _emb(s, d), _probes(_emb(s, d))
         ),
+        # persisted-index serving (build-once/serve-many): same math as
+        # ivfpq but read from committed catalog tables with the codes
+        # scan pruned to the probed cells — the oracle hash proves the
+        # persistence layer is bit-transparent (operators/ann_index.py)
+        "q_sim_topk_served": _ann_served,
         # --- text analysis (documents table) ---
         "q_text_langid": lambda s, d: textstats.language_id(_docs(s, d)),
         "q_text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
@@ -491,6 +525,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_sim_topk_ivf": oracle_dataops.cosine_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
         "q_sim_topk_pq": oracle_dataops.pq_topk_sql(emb, probe_mod=PROBE_MOD),
         "q_sim_topk_ivfpq": oracle_dataops.pq_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
+        # served-from-persisted-index path: bit-identical to ivfpq by
+        # design, so it shares the twin (see _ann_served)
+        "q_sim_topk_served": oracle_dataops.pq_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
         "q_text_langid": oracle_dataops.language_id_sql(docs),
         "q_text_quality": oracle_dataops.quality_score_sql(docs),
         "q_text_tokens": oracle_dataops.token_counts_sql(docs),

@@ -244,6 +244,33 @@ def ivf_assign(
     )
 
 
+def probe_nearest_cells(
+    probes: DataFrame,
+    seeds: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, _pe, cell): each probe's ``nprobe`` nearest cells by
+    centroid cosine (ties -> lowest cell). The k-row centroid table is
+    broadcast; the row_number window partitions by probe, so it runs
+    over the (tiny) probe side only — shared by every IVF-family
+    query path and the persisted-index server (operators.ann_index)."""
+    pc = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    return (
+        pc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= int(nprobe))
+        .select("probe_id", "_pe", "cell")
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     probes: DataFrame,
@@ -270,19 +297,7 @@ def cosine_topk_ivf(
         F.col("embedding").alias("_ce"),
         "cell",
     )
-    pc = (
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
-    )
-    wp = Window.partitionBy("probe_id").orderBy(
-        F.col("_cos").desc(), F.col("cell").asc()
-    )
-    probe_cells = (
-        pc.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= int(nprobe))
-        .select("probe_id", "_pe", "cell")
-    )
+    probe_cells = probe_nearest_cells(probes, seeds, nprobe, id_col, vec_col)
     scored = (
         corpus.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -389,19 +404,7 @@ def cosine_topk_ivf_trained(
         F.col("embedding").alias("_ce"),
         "cell",
     )
-    pc = (
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
-    )
-    wp = Window.partitionBy("probe_id").orderBy(
-        F.col("_cos").desc(), F.col("cell").asc()
-    )
-    probe_cells = (
-        pc.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= int(nprobe))
-        .select("probe_id", "_pe", "cell")
-    )
+    probe_cells = probe_nearest_cells(probes, seeds, nprobe, id_col, vec_col)
     scored = (
         corpus.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -598,6 +601,67 @@ def pq_encode(
     )
 
 
+# ADC fold over (codes, luts): partial L2^2 per subspace summed
+# left-to-right (pinned order -> the DuckDB twin reproduces the exact
+# double bits). `luts` is ordered by sub; `codes` is 0-based.
+ADC_EXPR = (
+    "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
+    "cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def pq_probe_luts(
+    probes: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, luts): per-probe ADC lookup tables — for each
+    subspace, the L2^2 distance from the probe's subvector to every
+    codeword, ordered by code (luts[sub][code]). m x ksub doubles per
+    probe: tiny by the probes-are-small contract, always broadcast by
+    callers. Shared by pq_topk / pq_topk_ivf / pq_topk_trained and the
+    persisted-index server (operators.ann_index)."""
+    psv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
+    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    lut_sub = (
+        psv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
+        .groupBy("probe_id", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
+            ).alias("lut")
+        )
+    )
+    return lut_sub.groupBy("probe_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
+        ).alias("luts")
+    )
+
+
+def adc_topk(pairs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Rank candidate pairs carrying (probe_id, neighbor_id, codes,
+    luts) by the ADC fold: smallest summed partial L2^2 wins (adc ASC,
+    id ASC tiebreak). The window runs over candidates only."""
+    scored = pairs.withColumn("adc", F.expr(ADC_EXPR)).select(
+        "probe_id", "neighbor_id", "adc"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("probe_id", "neighbor_id", "adc", "rank")
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -621,44 +685,11 @@ def pq_topk(
     codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     )
-    psv = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
-    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
-    lut_sub = (
-        psv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
-        .groupBy("probe_id", "sub")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
-            ).alias("lut")
-        )
+    luts = pq_probe_luts(probes, codebooks, m, dim, id_col, vec_col)
+    pairs = codes.join(
+        F.broadcast(luts), F.col("probe_id") != F.col("neighbor_id")
     )
-    luts = lut_sub.groupBy("probe_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
-        ).alias("luts")
-    )
-    scored = (
-        codes.join(F.broadcast(luts), F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc",
-            F.expr(
-                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
-                "cast(0 as double), (acc, v) -> acc + v)"
-            ),
-        )
-        .select("probe_id", "neighbor_id", "adc")
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("probe_id", "neighbor_id", "adc", "rank")
-    )
+    return adc_topk(pairs, k)
 
 
 def pq_topk_ivf(
@@ -697,61 +728,14 @@ def pq_topk_ivf(
     )
     corpus = codes.join(assigned, "neighbor_id")
 
-    pc = (
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
-    )
-    wp = Window.partitionBy("probe_id").orderBy(
-        F.col("_cos").desc(), F.col("cell").asc()
-    )
-    probe_cells = (
-        pc.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= int(nprobe))
-        .select("probe_id", "_pe", "cell")
-    )
-
-    psv = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
-    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
-    lut_sub = (
-        psv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
-        .groupBy("probe_id", "sub")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
-            ).alias("lut")
-        )
-    )
-    luts = lut_sub.groupBy("probe_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
-        ).alias("luts")
-    )
+    probe_cells = probe_nearest_cells(probes, seeds, nprobe, id_col, vec_col)
+    luts = pq_probe_luts(probes, codebooks, m, dim, id_col, vec_col)
     probe_side = probe_cells.select("probe_id", "cell").join(luts, "probe_id")
 
-    scored = (
-        corpus.join(F.broadcast(probe_side), "cell")
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc",
-            F.expr(
-                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
-                "cast(0 as double), (acc, v) -> acc + v)"
-            ),
-        )
-        .select("probe_id", "neighbor_id", "adc")
+    pairs = corpus.join(F.broadcast(probe_side), "cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("probe_id", "neighbor_id", "adc", "rank")
-    )
+    return adc_topk(pairs, k)
 
 
 PQ_TRAIN_ITERS = 5
@@ -840,41 +824,8 @@ def pq_topk_trained(
     codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     )
-    psv = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
-    ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
-    lut_sub = (
-        psv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
-        .groupBy("probe_id", "sub")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(code, _pd))), s -> s._pd)"
-            ).alias("lut")
-        )
+    luts = pq_probe_luts(probes, codebooks, m, dim, id_col, vec_col)
+    pairs = codes.join(
+        F.broadcast(luts), F.col("probe_id") != F.col("neighbor_id")
     )
-    luts = lut_sub.groupBy("probe_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)"
-        ).alias("luts")
-    )
-    scored = (
-        codes.join(F.broadcast(luts), F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc",
-            F.expr(
-                "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
-                "cast(0 as double), (acc, v) -> acc + v)"
-            ),
-        )
-        .select("probe_id", "neighbor_id", "adc")
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("probe_id", "neighbor_id", "adc", "rank")
-    )
+    return adc_topk(pairs, k)

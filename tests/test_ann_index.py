@@ -1,0 +1,159 @@
+"""Persisted ANN index (operators/ann_index.py): build-once/serve-many
+IVF x PQ over the catalog.
+
+Gates:
+- served results == the inline similarity.pq_topk_ivf bit-for-bit
+  (same seeded quantizers; parquet round-trip must not perturb bits)
+- serve-time file pruning is REAL: the codes read lists only files of
+  the probed cells, a strict subset of the index when nprobe < n_cells
+- trained build serves (rows-only sanity: k ranked rows per probe)
+- rebuild over changed corpus is an atomic snapshot bump; the old
+  snapshot still reads (catalog time travel applies to the index)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.operators import ann_index, similarity
+from logzilla_spark.sources.catalog import LocalCatalog
+
+N_VECS = 120
+DIM = 16
+M = 4
+KSUB = 8
+N_CELLS = 4
+NPROBE = 2
+
+
+def _emb(spark, n=N_VECS, salt=0):
+    """Deterministic synthetic embeddings (md5-derived, no RNG)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, {d}), p -> "
+            "cast(conv(substring(md5(concat(cast(id as string), '_', "
+            "cast(p as string), '_{s}')), 1, 6), 16, 10) as double) "
+            "/ 16777215.0 - 0.5)".format(d=DIM - 1, s=salt)
+        ).alias("embedding"),
+    )
+
+
+def _probes(emb):
+    return emb.filter(F.col("vec_id") % 10 == 0)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("ann_wh")
+    cat = LocalCatalog(str(wh))
+    emb = _emb(spark)
+    desc = ann_index.build_ann_index(
+        emb, cat, "emb", m=M, ksub=KSUB, dim=DIM, n_cells=N_CELLS
+    )
+    return cat, emb, desc
+
+
+def test_build_commits_three_tables(spark, built):
+    cat, _emb_df, desc = built
+    assert ann_index.ann_index_exists(cat, "emb")
+    assert not ann_index.ann_index_exists(cat, "nope")
+    codes = cat.read(spark, "emb__codes")
+    assert codes.count() == N_VECS
+    row = codes.orderBy("vec_id").first()
+    assert len(row["codes"]) == M and 0 <= row["cell"] < N_CELLS
+    assert cat.read(spark, "emb__centroids").count() == N_CELLS
+    assert cat.read(spark, "emb__codebooks").count() == M * KSUB
+    assert desc["snapshots"].keys() == {"centroids", "codebooks", "codes"}
+
+
+def test_served_equals_inline_bit_for_bit(spark, built):
+    cat, emb, _ = built
+    probes = _probes(emb)
+    served = ann_index.ann_serve_topk(
+        spark, cat, "emb", probes, nprobe=NPROBE, m=M, dim=DIM
+    )
+    inline = similarity.pq_topk_ivf(
+        emb, probes, m=M, ksub=KSUB, dim=DIM, n_cells=N_CELLS, nprobe=NPROBE
+    )
+    s = [tuple(r) for r in served.orderBy("probe_id", "rank").collect()]
+    i = [tuple(r) for r in inline.orderBy("probe_id", "rank").collect()]
+    assert len(s) > 0
+    # exact tuple equality: ids, ranks AND the adc double bits
+    assert s == i
+
+
+def test_serve_prunes_unprobed_cell_files(spark, built):
+    cat, emb, _ = built
+    # ONE probe -> exactly nprobe(=2) of the 4 cells probed, so the
+    # subset assertion below has teeth (the full probe set covers
+    # every cell at this toy scale)
+    probes = emb.filter(F.col("vec_id") == 0)
+    probe_cells = similarity.probe_nearest_cells(
+        probes, cat.read(spark, "emb__centroids"), NPROBE
+    )
+    cells = {r["cell"] for r in probe_cells.select("cell").distinct().collect()}
+    pruned = cat.read_partitions(
+        spark, "emb__codes", "cell", [str(c) for c in sorted(cells)]
+    )
+    all_files = set(cat.read(spark, "emb__codes").inputFiles())
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files, "pruned read lists no files"
+    assert all(
+        any(f"cell={c}" in f for c in cells) for f in pruned_files
+    ), "pruned read lists a file outside the probed cells"
+    if len(cells) < N_CELLS:
+        assert pruned_files < all_files, (
+            "nprobe < n_cells but the pruned read lists the whole index"
+        )
+    # the synthetic probes must not hit every cell, else the subset
+    # assertion above is vacuous
+    assert len(cells) < N_CELLS
+
+
+def test_served_trained_rows_only(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    emb = _emb(spark, n=80)
+    ann_index.build_ann_index(
+        emb, cat, "t", trained=True, m=M, ksub=KSUB, dim=DIM,
+        n_cells=N_CELLS, ivf_iters=2, pq_iters=2,
+    )
+    probes = _probes(emb)
+    out = ann_index.ann_serve_topk(
+        spark, cat, "t", probes, k=3, nprobe=NPROBE, m=M, dim=DIM
+    ).collect()
+    n_probes = probes.count()
+    assert len(out) == 3 * n_probes
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_probe.values())
+    # neighbors come only from probed cells and never include self
+    assert all(r["neighbor_id"] != r["probe_id"] for r in out)
+
+
+def test_rebuild_is_snapshot_bump_with_time_travel(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    emb1 = _emb(spark, n=60)
+    d1 = ann_index.build_ann_index(
+        emb1, cat, "v", m=M, ksub=KSUB, dim=DIM, n_cells=N_CELLS
+    )
+    emb2 = _emb(spark, n=90, salt=1)
+    d2 = ann_index.build_ann_index(
+        emb2, cat, "v", m=M, ksub=KSUB, dim=DIM, n_cells=N_CELLS
+    )
+    assert d2["snapshots"]["codes"] > d1["snapshots"]["codes"]
+    assert cat.read(spark, "v__codes").count() == 90
+    old = cat.read(spark, "v__codes", snapshot_id=d1["snapshots"]["codes"])
+    assert old.count() == 60
+
+
+def test_empty_probe_set_returns_empty(spark, built):
+    cat, emb, _ = built
+    none = emb.filter(F.col("vec_id") < 0)
+    out = ann_index.ann_serve_topk(spark, cat, "emb", none, m=M, dim=DIM)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "probe_id", "neighbor_id", "adc", "rank",
+    ]
