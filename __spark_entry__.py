@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from logzilla_spark import oracle, oracle_dataops
 from logzilla_spark.functions.levels import level_sql_case, parse_level_col
-from logzilla_spark.operators import cluster, dedup, multimodal, similarity, textstats, urls
+from logzilla_spark.operators import cluster, dedup, multimodal, similarity, sketches, textstats, urls
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.fulltext import (
@@ -646,6 +646,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessions": lambda s, d: sessionize(
             s.read.parquet(f"{d}/events.parquet")
         ),
+        # --- mergeable sketches (operators/sketches.py): fixed-size
+        # map-side-combinable state; est_distinct double bits pinned
+        # cross-engine (fixed-point harmonic sum, inlined ln table) ---
+        "q_sketch_hll_users": lambda s, d: sketches.hll_distinct(
+            s.read.parquet(f"{d}/events.parquet"),
+            ["event_type"],
+            "cast(user_id as string)",
+        ),
+        "q_sketch_heavy_users": lambda s, d: sketches.cm_heavy_hitters(
+            s.read.parquet(f"{d}/events.parquet"),
+            "cast(user_id as string)",
+        ),
         # --- events: tumbling-window aggregate over event time ---
         "q_events_hourly": lambda s, d: s.read.parquet(f"{d}/events.parquet")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -749,6 +761,8 @@ SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_fulltext_index": oracle.fulltext_sql(p, "disk svc3"),
         "q_multiline_reassembly": oracle.multiline_sql(p),
         "q_events_sessions": sessionize_sql("events"),
+        "q_sketch_hll_users": oracle_dataops.hll_distinct_sql(),
+        "q_sketch_heavy_users": oracle_dataops.cm_heavy_hitters_sql(),
         "q_events_hourly": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -1608,3 +1608,102 @@ dropped AS (
 SELECT cc.id AS id, cc.cell AS cell, cc.centroid_cos AS centroid_cos,
        d.id IS NULL AS is_kept
 FROM cc LEFT JOIN dropped d ON cc.id = d.id"""
+
+
+# --------------------------------------------------------------------------
+# sketches (operators/sketches.py)
+# --------------------------------------------------------------------------
+
+
+def hll_distinct_sql(
+    table: str = "events",
+    keys: tuple[str, ...] = ("event_type",),
+    value_expr: str = "CAST(user_id AS VARCHAR)",
+) -> str:
+    """Twin of sketches.hll_distinct: same md5 register positions,
+    bin()-length rho, fixed-point harmonic sum, and the SAME inlined
+    ln-correction literal table (one Python source of truth), so
+    est_distinct matches Spark's double bits exactly."""
+    from logzilla_spark.operators.sketches import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SCALE,
+        HLL_SMALL_RANGE,
+        dlit,
+        hll_ln_table_literal,
+    )
+
+    key_list = ", ".join(keys)
+    h = md5_long_sql(value_expr)
+    return f"""WITH base AS (
+  SELECT {key_list}, {h} AS h FROM {table}
+),
+regs AS (
+  SELECT {key_list}, CAST(h % {HLL_M} AS INT) AS register,
+         CAST(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M})) END AS INT) AS rho
+  FROM base
+),
+sk AS (
+  SELECT {key_list}, register, max(rho) AS rho
+  FROM regs GROUP BY {key_list}, register
+),
+agg AS (
+  SELECT {key_list}, CAST(count(*) AS INT) AS n_registers,
+         CAST({HLL_M} - count(*) AS INT) AS v_zero,
+         sum((1::BIGINT) << ({HLL_RHO_MAX} - rho)) AS intsum
+  FROM sk GROUP BY {key_list}
+),
+scored AS (
+  SELECT *, {dlit(HLL_ALPHA_NUM)} /
+         CAST(intsum + CAST(v_zero AS BIGINT) * {HLL_SCALE} AS DOUBLE) AS est_raw
+  FROM agg
+)
+SELECT {key_list}, n_registers, v_zero,
+       CASE WHEN v_zero > 0 AND est_raw <= {dlit(HLL_SMALL_RANGE)}
+            THEN list_extract({hll_ln_table_literal('[', ']')}, v_zero)
+            ELSE est_raw END AS est_distinct
+FROM scored"""
+
+
+def cm_heavy_hitters_sql(
+    table: str = "events",
+    value_expr: str = "CAST(user_id AS VARCHAR)",
+    k: int = 10,
+) -> str:
+    """Twin of sketches.cm_heavy_hitters: identical md5 counter
+    positions and all-integer counts — exact match by construction."""
+    from logzilla_spark.operators.sketches import CM_DEPTH, CM_WIDTH
+
+    def col_case(val: str) -> str:
+        arms = " ".join(
+            "WHEN {i} THEN CAST(({h}) % {w} AS INT)".format(
+                i=i,
+                h=md5_long_sql(f"concat('cm{i}:', {val})"),
+                w=CM_WIDTH,
+            )
+            for i in range(CM_DEPTH)
+        )
+        return f"CASE t.i {arms} END"
+
+    return f"""WITH base AS (SELECT {value_expr} AS value FROM {table}),
+pairs AS (
+  SELECT CAST(t.i AS INT) AS r, {col_case('base.value')} AS c
+  FROM base CROSS JOIN range({CM_DEPTH}) t(i)
+),
+sketch AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY r, c
+),
+cand AS (SELECT DISTINCT value FROM base),
+cpairs AS (
+  SELECT cand.value, CAST(t.i AS INT) AS r, {col_case('cand.value')} AS c
+  FROM cand CROSS JOIN range({CM_DEPTH}) t(i)
+),
+est AS (
+  SELECT value, min(coalesce(cnt, 0)) AS est
+  FROM cpairs LEFT JOIN sketch USING (r, c) GROUP BY value
+)
+SELECT value, est,
+       CAST(row_number() OVER (ORDER BY est DESC, value ASC) AS INT) AS rank
+FROM est ORDER BY est DESC, value ASC LIMIT {int(k)}"""
