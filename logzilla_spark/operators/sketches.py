@@ -102,18 +102,16 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame, keys: list[str], value_expr: str
+def hll_estimate_from_registers(
+    regs: DataFrame, keys: list[str]
 ) -> DataFrame:
-    """(keys..., n_registers, v_zero, est_distinct): HLL cardinality
-    estimate per key, with the small-range linear-counting correction.
-
-    est_distinct is bit-deterministic (see module docstring): the
-    harmonic sum is an exact bigint, the raw estimate is one IEEE
-    divide of Python-literal numerator by that integer cast to double,
-    and the correction branch reads the inlined ln table.
-    """
-    regs = hll_registers(df, keys, value_expr)
+    """(keys..., n_registers, v_zero, est_distinct) from a register
+    table shaped like :func:`hll_registers` output — the read side of
+    a sketch maintained elsewhere (e.g. the streaming register table,
+    streaming/sketch.py). Bit-deterministic: the harmonic sum is an
+    exact bigint, the raw estimate one IEEE divide of a Python-literal
+    numerator by that integer cast to double, and the correction
+    branch reads the inlined ln table."""
     agg = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("int").alias("n_registers"),
         F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - rho)")).alias("_intsum"),
@@ -139,6 +137,18 @@ def hll_distinct(
         "n_registers",
         "v_zero",
         F.expr(est).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, keys: list[str], value_expr: str
+) -> DataFrame:
+    """(keys..., n_registers, v_zero, est_distinct): HLL cardinality
+    estimate per key, with the small-range linear-counting correction
+    — sketch build and estimate in one plan (see module docstring for
+    the bit-determinism contract)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, keys, value_expr), keys
     )
 
 

@@ -1,3 +1,4 @@
+from .sketch import read_hll_distinct, start_hll_stream, upsert_hll_batch
 from .stream_pipeline import (
     route_batch,
     start_agg_stream,
@@ -14,6 +15,9 @@ __all__ = [
     "start_routing_stream",
     "start_logfile_routing_stream",
     "start_agg_stream",
+    "start_hll_stream",
     "route_batch",
     "upsert_agg_batch",
+    "upsert_hll_batch",
+    "read_hll_distinct",
 ]
