@@ -71,6 +71,7 @@ def write_partitioned_tables(
     table_for,
     values: list[str],
     summary_for=None,
+    cluster_by: list[str] | None = None,
 ) -> dict[str, int]:
     """ONE ``partitionBy`` write fanning rows out to many tables.
 
@@ -90,6 +91,18 @@ def write_partitioned_tables(
     import uuid as _uuid
 
     staging = os.path.join(catalog.warehouse, "_routed", _uuid.uuid4().hex)
+    if cluster_by:
+        # opt-in data clustering (the MergeTree ORDER BY / Iceberg
+        # write.sort-order analog — see LocalCatalog._stage_write):
+        # range-partition on (partition_col, *cluster_by) so each task
+        # owns one destination's contiguous key slice, then sort. Costs
+        # ONE range exchange at write time; buys disjoint parquet
+        # min/max footers per file, i.e. file/row-group skipping for
+        # every future range read (the search path's mandatory ts
+        # range). Without it the write is shuffle-free.
+        df = df.repartitionByRange(
+            partition_col, *cluster_by
+        ).sortWithinPartitions(partition_col, *cluster_by)
     df.write.partitionBy(partition_col).parquet(staging)
     snaps: dict[str, int] = {}
     for v in values:
@@ -109,8 +122,13 @@ def route_to_sinks_single_pass(
     categories: list[str] | None = None,
     run_id: str | None = None,
     summary_extra: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict[str, int]:
-    """True single-pass fan-out to the per-category sinks (G3)."""
+    """True single-pass fan-out to the per-category sinks (G3).
+
+    ``cluster_by=["source", "timestamp"]`` additionally clusters each
+    sink's files on the reference's MergeTree sort key (one range
+    exchange; see write_partitioned_tables)."""
     categories = categories or CATEGORIES
     return write_partitioned_tables(
         records,
@@ -121,6 +139,7 @@ def route_to_sinks_single_pass(
         summary_for=lambda c: {
             "run_id": run_id, "category": c, **(summary_extra or {})
         },
+        cluster_by=cluster_by,
     )
 
 

@@ -102,6 +102,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.sql.files.openCostInBytes", "65536")
+        # Write timestamps as INT64 micros, not the legacy INT96:
+        # INT96 parquet columns carry NO min/max footer statistics, so
+        # every range read over `timestamp` (the search path's
+        # mandatory ts predicate) scans every row group of every sink
+        # file. With INT64 the footers carry stats and the clustered
+        # writes (cluster_by) make them disjoint -> file/row-group
+        # skipping actually fires. Spark reads both encodings, so
+        # existing tables stay readable.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in engine_sql_confs(shuffle_partitions).items():
         builder = builder.config(k, v)

@@ -163,7 +163,28 @@ class LocalCatalog:
         # legacy manifests: flat file list rooted at the table data dir
         return [{"base": self._data_dir(name), "files": m["files"]}]
 
-    def _stage_write(self, df: DataFrame, name: str, partition_by: list[str] | None) -> list[str]:
+    def _stage_write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None,
+        cluster_by: list[str] | None = None,
+    ) -> list[str]:
+        if cluster_by:
+            # Real data clustering, not just the DDL property: range-
+            # repartition so each task (-> each data file) owns a
+            # DISJOINT slice of the cluster-key space, then sort inside
+            # it. Parquet footers then carry tight, non-overlapping
+            # min/max stats on the cluster keys, so a reader's pushed
+            # range predicate skips whole files/row groups instead of
+            # scanning everything — the local analog of Iceberg's
+            # write.sort-order (iceberg_ddl) and the reference's
+            # MergeTree ORDER BY (storage/clickhouse.go:58,77). The
+            # range exchange samples the keys, so skew cannot pin one
+            # file with the whole table.
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         commit_dir = os.path.join(self._data_dir(name), uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -183,9 +204,10 @@ class LocalCatalog:
         name: str,
         partition_by: list[str] | None = None,
         summary: dict | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Stage parquet then atomically publish a new snapshot."""
-        new_files = self._stage_write(df, name, partition_by)
+        new_files = self._stage_write(df, name, partition_by, cluster_by)
         # prev-groups read + commit under ONE lock hold: two concurrent
         # appenders both reading prev=N would each publish groups
         # missing the other's files (lost append). Staging (the Spark
@@ -231,8 +253,9 @@ class LocalCatalog:
         name: str,
         partition_by: list[str] | None = None,
         summary: dict | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
-        new_files = self._stage_write(df, name, partition_by)
+        new_files = self._stage_write(df, name, partition_by, cluster_by)
         groups = [{"base": self._data_dir(name), "files": new_files}]
         with _COMMIT_LOCK:
             sid = self._commit(name, groups, "overwrite", summary or {})
