@@ -34,6 +34,7 @@ import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # One lock for all tables: commits are metadata-only JSON writes
 # (microseconds), so finer granularity buys nothing.
@@ -427,6 +428,121 @@ class LocalCatalog:
 
     def exists(self, name: str) -> bool:
         return self.last_snapshot_id(name) is not None
+
+    # -- maintenance ----------------------------------------------------
+    def partition_file_counts(self, name: str, partition_by: str) -> dict[str, int]:
+        """{partition value: committed data-file count} at the head
+        snapshot — the fragmentation map a maintenance loop consults.
+        Files outside any ``partition_by=`` directory land under ''."""
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            return {}
+        pref = partition_by + "="
+        counts: dict[str, int] = {}
+        for g in self._groups(name, sid):
+            for f in g["files"]:
+                val = next(
+                    (p[len(pref):] for p in f.split(os.sep) if p.startswith(pref)),
+                    "",
+                )
+                counts[val] = counts.get(val, 0) + 1
+        return counts
+
+    def fragmented_partitions(
+        self, name: str, partition_by: str, min_files: int = 8
+    ) -> list[str]:
+        """Partition values holding >= ``min_files`` data files —
+        the compaction-worthy set (streaming upserts add at least one
+        file per touched partition per epoch, so sink fragmentation
+        grows with epoch count until compacted)."""
+        return sorted(
+            v
+            for v, n in self.partition_file_counts(name, partition_by).items()
+            if v and n >= min_files
+        )
+
+    def _committed_bytes(
+        self, name: str, partition_by: str | None, partition_values: list[str] | None
+    ) -> int:
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            return 0
+        tokens = (
+            {f"{partition_by}={v}" for v in partition_values}
+            if partition_by and partition_values
+            else None
+        )
+        total = 0
+        for g in self._groups(name, sid):
+            for f in g["files"]:
+                if tokens and not any(t in f.split(os.sep) for t in tokens):
+                    continue
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    pass
+        return total
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        partition_by: str | None = None,
+        partition_values: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        summary: dict | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite many small data files into few (Iceberg's
+        rewrite_data_files analog): read the head snapshot (or only the
+        named partitions), re-stage with natural AQE file sizing —
+        optionally re-clustered via ``cluster_by`` — and publish
+        atomically. Content is unchanged; history is preserved
+        (rollback to the pre-compaction snapshot still works — old
+        data files are never deleted by this operation).
+
+        Concurrency: the COMMIT is atomic, but read-rewrite-commit is
+        not one critical section — callers compacting a table that a
+        live writer upserts must serialize with that writer's lock
+        (streaming.maintenance.compact_table does). With
+        ``partition_values`` the rewrite touches only those partitions;
+        all other files carry over metadata-only."""
+        summary = {"compacted": True, **(summary or {})}
+        # no shuffle between read and write means AQE never resizes the
+        # output — target the file count explicitly from committed
+        # bytes (the rewrite_data_files target-file-size knob)
+        n_out = max(
+            1,
+            -(-self._committed_bytes(name, partition_by, partition_values)
+              // int(target_file_bytes)),
+        )
+        if partition_by and partition_values:
+            df = self.read_partitions(spark, name, partition_by, partition_values)
+            if df is None:
+                raise SnapshotError(
+                    f"compact({name}): no files in partitions {partition_values}"
+                )
+            # partition inference may read the column back as int;
+            # overwrite_partitions stages by string tokens. Hash-
+            # repartition on the partition column so each value's rows
+            # land in few tasks (files/partition ~ 1 at the target
+            # size) instead of every task writing into every dir.
+            df = df.withColumn(
+                partition_by, F.col(partition_by).cast("string")
+            ).repartition(max(n_out, len(partition_values)), partition_by)
+            return self.overwrite_partitions(
+                df, name, partition_by, partition_values, summary=summary
+            )
+        df = self.read(spark, name)
+        if not cluster_by:  # cluster_by already range-repartitions
+            df = df.repartition(n_out)
+        return self.overwrite(
+            df,
+            name,
+            partition_by=[partition_by] if partition_by else None,
+            cluster_by=cluster_by,
+            summary=summary,
+        )
 
     def snapshot_summary(self, name: str, snapshot_id: int) -> dict:
         return self._load_snapshot(name, snapshot_id).get("summary", {})

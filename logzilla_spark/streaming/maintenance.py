@@ -1,0 +1,47 @@
+"""Sink maintenance: small-file compaction for live streaming tables.
+
+Every micro-batch of the agg / HLL / routing sinks commits at least
+one new data file per touched partition, so file counts grow linearly
+with epoch count — at 100 TB-scale trigger rates the listing/open cost
+eventually dominates reads (the classic streaming small-file problem;
+Iceberg answers it with rewrite_data_files, this module with
+``LocalCatalog.compact``). The composition rule is the lock:
+compaction read-rewrites the same partitions a live upsert merges, so
+it takes the SAME per-(warehouse, table) lock the streaming sinks use
+— the rewrite and the epoch merge serialize, and neither loses rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from logzilla_spark.sources.catalog import LocalCatalog
+from logzilla_spark.streaming.stream_pipeline import _upsert_lock
+
+
+def compact_table(
+    spark: SparkSession,
+    cat: LocalCatalog,
+    table: str,
+    partition_by: str | None = None,
+    min_files: int = 8,
+    cluster_by: list[str] | None = None,
+) -> dict[str, int] | int | None:
+    """Compact a (possibly live) sink table under the streaming upsert
+    lock.
+
+    Partitioned tables compact ONLY the fragmented partitions
+    (>= ``min_files`` files) — one partition-scoped rewrite, all other
+    files carried over metadata-only; returns {partition: new file
+    count} for the touched set, or None if nothing is fragmented.
+    Unpartitioned tables compact whole (returns the new snapshot id).
+    """
+    with _upsert_lock(cat, table):
+        if partition_by is None:
+            return cat.compact(spark, table, cluster_by=cluster_by)
+        frag = cat.fragmented_partitions(table, partition_by, min_files)
+        if not frag:
+            return None
+        cat.compact(spark, table, partition_by, frag)
+        after = cat.partition_file_counts(table, partition_by)
+        return {v: after[v] for v in frag}

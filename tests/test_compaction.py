@@ -1,0 +1,135 @@
+"""Small-file compaction (LocalCatalog.compact +
+streaming.maintenance.compact_table) — the Iceberg rewrite_data_files
+analog a streaming sink needs.
+
+Gates: content unchanged; file counts actually drop; untouched
+partitions carry over the SAME physical files (metadata-only);
+history preserved (rollback to pre-compaction works); the live
+stream_agg sink still accepts upserts after compaction and reads the
+merged truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.sources.catalog import LocalCatalog
+from logzilla_spark.streaming.maintenance import compact_table
+
+
+def _rows(spark, n, month):
+    return spark.range(n).select(
+        F.col("id"),
+        F.lit(month).alias("m"),
+        (F.col("id") % 7).alias("v"),
+    )
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """A partitioned table built by 6 small appends across 2 months."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    for i in range(6):
+        cat.append(
+            _rows(spark, 10, "202401" if i % 2 == 0 else "202402"),
+            "t",
+            partition_by=["m"],
+        )
+    return cat
+
+
+def _content(spark, cat, table):
+    return sorted(
+        map(tuple, cat.read(spark, table).select("id", "m", "v").collect())
+    )
+
+
+def test_compact_partitions_reduces_files_keeps_content(spark, fragmented):
+    cat = fragmented
+    before = _content(spark, cat, "t")
+    counts0 = cat.partition_file_counts("t", "m")
+    assert all(n >= 3 for n in counts0.values()), counts0
+    frag = cat.fragmented_partitions("t", "m", min_files=3)
+    assert frag == ["202401", "202402"]
+    pre_sid = cat.last_snapshot_id("t")
+
+    cat.compact(spark, "t", "m", frag)
+    counts1 = cat.partition_file_counts("t", "m")
+    assert all(counts1[v] < counts0[v] for v in frag), (counts0, counts1)
+    assert _content(spark, cat, "t") == before
+
+    # history preserved: the pre-compaction snapshot still reads
+    assert sorted(
+        map(
+            tuple,
+            cat.read(spark, "t", snapshot_id=pre_sid)
+            .select("id", "m", "v")
+            .collect(),
+        )
+    ) == before
+    # and rollback works
+    cat.rollback("t", pre_sid)
+    assert _content(spark, cat, "t") == before
+
+
+def test_compact_scoped_partition_carries_others_metadata_only(spark, fragmented):
+    cat = fragmented
+    sid = cat.last_snapshot_id("t")
+    files_before = {
+        f
+        for g in cat._groups("t", sid)
+        for f in g["files"]
+        if "m=202402" in f.split(os.sep)
+    }
+    cat.compact(spark, "t", "m", ["202401"])
+    sid2 = cat.last_snapshot_id("t")
+    files_after = {
+        f
+        for g in cat._groups("t", sid2)
+        for f in g["files"]
+        if "m=202402" in f.split(os.sep)
+    }
+    assert files_after == files_before  # untouched partition: same files
+
+
+def test_compact_whole_table_with_clustering(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    for _ in range(5):
+        cat.append(_rows(spark, 20, "x"), "u")
+    before = _content(spark, cat, "u")
+    n0 = sum(cat.partition_file_counts("u", "m").values())
+    cat.compact(spark, "u", cluster_by=["id"])
+    n1 = sum(cat.partition_file_counts("u", "m").values())
+    assert n1 < n0
+    assert _content(spark, cat, "u") == before
+
+
+def test_compact_live_agg_sink_then_upsert(spark, tmp_path):
+    """Compaction composes with the streaming agg sink: upserts before
+    and after compaction, truth never changes except by the upserts."""
+    from logzilla_spark.streaming.stream_pipeline import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+
+    def batch(n, day):
+        return spark.range(n).select(
+            F.to_timestamp(F.lit(f"2024-01-0{day} 00:00:00")).alias("window_start"),
+            F.to_timestamp(F.lit(f"2024-01-0{day} 01:00:00")).alias("window_end"),
+            F.lit("json").alias("category"),
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("level"),
+            F.lit(n).alias("n"),
+        ).distinct()
+
+    for i in range(1, 5):
+        upsert_agg_batch(spark, cat, batch(10 + i, 1 + (i % 2)), batch_id=i)
+    before = sorted(map(tuple, cat.read(spark, "stream_agg").collect()))
+    touched = compact_table(spark, cat, "stream_agg", "agg_month", min_files=2)
+    assert touched, "nothing compacted — fixture too small"
+    assert sorted(map(tuple, cat.read(spark, "stream_agg").collect())) == before
+    # the sink keeps working after compaction
+    assert upsert_agg_batch(spark, cat, batch(99, 3), batch_id=9)
+    after = cat.read(spark, "stream_agg")
+    assert after.filter(F.col("n") == 99).count() == 3
