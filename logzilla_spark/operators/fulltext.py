@@ -25,14 +25,23 @@ lowercase, split on non-alphanumeric runs, drop empties.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+POSTINGS_SUFFIX = "__postings"
 
 
 def _tokens(col: Column) -> Column:
     return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT_RE), "")
+
+
+def query_tokens(query: str) -> list[str]:
+    """The query's distinct tokens, sorted — same tokenizer as the
+    record side and the DuckDB twin."""
+    return sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
 
 
 def searchable_text(df: DataFrame) -> Column:
@@ -53,7 +62,7 @@ def full_text_search(records: DataFrame, query: str) -> DataFrame:
     Token containment, not substring: 'disk full' matches any record
     whose searchable fields contain tokens 'disk' and 'full' anywhere.
     """
-    q_tokens = [t for t in __import__("re").split(TOKEN_SPLIT_RE, query.lower()) if t]
+    q_tokens = query_tokens(query)
     if not q_tokens:
         return records
     toks = _tokens(searchable_text(records))
@@ -90,9 +99,7 @@ def search_index(
     keep ids with all K, left-semi join records. The record scan only
     materializes matching rows.
     """
-    q_tokens = sorted(
-        {t for t in __import__("re").split(TOKEN_SPLIT_RE, query.lower()) if t}
-    )
+    q_tokens = query_tokens(query)
     if not q_tokens:
         return records
     hits = (
@@ -105,3 +112,77 @@ def search_index(
     return records.join(
         hits.withColumnRenamed("id", id_col), id_col, "left_semi"
     )
+
+
+def build_fulltext_index_table(
+    records: DataFrame, catalog, name: str, id_col: str = "id"
+) -> int:
+    """Commit the posting list as a snapshot-versioned catalog table
+    ``<name>__postings``, CLUSTERED BY token (range-repartition + sort,
+    sources/catalog.py _stage_write), replacing any previous build
+    atomically — the committed index table the inline tier's persist
+    only stands in for (round-3 verdict on q_fulltext_index).
+
+    The clustering is the serving layout: each data file owns a
+    disjoint token range whose [min, max] lands in the snapshot
+    manifest, so a query's K token lookups prune to the <= K files
+    whose range covers them — file-level, from committed metadata,
+    before Spark lists anything. At 100 TB the postings table is
+    rebuilt/compacted by a batch job while readers keep the previous
+    snapshot (catalog semantics), exactly Iceberg's
+    rewrite + time-travel story.
+    """
+    return catalog.overwrite(
+        build_inverted_index(records, id_col),
+        name + POSTINGS_SUFFIX,
+        cluster_by=["token"],
+        summary={"kind": "fulltext_postings", "id_col": id_col},
+    )
+
+
+def update_fulltext_index(
+    new_records: DataFrame, catalog, name: str, id_col: str = "id"
+) -> int:
+    """Incremental maintenance: APPEND the postings of newly-ingested
+    records (records are append-only in this engine — O2 tail
+    semantics — so index maintenance is append-only too; no tombstone
+    path needed). The appended batch is itself clustered by token, so
+    its files get their own manifest ranges and serving stays
+    file-pruned across an arbitrary mix of base build + increments;
+    ``LocalCatalog.compact(..., cluster_by=['token'])`` re-clusters a
+    fragmented index back to one range-partitioned layout without
+    breaking readers."""
+    return catalog.append(
+        build_inverted_index(new_records, id_col),
+        name + POSTINGS_SUFFIX,
+        cluster_by=["token"],
+        summary={"kind": "fulltext_postings", "id_col": id_col},
+    )
+
+
+def serve_fulltext(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    records: DataFrame,
+    query: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Index-tier AND search served from the COMMITTED postings table:
+    read only the posting files whose manifest token range can contain
+    a query token (catalog.read_stats_pruned — zero data or footer IO
+    for the rest of the index), intersect, semi-join records. Result
+    is identical to ``search_index(build_inverted_index(records), …)``
+    over the records the index was built from — the persistence layer
+    must not perturb a row (tested)."""
+    q_tokens = query_tokens(query)
+    if not q_tokens:
+        return records
+    postings = catalog.read_stats_pruned(
+        spark, name + POSTINGS_SUFFIX, "token", q_tokens
+    )
+    if postings is None:
+        # every committed file's token range provably misses all query
+        # tokens -> nothing matches
+        return records.filter(F.lit(False))
+    return search_index(postings, records, query, id_col)

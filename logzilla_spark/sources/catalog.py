@@ -71,6 +71,65 @@ def _invalidate_partitioned_cache(
 _HIVE_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {"\x7f"}
 
 
+_STATS_PRIMITIVES = (str, int, float, bool)
+
+
+def _collect_file_stats(
+    files: list[str], columns: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``columns``, read from the parquet
+    footers of freshly-staged LOCAL files (one footer read per file,
+    driver-side, at write time only — the Iceberg manifest-stats
+    analog; readers then prune file lists from committed metadata with
+    zero footer IO). A file gets an entry for a column only when EVERY
+    row group carries stats for it and the values are JSON-portable
+    primitives — missing entries mean "never prune this file", so a
+    writer that can't produce stats degrades to correct-but-unpruned.
+
+    Parquet writers may truncate long binary min/max, but truncation
+    keeps bounds VALID (min is a prefix <= true min, max is bumped
+    above the true max), so range-intersection pruning stays sound.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return {}
+    out: dict[str, dict[str, list]] = {}
+    for path in files:
+        try:
+            meta = pq.ParquetFile(path).metadata
+        except Exception:
+            continue
+        col_idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        } if meta.num_row_groups else {}
+        fstats: dict[str, list] = {}
+        for col in columns:
+            i = col_idx.get(col)
+            if i is None or meta.num_row_groups == 0:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, _STATS_PRIMITIVES)
+                    or not isinstance(st.max, _STATS_PRIMITIVES)
+                ):
+                    ok = False
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if ok and lo is not None:
+                fstats[col] = [lo, hi]
+        if fstats:
+            out[path] = fstats
+    return out
+
+
 def _check_partition_values(partition_by: str, values: list[str]) -> None:
     bad = [
         v for v in values
@@ -209,6 +268,11 @@ class LocalCatalog:
     ) -> int:
         """Stage parquet then atomically publish a new snapshot."""
         new_files = self._stage_write(df, name, partition_by, cluster_by)
+        new_group = {"base": self._data_dir(name), "files": new_files}
+        if cluster_by:
+            stats = _collect_file_stats(new_files, cluster_by)
+            if stats:
+                new_group["stats"] = stats
         # prev-groups read + commit under ONE lock hold: two concurrent
         # appenders both reading prev=N would each publish groups
         # missing the other's files (lost append). Staging (the Spark
@@ -216,9 +280,7 @@ class LocalCatalog:
         with _COMMIT_LOCK:
             prev = self.last_snapshot_id(name)
             prev_groups = self._groups(name, prev) if prev else []
-            groups = prev_groups + [
-                {"base": self._data_dir(name), "files": new_files}
-            ]
+            groups = prev_groups + [new_group]
             sid = self._commit(name, groups, "append", summary or {})
             # invalidate AFTER publish, still inside the lock: a
             # confirm serialized behind this commit then re-scans the
@@ -258,6 +320,10 @@ class LocalCatalog:
     ) -> int:
         new_files = self._stage_write(df, name, partition_by, cluster_by)
         groups = [{"base": self._data_dir(name), "files": new_files}]
+        if cluster_by:
+            stats = _collect_file_stats(new_files, cluster_by)
+            if stats:
+                groups[0]["stats"] = stats
         with _COMMIT_LOCK:
             sid = self._commit(name, groups, "overwrite", summary or {})
             _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
@@ -308,11 +374,21 @@ class LocalCatalog:
         with _COMMIT_LOCK:  # prev-groups read + commit: one RMW (see append)
             prev = self.last_snapshot_id(name)
             prev_groups = self._groups(name, prev) if prev else []
-            kept = [
-                {"base": g["base"], "files": [f for f in g["files"] if untouched(f)]}
-                for g in prev_groups
-            ]
-            kept = [g for g in kept if g["files"]]
+            kept = []
+            for g in prev_groups:
+                keep_files = [f for f in g["files"] if untouched(f)]
+                if not keep_files:
+                    continue
+                kg = {"base": g["base"], "files": keep_files}
+                # carry manifest stats for the files that carry over —
+                # dropping them would only disable pruning, but a
+                # metadata-only operation shouldn't lose metadata
+                keep_stats = {
+                    f: s for f, s in g.get("stats", {}).items() if f in set(keep_files)
+                }
+                if keep_stats:
+                    kg["stats"] = keep_stats
+                kept.append(kg)
             groups = kept + [{"base": self._data_dir(name), "files": new_files}]
             sid = self._commit(
                 name, groups, "overwrite_partitions", summary or {}
@@ -352,6 +428,49 @@ class LocalCatalog:
             for g in self._groups(name, sid)
         ]
         groups = [g for g in groups if g["files"]]
+        if not groups:
+            return None
+        return self._read_groups(spark, groups)
+
+    def stats_pruned_files(
+        self, name: str, column: str, points: list
+    ) -> tuple[list[dict], int]:
+        """File-level pruning from COMMITTED manifest stats (the
+        Iceberg manifest min/max analog): keep a data file iff any of
+        ``points`` falls inside its [min, max] for ``column``, or the
+        file carries no stats for it (unknown -> unprunable -> kept:
+        pruning may only ever remove files PROVEN irrelevant). Returns
+        (pruned groups, total committed file count) — metadata only,
+        zero footer or data IO.
+
+        Sound for clustered writes because ``cluster_by`` staging
+        range-repartitions + sorts, so each file's [min, max] is tight
+        and the set of files containing value v is exactly the set
+        whose range covers v."""
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            raise SnapshotError(f"table {name!r} has no snapshots")
+        groups, total = [], 0
+        for g in self._groups(name, sid):
+            total += len(g["files"])
+            stats = g.get("stats", {})
+            kept = []
+            for f in g["files"]:
+                rng = stats.get(f, {}).get(column)
+                if rng is None or any(rng[0] <= p <= rng[1] for p in points):
+                    kept.append(f)
+            if kept:
+                groups.append({"base": g["base"], "files": kept})
+        return groups, total
+
+    def read_stats_pruned(
+        self, spark: SparkSession, name: str, column: str, points: list
+    ) -> DataFrame | None:
+        """Read the latest snapshot restricted to files whose manifest
+        [min, max] on ``column`` can contain one of ``points`` (see
+        stats_pruned_files). None when every committed file is proven
+        to miss all points."""
+        groups, _total = self.stats_pruned_files(name, column, points)
         if not groups:
             return None
         return self._read_groups(spark, groups)

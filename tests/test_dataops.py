@@ -1184,7 +1184,13 @@ def test_url_curate_pre1970_order(spark, tmp_path):
     con = duckdb.connect()
     odf = con.sql(url_curate_sql(f"{d}/*.parquet")).df()
     orow = odf[odf.norm_url == key].iloc[0]
-    assert str(orow.warc_ts) == "1969-12-31 23:00:00"
+    # Spark writes INT64 TIMESTAMP_MICROS with isAdjustedToUTC=true
+    # (session T25), which DuckDB surfaces as TIMESTAMPTZ — normalize
+    # to the UTC wall clock before comparing to the Spark-side string.
+    ots = orow.warc_ts
+    if getattr(ots, "tzinfo", None) is not None:
+        ots = ots.tz_convert("UTC").tz_localize(None)
+    assert str(ots) == "1969-12-31 23:00:00"
     assert orow.url == got[key].url
 
 
