@@ -243,6 +243,26 @@ def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_search_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 over a COMMITTED table: records are committed CLUSTERED BY
+    timestamp (T25), and the mandatory time range prunes the table's
+    data-file list from the manifest [min, max] stats BEFORE Spark
+    lists anything (query.search_catalog). Same predicate tree as
+    q_search_level_lang, so it shares that twin — the catalog round
+    trip and the pruning must change nothing."""
+    import copy
+    import tempfile
+
+    from logzilla_spark.operators.query import search_catalog
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="search_cat_"))
+    cat.overwrite(_records(spark, sf_dir), "records", cluster_by=["timestamp"])
+    qq = copy.deepcopy(_search_queries()["q_search_level_lang"])
+    qq.select_columns = _SEARCH_COLS
+    return search_catalog(spark, cat, "records", qq)
+
+
 _CURSOR_PAGE = 50
 # sentinel cursor ordered before every row: forces the (ts, id) keyset
 # total order on page 1 so page boundaries are deterministic
@@ -717,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, sq in _search_queries().items():
         q[name] = _mk_search_query(sq)
     q["q_search_cursor_page2"] = _cursor_page2  # O33 keyset pagination
+    q["q_search_catalog"] = _q_search_catalog  # O29 + T25 manifest pruning
     q.update(_dataops_queries())
     return q
 
@@ -810,5 +831,8 @@ GROUP BY 1""",
     for name, sq in _search_queries().items():
         sql[name] = _search_sql(sq, p)
     sql["q_search_cursor_page2"] = _cursor_page2_sql(p)
+    sql["q_search_catalog"] = _search_sql(
+        _search_queries()["q_search_level_lang"], p
+    )
     sql.update(_dataops_oracle_sql(media))
     return sql

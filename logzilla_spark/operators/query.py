@@ -356,6 +356,42 @@ def search(
     return out.select(*(query.select_columns or DEFAULT_SELECT_COLUMNS))
 
 
+def search_catalog(
+    spark,
+    catalog,
+    name: str,
+    query: Query,
+    time_column: str = "timestamp",
+    sort_whitelist: Sequence[str] = DEFAULT_SORT_WHITELIST,
+    field_resolver=default_field_resolver,
+) -> DataFrame:
+    """``search`` over a COMMITTED catalog table, with the mandatory
+    time range applied as file-level pruning BEFORE Spark lists a
+    single file: the table's manifest [min, max] timestamp stats
+    (recorded by ``cluster_by=['timestamp']`` writes — T25 + manifest
+    stats) drop every data file whose range cannot overlap
+    [start, end]. The in-plan time predicate still runs (pruning is an
+    optimization, never the filter), so the result is identical to
+    ``search(catalog.read(...), query)`` — tested. At 100 TB this is
+    the Iceberg-planning shape: a narrow time window touches only the
+    files of that window, not the table's listing.
+
+    Unclustered tables (no stats) degrade to the unpruned read.
+    """
+    query.validate(sort_whitelist)  # validate BEFORE any IO
+    start, end = query.start, query.end
+    if end is not None and end < start:
+        start, end = end, start
+    df = catalog.read_stats_pruned(
+        spark, name, time_column, ranges=[(start, end)]
+    )
+    if df is None:
+        # every committed file provably misses the window -> empty page
+        # with the table's schema (metadata-only: limit(0) scans nothing)
+        df = catalog.read(spark, name).limit(0)
+    return search(df, query, time_column, sort_whitelist, field_resolver)
+
+
 def search_oracle_sql(
     relation: str,
     query: Query,

@@ -74,6 +74,24 @@ _HIVE_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | 
 _STATS_PRIMITIVES = (str, int, float, bool)
 
 
+def _stat_key(v):
+    """Normalize a stats/query value for manifest comparison: datetimes
+    become UTC epoch micros (JSON-portable ints; naive values are
+    treated as UTC — the session TZ is pinned UTC, session.py), other
+    primitives pass through. Returns None for unportable types."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return int(v)
+    if isinstance(v, _STATS_PRIMITIVES):
+        return v
+    return None
+
+
 def _collect_file_stats(
     files: list[str], columns: list[str]
 ) -> dict[str, dict[str, list]]:
@@ -113,16 +131,13 @@ def _collect_file_stats(
             ok = True
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(i).statistics
-                if (
-                    st is None
-                    or not st.has_min_max
-                    or not isinstance(st.min, _STATS_PRIMITIVES)
-                    or not isinstance(st.max, _STATS_PRIMITIVES)
-                ):
+                mn = _stat_key(st.min) if st is not None and st.has_min_max else None
+                mx = _stat_key(st.max) if st is not None and st.has_min_max else None
+                if mn is None or mx is None:
                     ok = False
                     break
-                lo = st.min if lo is None or st.min < lo else lo
-                hi = st.max if hi is None or st.max > hi else hi
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
             if ok and lo is not None:
                 fstats[col] = [lo, hi]
         if fstats:
@@ -433,15 +448,23 @@ class LocalCatalog:
         return self._read_groups(spark, groups)
 
     def stats_pruned_files(
-        self, name: str, column: str, points: list
+        self,
+        name: str,
+        column: str,
+        points: list | None = None,
+        ranges: list[tuple] | None = None,
     ) -> tuple[list[dict], int]:
         """File-level pruning from COMMITTED manifest stats (the
         Iceberg manifest min/max analog): keep a data file iff any of
-        ``points`` falls inside its [min, max] for ``column``, or the
-        file carries no stats for it (unknown -> unprunable -> kept:
-        pruning may only ever remove files PROVEN irrelevant). Returns
-        (pruned groups, total committed file count) — metadata only,
-        zero footer or data IO.
+        ``points`` falls inside its [min, max] for ``column`` or any
+        query ``(lo, hi)`` range overlaps it (``hi=None`` = unbounded
+        above), or the file carries no stats for it (unknown ->
+        unprunable -> kept: pruning may only ever remove files PROVEN
+        irrelevant — so is any type mismatch between query and stats).
+        Datetime query values compare as UTC epoch micros, matching
+        how timestamp stats are recorded. Returns (pruned groups,
+        total committed file count) — metadata only, zero footer or
+        data IO.
 
         Sound for clustered writes because ``cluster_by`` staging
         range-repartitions + sorts, so each file's [min, max] is tight
@@ -450,6 +473,34 @@ class LocalCatalog:
         sid = self.last_snapshot_id(name)
         if sid is None:
             raise SnapshotError(f"table {name!r} has no snapshots")
+        if not points and not ranges:
+            raise ValueError(
+                "stats_pruned_files: need at least one point or range "
+                "(an unconstrained read is just read())"
+            )
+        pts = [_stat_key(p) for p in (points or [])]
+        rgs = [
+            (_stat_key(lo) if lo is not None else None,
+             _stat_key(hi) if hi is not None else None)
+            for lo, hi in (ranges or [])
+        ]
+        if any(p is None for p in pts):
+            # a query value we can't compare to manifest stats means we
+            # can't PROVE any file irrelevant -> no pruning at all
+            pts, rgs = [], [(None, None)]
+
+        def matches(rng) -> bool:
+            try:
+                for p in pts:
+                    if rng[0] <= p <= rng[1]:
+                        return True
+                for lo, hi in rgs:
+                    if (lo is None or lo <= rng[1]) and (hi is None or hi >= rng[0]):
+                        return True
+            except TypeError:
+                return True  # incomparable types -> never prune
+            return False
+
         groups, total = [], 0
         for g in self._groups(name, sid):
             total += len(g["files"])
@@ -457,20 +508,25 @@ class LocalCatalog:
             kept = []
             for f in g["files"]:
                 rng = stats.get(f, {}).get(column)
-                if rng is None or any(rng[0] <= p <= rng[1] for p in points):
+                if rng is None or matches(rng):
                     kept.append(f)
             if kept:
                 groups.append({"base": g["base"], "files": kept})
         return groups, total
 
     def read_stats_pruned(
-        self, spark: SparkSession, name: str, column: str, points: list
+        self,
+        spark: SparkSession,
+        name: str,
+        column: str,
+        points: list | None = None,
+        ranges: list[tuple] | None = None,
     ) -> DataFrame | None:
         """Read the latest snapshot restricted to files whose manifest
-        [min, max] on ``column`` can contain one of ``points`` (see
-        stats_pruned_files). None when every committed file is proven
-        to miss all points."""
-        groups, _total = self.stats_pruned_files(name, column, points)
+        [min, max] on ``column`` can contain one of ``points`` or
+        overlap one of ``ranges`` (see stats_pruned_files). None when
+        every committed file is proven irrelevant."""
+        groups, _total = self.stats_pruned_files(name, column, points, ranges)
         if not groups:
             return None
         return self._read_groups(spark, groups)

@@ -51,3 +51,21 @@ def canon_rows(pdf):
     for c in pdf.columns:
         pdf[c] = pdf[c].map(lambda v: repr(v) if isinstance(v, float) else str(v))
     return Counter(map(tuple, pdf.values.tolist()))
+
+
+@pytest.fixture()
+def small_advisory(spark):
+    """AQE sizes range exchanges (cluster_by staging) to ~64 MB
+    partitions; toy corpora then coalesce to ONE file (correct at
+    scale, vacuous in a test). Shrink the advisory so clustered writes
+    span several files and disjointness/pruning are real properties."""
+    keys = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        spark.conf.set(k, v)

@@ -67,24 +67,6 @@ def records(spark):
     return df.repartition(8)
 
 
-@pytest.fixture()
-def small_advisory(spark):
-    """AQE sizes range-exchange partitions to ~64 MB; the toy corpus
-    coalesces to ONE file at that setting (correct at scale, vacuous
-    in a test). Shrink the advisory so clustering yields several
-    files whose disjointness can be asserted."""
-    keys = {
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
-    }
-    old = {k: spark.conf.get(k) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
-    yield
-    for k, v in old.items():
-        spark.conf.set(k, v)
-
-
 def test_cluster_by_makes_footer_ranges_disjoint(
     spark, tmp_path, records, small_advisory
 ):

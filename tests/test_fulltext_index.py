@@ -36,24 +36,6 @@ def records(records_sf0001):
     return records_sf0001
 
 
-@pytest.fixture()
-def small_advisory(spark):
-    """AQE sizes the cluster_by range exchange to ~64 MB partitions;
-    the toy postings table coalesces to ONE file at that setting
-    (correct at scale, vacuous in a test). Shrink the advisory so the
-    index spans several files and pruning is a real property."""
-    keys = {
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
-    }
-    old = {k: spark.conf.get(k) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
-    yield
-    for k, v in old.items():
-        spark.conf.set(k, v)
-
-
 def test_served_equals_inline_index_tier(spark, records, tmp_path):
     cat = LocalCatalog(str(tmp_path / "wh"))
     build_fulltext_index_table(records, cat, "logs")
