@@ -702,6 +702,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet"),
             "cast(user_id as string)",
         ),
+        "q_sketch_quantiles": lambda s, d: sketches.hist_quantiles(
+            s.read.parquet(f"{d}/events.parquet"),
+            ["event_type"],
+            "value",
+            [0.5, 0.9, 0.99],
+        ),
+        "q_sketch_kmv_users": lambda s, d: sketches.kmv_distinct(
+            s.read.parquet(f"{d}/events.parquet"),
+            "cast(user_id as string)",
+        ),
+        "q_sample_bottomk": lambda s, d: sketches.bottomk_sample(
+            s.read.parquet(f"{d}/documents.parquet"),
+            "cast(doc_id as string)",
+            100,
+        ),
         # --- events: tumbling-window aggregate over event time ---
         "q_events_hourly": lambda s, d: s.read.parquet(f"{d}/events.parquet")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -809,6 +824,9 @@ SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_events_sessions": sessionize_sql("events"),
         "q_sketch_hll_users": oracle_dataops.hll_distinct_sql(),
         "q_sketch_heavy_users": oracle_dataops.cm_heavy_hitters_sql(),
+        "q_sketch_quantiles": oracle_dataops.hist_quantiles_sql(),
+        "q_sketch_kmv_users": oracle_dataops.kmv_distinct_sql(),
+        "q_sample_bottomk": oracle_dataops.bottomk_sample_sql(),
         "q_events_hourly": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -235,3 +235,216 @@ def cm_heavy_hitters(
     return top.select(
         "value", "est", F.row_number().over(w).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch (HDR-histogram-style log buckets)
+# --------------------------------------------------------------------------
+
+HIST_SUB_BITS = 5                       # 2^5 = 32 sub-buckets per octave
+HIST_SUB = 1 << HIST_SUB_BITS           # -> relative error <= 1/32 ~ 3.1%
+HIST_EXACT = HIST_SUB << 1              # s < 64: one bucket per integer
+HIST_SCALE_BITS = 20
+HIST_SCALE = 1 << HIST_SCALE_BITS       # fixed-point: 2^-20 absolute floor
+
+# Exponent-bucketed histogram with linear sub-buckets — the
+# HdrHistogram layout (Gil Tene, public domain spec): values scale to
+# the integer s = floor(v * 2^20) + 1, small s get an exact bucket,
+# larger s share 32 sub-buckets per power of two. State is O(log range
+# x 32) counters per key REGARDLESS of input size, counters sum-merge,
+# and every step is integer arithmetic off a power-of-two multiply
+# (exponent shift — exact in IEEE), so Spark and DuckDB agree on every
+# bucket id and the final estimate to the double bit.
+
+
+def _hist_ops(dialect: str):
+    """(int_div, shift_left) SQL formatters for 'spark' / 'duck' — the
+    two dialect differences in the histogram arithmetic; length(bin()),
+    greatest, floor, ceil, isnan and CAST are engine-shared."""
+    if dialect == "spark":
+        return (
+            lambda a, b: f"(({a}) div ({b}))",
+            lambda a, b: f"shiftleft(cast({a} as bigint), {b})",
+        )
+    if dialect == "duck":
+        return (
+            lambda a, b: f"(({a}) // ({b}))",
+            lambda a, b: f"(cast({a} as bigint) << ({b}))",
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def hist_bucket_expr(s_expr: str, dialect: str = "spark") -> str:
+    """Bucket id of the scaled integer ``s_expr`` (>= 1). Exact buckets
+    below HIST_EXACT; above, the top SUB_BITS bits after the leading
+    one select the sub-bucket (length(bin()) = floor(log2)+1 in both
+    engines)."""
+    idiv, shl = _hist_ops(dialect)
+    msb = f"length(bin({s_expr}))"  # floor(log2 s) + 1 for s >= 1
+    e = f"({msb} - 1)"
+    sub = f"({idiv(s_expr, shl(1, f'{e} - {HIST_SUB_BITS}'))} - {HIST_SUB})"
+    return (
+        f"CASE WHEN ({s_expr}) < {HIST_EXACT} THEN ({s_expr}) "
+        f"ELSE {HIST_EXACT} + ({e} - {HIST_SUB_BITS + 1}) * {HIST_SUB} + {sub} "
+        "END"
+    )
+
+
+def hist_scaled_expr(value_expr: str) -> str:
+    """v -> s: clamp negatives to 0, fixed-point scale by 2^20 (an
+    exponent shift — the multiply is EXACT for any finite double), +1
+    so s >= 1. NaN/NULL are the caller's job to drop."""
+    return (
+        f"cast(floor(greatest(cast(({value_expr}) as double), 0.0e0) "
+        f"* {dlit(float(HIST_SCALE))}) as bigint) + 1"
+    )
+
+
+def hist_bounds_exprs(idx_expr: str, dialect: str = "spark") -> tuple[str, str]:
+    """(lo, hi): the inclusive s-range bucket ``idx_expr`` covers —
+    the inverse of hist_bucket_expr, pure integer ops."""
+    idiv, shl = _hist_ops(dialect)
+    g = idiv(f"(({idx_expr}) - {HIST_EXACT})", HIST_SUB)          # octave - 6
+    sub = f"((({idx_expr}) - {HIST_EXACT}) % {HIST_SUB})"
+    shift = f"({g} + 1)"  # e - SUB_BITS where e = g + SUB_BITS + 1
+    lo_big = shl(f"{HIST_SUB} + {sub}", shift)
+    hi_big = f"({shl(f'{HIST_SUB} + {sub} + 1', shift)} - 1)"
+    lo = f"CASE WHEN ({idx_expr}) < {HIST_EXACT} THEN cast(({idx_expr}) as bigint) ELSE {lo_big} END"
+    hi = f"CASE WHEN ({idx_expr}) < {HIST_EXACT} THEN cast(({idx_expr}) as bigint) ELSE {hi_big} END"
+    return lo, hi
+
+
+def hist_estimate_expr(idx_expr: str, dialect: str = "spark") -> str:
+    """Representative value of bucket ``idx_expr``: the midpoint of its
+    v-range, un-scaling the s = floor(v * 2^20) + 1 map. Integer sum,
+    ONE IEEE division — bit-identical cross-engine."""
+    lo, hi = hist_bounds_exprs(idx_expr, dialect)
+    return (
+        f"cast({lo} + {hi} - 2 as double) / {dlit(float(2 * HIST_SCALE))}"
+    )
+
+
+def hist_counts(df: DataFrame, keys: list[str], value_expr: str) -> DataFrame:
+    """(keys..., bucket, cnt): THE mergeable artifact — union two count
+    tables and sum cnt per (key, bucket) to merge sketches across
+    corpora/partitions (partial aggregation does exactly this map-side,
+    so only sketch-sized state crosses the shuffle). NULL and NaN
+    values are dropped (no rank semantics for them)."""
+    base = df.filter(
+        F.expr(f"({value_expr}) IS NOT NULL AND NOT isnan(cast(({value_expr}) as double))")
+    ).select(
+        *[F.col(k) for k in keys],
+        F.expr(hist_scaled_expr(value_expr)).alias("_s"),
+    )
+    return (
+        base.select(
+            *keys, F.expr(hist_bucket_expr("_s")).cast("int").alias("bucket")
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles_from_counts(
+    counts: DataFrame, keys: list[str], quantiles: list[float]
+) -> DataFrame:
+    """(keys..., q, n, est): type-1 (lower) quantile estimates from a
+    bucket-count table shaped like :func:`hist_counts` — the read side
+    of a sketch maintained elsewhere. For each q: the first bucket
+    whose cumulative count reaches rank ceil(q * n), estimated by its
+    midpoint. The windows run over the AGGREGATED sketch (O(buckets)
+    rows per key, bounded by construction), never the raw input."""
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = counts.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(wcum).alias("_cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(x)).cast("double") for x in sorted(quantiles)])
+    ).alias("q")
+    hit = (
+        cum.select(*keys, "bucket", "_cum", "n", qlit)
+        # rank = ceil(q * n): one IEEE multiply + ceil, same both engines
+        .filter(F.expr("_cum >= cast(ceil(q * cast(n as double)) as bigint)"))
+        .groupBy(*keys, "q", "n")
+        .agg(F.min("bucket").alias("_b"))
+    )
+    return hit.select(
+        *keys, "q", "n", F.expr(hist_estimate_expr("_b")).alias("est")
+    )
+
+
+def hist_quantiles(
+    df: DataFrame, keys: list[str], value_expr: str, quantiles: list[float]
+) -> DataFrame:
+    """Sketch build + quantile read in one plan (see hist_counts /
+    hist_quantiles_from_counts). Relative error <= 2^-5 per estimate
+    (plus the 2^-20 fixed-point floor near zero) — the HdrHistogram
+    guarantee — with state O(octaves x 32) per key at any input size."""
+    return hist_quantiles_from_counts(
+        hist_counts(df, keys, value_expr), keys, quantiles
+    )
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample / KMV distinct estimator
+# --------------------------------------------------------------------------
+
+KMV_RANGE = float(1 << 60)  # md5_long is 60 bits
+
+
+def bottomk_sample(df: DataFrame, key_expr: str, k: int) -> DataFrame:
+    """(key, pri): the k input keys with the smallest md5-derived
+    priority — a DETERMINISTIC uniform-without-replacement sample (the
+    bottom-k / KMV scheme, Bar-Yossef et al. '02): every run, every
+    engine, every partitioning picks the SAME k keys, because the
+    priority is a pure function of the key, not of an RNG. Mergeable:
+    bottom-k of a union == bottom-k of the concatenated per-part
+    bottom-k's, so samples maintained per corpus/partition compose by
+    union + re-take (property-tested). ``key_expr`` must be a
+    string-typed SQL expression and should be unique per entity (the
+    sample is of DISTINCT keys; duplicates collapse).
+
+    Plan: orderBy+limit -> TakeOrderedAndProject (per-partition heaps
+    of k rows, driver-side merge of n_partitions * k) — no global
+    sort, no shuffle of the corpus."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.select(F.expr(key_expr).alias("key"))
+        .distinct()
+        .select("key", F.expr(md5_long_expr("key")).alias("pri"))
+        .orderBy("pri", "key")
+        .limit(int(k))
+    )
+
+
+def kmv_distinct(df: DataFrame, key_expr: str, k: int = 256) -> DataFrame:
+    """(n_sample, est_distinct): KMV cardinality estimate from the
+    bottom-k sample — est = (k - 1) / (kth smallest priority / 2^60)
+    (Bar-Yossef '02; unbiased for distinct counts >> k). When the
+    input has fewer than k distinct keys the sample IS the population
+    and the exact count is returned. One IEEE divide off exact
+    integers -> bit-identical cross-engine."""
+    sample = bottomk_sample(df, key_expr, k)
+    agg = sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.max("pri").alias("_kth"),
+    )
+    est = (
+        f"CASE WHEN n_sample < {int(k)} THEN cast(n_sample as double) "
+        f"ELSE cast(n_sample - 1 as double) / "
+        f"(cast(_kth as double) / {dlit(KMV_RANGE)}) END"
+    )
+    return agg.select("n_sample", F.expr(est).alias("est_distinct"))

@@ -1707,3 +1707,86 @@ est AS (
 SELECT value, est,
        CAST(row_number() OVER (ORDER BY est DESC, value ASC) AS INT) AS rank
 FROM est ORDER BY est DESC, value ASC LIMIT {int(k)}"""
+
+
+def hist_quantiles_sql(
+    table: str = "events",
+    keys: tuple[str, ...] = ("event_type",),
+    value_expr: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """Twin of sketches.hist_quantiles: same fixed-point scaling,
+    bin()-length bucket ids, integer bounds arithmetic and the single
+    final IEEE divide — est matches Spark's double bits exactly. The
+    only dialect differences (// vs div, << vs shiftleft) live in
+    sketches._hist_ops, one source of truth for both engines."""
+    from logzilla_spark.operators.sketches import (
+        dlit,
+        hist_bucket_expr,
+        hist_estimate_expr,
+        hist_scaled_expr,
+    )
+
+    key_list = ", ".join(keys)
+    qlits = ", ".join(dlit(float(x)) for x in sorted(quantiles))
+    return f"""WITH base AS (
+  SELECT {key_list}, {hist_scaled_expr(value_expr)} AS s
+  FROM {table}
+  WHERE ({value_expr}) IS NOT NULL AND NOT isnan(CAST(({value_expr}) AS DOUBLE))
+),
+b AS (
+  SELECT {key_list}, CAST({hist_bucket_expr('s', 'duck')} AS INT) AS bucket
+  FROM base
+),
+counts AS (
+  SELECT {key_list}, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY {key_list}, bucket
+),
+cum AS (
+  SELECT {key_list}, bucket,
+         CAST(sum(cnt) OVER (PARTITION BY {key_list} ORDER BY bucket) AS BIGINT) AS cm,
+         CAST(sum(cnt) OVER (PARTITION BY {key_list}) AS BIGINT) AS n
+  FROM counts
+),
+qs AS (SELECT unnest([{qlits}]) AS q),
+hit AS (
+  SELECT {key_list}, q, n, min(bucket) AS b
+  FROM cum CROSS JOIN qs
+  WHERE cm >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+  GROUP BY {key_list}, q, n
+)
+SELECT {key_list}, q, n, {hist_estimate_expr('b', 'duck')} AS est FROM hit"""
+
+
+def bottomk_sample_sql(
+    table: str = "documents",
+    key_expr: str = "CAST(doc_id AS VARCHAR)",
+    k: int = 100,
+) -> str:
+    """Twin of sketches.bottomk_sample: identical md5 priorities and
+    (pri, key) order — exact match by construction."""
+    return f"""WITH keys AS (SELECT DISTINCT {key_expr} AS key FROM {table}),
+pri AS (SELECT key, {md5_long_sql('key')} AS pri FROM keys)
+SELECT key, pri FROM pri ORDER BY pri, key LIMIT {int(k)}"""
+
+
+def kmv_distinct_sql(
+    table: str = "events",
+    key_expr: str = "CAST(user_id AS VARCHAR)",
+    k: int = 256,
+) -> str:
+    """Twin of sketches.kmv_distinct: same bottom-k priorities, same
+    single IEEE divide — est_distinct matches Spark's double bits."""
+    from logzilla_spark.operators.sketches import KMV_RANGE, dlit
+
+    return f"""WITH keys AS (SELECT DISTINCT {key_expr} AS key FROM {table}),
+pri AS (SELECT key, {md5_long_sql('key')} AS pri FROM keys),
+bk AS (SELECT pri FROM pri ORDER BY pri, key LIMIT {int(k)}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sample, max(pri) AS kth FROM bk
+)
+SELECT n_sample,
+       CASE WHEN n_sample < {int(k)} THEN CAST(n_sample AS DOUBLE)
+            ELSE CAST(n_sample - 1 AS DOUBLE) /
+                 (CAST(kth AS DOUBLE) / {dlit(KMV_RANGE)}) END AS est_distinct
+FROM agg"""
