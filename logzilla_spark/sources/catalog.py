@@ -197,7 +197,14 @@ class LocalCatalog:
         with open(path) as f:
             return json.load(f)
 
-    def _commit(self, name: str, groups: list[dict], operation: str, summary) -> int:
+    def _commit(
+        self,
+        name: str,
+        groups: list[dict],
+        operation: str,
+        summary,
+        schema_json: str | None = None,
+    ) -> int:
         """Publish a snapshot. ``groups`` = [{"base": dir, "files": [...]}]:
         each group is read with its own basePath, so a snapshot can mix
         normal appends with externally-staged partitioned directories
@@ -224,12 +231,28 @@ class LocalCatalog:
                 "groups": groups,
                 "summary": summary,
             }
+            # Iceberg-style schema tracking: the writer's schema becomes
+            # the table's CURRENT schema (reads apply it to every data
+            # file — older files fill added columns with NULL, extra
+            # columns in them are ignored). Operations without a
+            # DataFrame (rollback, external append) carry the
+            # predecessor's schema forward via _current_schema_json.
+            if schema_json is not None:
+                manifest["schema"] = schema_json
             tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
             final = os.path.join(snap_dir, f"snap-{new_id:08d}.json")
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.rename(tmp, final)  # atomic publish
             return new_id
+
+    def _schema_json_at(self, name: str, snapshot_id: int | None) -> str | None:
+        """The schema recorded at ``snapshot_id`` (None for legacy
+        manifests / no snapshot) — the table's current schema when
+        called with the head id."""
+        if snapshot_id is None:
+            return None
+        return self._load_snapshot(name, snapshot_id).get("schema")
 
     def _groups(self, name: str, snapshot_id: int) -> list[dict]:
         m = self._load_snapshot(name, snapshot_id)
@@ -296,7 +319,10 @@ class LocalCatalog:
             prev = self.last_snapshot_id(name)
             prev_groups = self._groups(name, prev) if prev else []
             groups = prev_groups + [new_group]
-            sid = self._commit(name, groups, "append", summary or {})
+            sid = self._commit(
+                name, groups, "append", summary or {},
+                schema_json=df.schema.json(),
+            )
             # invalidate AFTER publish, still inside the lock: a
             # confirm serialized behind this commit then re-scans the
             # NEW head; invalidating before publish (or outside the
@@ -321,7 +347,10 @@ class LocalCatalog:
             prev = self.last_snapshot_id(name)
             prev_groups = self._groups(name, prev) if prev else []
             groups = prev_groups + [{"base": base_path, "files": sorted(files)}]
-            sid = self._commit(name, groups, "append", summary or {})
+            sid = self._commit(
+                name, groups, "append", summary or {},
+                schema_json=self._schema_json_at(name, prev),
+            )
             _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
             return sid
 
@@ -340,7 +369,10 @@ class LocalCatalog:
             if stats:
                 groups[0]["stats"] = stats
         with _COMMIT_LOCK:
-            sid = self._commit(name, groups, "overwrite", summary or {})
+            sid = self._commit(
+                name, groups, "overwrite", summary or {},
+                schema_json=df.schema.json(),
+            )
             _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
             return sid
 
@@ -406,7 +438,8 @@ class LocalCatalog:
                 kept.append(kg)
             groups = kept + [{"base": self._data_dir(name), "files": new_files}]
             sid = self._commit(
-                name, groups, "overwrite_partitions", summary or {}
+                name, groups, "overwrite_partitions", summary or {},
+                schema_json=df.schema.json(),
             )
             # after publish (see append). Staged files are guaranteed
             # under partition_by= dirs (the stray check), so the
@@ -445,7 +478,7 @@ class LocalCatalog:
         groups = [g for g in groups if g["files"]]
         if not groups:
             return None
-        return self._read_groups(spark, groups)
+        return self._read_groups(spark, groups, self._schema_json_at(name, sid))
 
     def stats_pruned_files(
         self,
@@ -529,7 +562,9 @@ class LocalCatalog:
         groups, _total = self.stats_pruned_files(name, column, points, ranges)
         if not groups:
             return None
-        return self._read_groups(spark, groups)
+        return self._read_groups(
+            spark, groups, self._schema_json_at(name, self.last_snapshot_id(name))
+        )
 
     def read_layout_split(
         self, spark: SparkSession, name: str, partition_by: str
@@ -732,20 +767,44 @@ class LocalCatalog:
                 self._groups(name, to_snapshot_id),
                 "rollback",
                 {"rolled_back_to": to_snapshot_id},
+                schema_json=self._schema_json_at(name, to_snapshot_id),
             )
             _invalidate_partitioned_cache(self.warehouse, name)  # after publish (see append)
             return sid
 
     # -- reads ----------------------------------------------------------
-    def _read_groups(self, spark: SparkSession, groups: list[dict]) -> DataFrame:
+    def _read_groups(
+        self,
+        spark: SparkSession,
+        groups: list[dict],
+        schema_json: str | None = None,
+    ) -> DataFrame:
         # one read per basePath group (partition-dir columns recovered
-        # relative to that base), then union — schemas are identical
-        # after recovery, column order may differ
+        # relative to that base), then union. When the snapshot recorded
+        # a schema, reads apply it EXPLICITLY (Iceberg-style schema
+        # evolution): files from before an added column fill it with
+        # NULL, files carrying a since-dropped column ignore it, and no
+        # footer sampling/inference runs at plan time — the manifest is
+        # the source of truth. Legacy manifests (no schema) keep the
+        # inference path.
+        schema = None
+        if schema_json is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            st = StructType.fromJson(json.loads(schema_json))
+            # evolution fills missing columns with NULL -> every field
+            # must read as nullable regardless of the writer's flags
+            schema = StructType(
+                [StructField(f.name, f.dataType, True, f.metadata) for f in st]
+            )
         out = None
         for g in groups:
             if not g["files"]:
                 continue
-            df = spark.read.option("basePath", g["base"]).parquet(*g["files"])
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.option("basePath", g["base"]).parquet(*g["files"])
             out = df if out is None else out.unionByName(df)
         if out is None:
             raise SnapshotError("snapshot has no data files")
@@ -755,7 +814,9 @@ class LocalCatalog:
         sid = snapshot_id if snapshot_id is not None else self.last_snapshot_id(name)
         if sid is None:
             raise SnapshotError(f"table {name!r} has no committed snapshot")
-        return self._read_groups(spark, self._groups(name, sid))
+        return self._read_groups(
+            spark, self._groups(name, sid), self._schema_json_at(name, sid)
+        )
 
     def read_incremental(
         self, spark: SparkSession, name: str, after_snapshot_id: int | None
@@ -779,7 +840,9 @@ class LocalCatalog:
         ]
         if not any(g["files"] for g in new_groups):
             return None
-        return self._read_groups(spark, new_groups)
+        return self._read_groups(
+            spark, new_groups, self._schema_json_at(name, head)
+        )
 
     def drop(self, name: str) -> None:
         with _COMMIT_LOCK:
