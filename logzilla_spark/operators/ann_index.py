@@ -152,6 +152,69 @@ def build_ann_index(
     }
 
 
+def update_ann_index(
+    emb_new: DataFrame,
+    catalog: LocalCatalog,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance (the FAISS ``add()`` contract):
+    encode NEW vectors with the index's COMMITTED quantizers — the
+    centroids and codebooks are read, never retrained — and APPEND
+    their (vec_id, codes, cell) rows to the codes table under the
+    right cell partitions. Serving then covers old + new vectors with
+    unchanged pruning (the appended files live under their cell=
+    directories like the base build's).
+
+    Self-configuring: m / dim come from the params the build recorded
+    in the codes table's snapshot summary. Caller contract: ``emb_new``
+    holds ids not already indexed (append-only engine — re-adding an
+    id would duplicate it, same as Iceberg append semantics).
+
+    At 100 TB this is the difference between re-encoding the corpus
+    per refresh and touching only the delta; quantizer DRIFT (new data
+    far from the trained cells) degrades recall, not correctness —
+    rebuild via build_ann_index when the recall report says so.
+    Returns {"codes": snapshot_id}.
+    """
+    codes_tbl = name + CODES_SUFFIX
+    sid = catalog.last_snapshot_id(codes_tbl)
+    if sid is None:
+        raise SnapshotError(f"ann index {name!r} does not exist — build it first")
+    # newest snapshot whose summary carries the build params (an
+    # intervening compact/rollback records its own summary instead)
+    params = None
+    for s in reversed(catalog.snapshot_ids(codes_tbl)):
+        cand = catalog.snapshot_summary(codes_tbl, s)
+        if "m" in cand and "dim" in cand:
+            params = {k: cand[k] for k in ("m", "ksub", "dim", "n_cells", "trained")}
+            break
+    if params is None:
+        raise SnapshotError(
+            f"ann index {name!r}: no snapshot records build params"
+        )
+    m, dim = int(params["m"]), int(params["dim"])
+    seeds = catalog.read(emb_new.sparkSession, name + CENTROIDS_SUFFIX)
+    codebooks = catalog.read(emb_new.sparkSession, name + CODEBOOKS_SUFFIX)
+    vecs = persist_tracked(
+        emb_new.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+    )
+    try:
+        assigned = ivf_assign(vecs, seeds).select(
+            F.col("id").alias("vec_id"), "cell"
+        )
+        delta = pq_encode(vecs, codebooks, m, dim).join(assigned, "vec_id")
+        new_sid = catalog.append(
+            delta, codes_tbl, partition_by=["cell"], summary=dict(params)
+        )
+    finally:
+        vecs.unpersist()
+    return {"codes": new_sid}
+
+
 def ann_index_exists(catalog: LocalCatalog, name: str) -> bool:
     return all(
         catalog.exists(name + sfx)

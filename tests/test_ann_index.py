@@ -157,3 +157,70 @@ def test_empty_probe_set_returns_empty(spark, built):
     assert [f.name for f in out.schema.fields] == [
         "probe_id", "neighbor_id", "adc", "rank",
     ]
+
+
+def test_incremental_update_serves_old_and_new(spark, tmp_path):
+    """update_ann_index appends new vectors encoded with the COMMITTED
+    quantizers (FAISS add() contract): serving afterwards equals a
+    manual expected set built from the same frozen quantizers over the
+    union corpus — bit-for-bit — and new vectors are reachable."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    old = _emb(spark, n=N_VECS)
+    new = _emb(spark, n=40, salt=9).withColumn(
+        "vec_id", F.col("vec_id") + N_VECS
+    )
+    ann_index.build_ann_index(old, cat, "emb", m=M, ksub=KSUB, dim=DIM, n_cells=N_CELLS)
+    ann_index.update_ann_index(new, cat, "emb")
+    probes = _probes(old.unionByName(new))
+    served = ann_index.ann_serve_topk(
+        spark, cat, "emb", probes, nprobe=NPROBE, m=M, dim=DIM
+    )
+    s = [tuple(r) for r in served.orderBy("probe_id", "rank").collect()]
+
+    # expected: same FROZEN quantizers (from the old corpus), codes over
+    # the union — the building blocks the serve path composes
+    seeds = similarity.ivf_seeds(old, N_CELLS)
+    books = similarity.pq_codebooks_seeded(old, M, KSUB, DIM)
+    union = old.unionByName(new)
+    assigned = similarity.ivf_assign(union, seeds).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    codes = similarity.pq_encode(union, books, M, DIM).join(assigned, "vec_id")
+    pc = similarity.probe_nearest_cells(probes, seeds, NPROBE)
+    luts = similarity.pq_probe_luts(probes, books, M, DIM)
+    pairs = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes", "cell")
+        .join(F.broadcast(pc.select("probe_id", "cell").join(luts, "probe_id")), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+    )
+    want = [
+        tuple(r)
+        for r in similarity.adc_topk(pairs, similarity.DEFAULT_K)
+        .orderBy("probe_id", "rank")
+        .collect()
+    ]
+    assert len(s) > 0 and s == want
+    # new vectors actually serve: some neighbor id is from the update
+    assert any(t[1] >= N_VECS for t in s)
+
+
+def test_update_requires_existing_index(spark, tmp_path):
+    from logzilla_spark.sources.catalog import SnapshotError
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    with pytest.raises(SnapshotError):
+        ann_index.update_ann_index(_emb(spark, n=5), cat, "nope")
+
+
+def test_update_after_compaction_finds_params(spark, tmp_path):
+    """A compact() snapshot records its own summary; update must walk
+    back to the newest snapshot carrying the build params."""
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    old = _emb(spark, n=N_VECS)
+    ann_index.build_ann_index(old, cat, "emb", m=M, ksub=KSUB, dim=DIM, n_cells=N_CELLS)
+    cat.compact(spark, "emb" + ann_index.CODES_SUFFIX, partition_by="cell")
+    new = _emb(spark, n=10, salt=3).withColumn("vec_id", F.col("vec_id") + N_VECS)
+    ann_index.update_ann_index(new, cat, "emb")
+    codes = cat.read(spark, "emb" + ann_index.CODES_SUFFIX)
+    assert codes.count() == N_VECS + 10
+    assert codes.select("vec_id").distinct().count() == N_VECS + 10
