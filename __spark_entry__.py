@@ -263,6 +263,98 @@ def _q_search_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_catalog(spark, cat, "records", qq)
 
 
+def _q_catalog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 row-level DELETE (Iceberg copy-on-write,
+    catalog.delete_where): commit documents clustered by doc_id, run a
+    stats-pruned range delete (manifest [min,max] narrows the rewrite
+    to the overlapping files — the takedown path) plus a full-predicate
+    delete, then report the surviving corpus per language. The oracle
+    is the equivalent NOT-filter: the catalog round trip, the file
+    pruning, and the partial-file rewrite must change nothing."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_dml_"))
+    cat.overwrite(_docs(spark, sf_dir), "docs", cluster_by=["doc_id"])
+    cat.delete_where(
+        spark, "docs", "doc_id <= 100",
+        prune_column="doc_id", prune_ranges=[(None, 100)],
+    )
+    cat.delete_where(spark, "docs", "lang = 'de'")
+    return (
+        cat.read(spark, "docs")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+def _q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 MERGE INTO (copy-on-write upsert, catalog.merge_upsert):
+    a recrawl batch updates its matched doc_ids (source wins) and
+    inserts brand-new ids through the same commit; only files holding
+    a matched key are rewritten. Oracle = anti-join ∪ source."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_dml_"))
+    docs = _docs(spark, sf_dir)
+    cat.overwrite(docs, "docs", cluster_by=["doc_id"])
+    recrawl = (
+        docs.filter("doc_id % 7 = 0")
+        .withColumn("text", F.concat(F.lit("recrawl: "), F.col("text")))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    fresh = docs.filter("doc_id % 13 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    cat.merge_upsert(
+        spark, recrawl.unionByName(fresh), "docs", keys=["doc_id"]
+    )
+    return (
+        cat.read(spark, "docs")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+_CATALOG_DELETE_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE NOT (doc_id <= 100) AND NOT (lang = 'de')
+GROUP BY 1"""
+
+_CATALOG_MERGE_SQL = """
+WITH src AS (
+  SELECT doc_id, 'recrawl: ' || text AS text, lang, source,
+         CAST(length('recrawl: ' || text) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 0
+), merged AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM merged GROUP BY 1, 2"""
+
+
 _CURSOR_PAGE = 50
 # sentinel cursor ordered before every row: forces the (ts, id) keyset
 # total order on page 1 so page boundaries are deterministic
@@ -753,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _mk_search_query(sq)
     q["q_search_cursor_page2"] = _cursor_page2  # O33 keyset pagination
     q["q_search_catalog"] = _q_search_catalog  # O29 + T25 manifest pruning
+    q["q_catalog_delete"] = _q_catalog_delete  # T33 copy-on-write DELETE
+    q["q_catalog_merge"] = _q_catalog_merge  # T33 MERGE INTO upsert
     q.update(_dataops_queries())
     return q
 
@@ -852,5 +946,7 @@ GROUP BY 1""",
     sql["q_search_catalog"] = _search_sql(
         _search_queries()["q_search_level_lang"], p
     )
+    sql["q_catalog_delete"] = _CATALOG_DELETE_SQL
+    sql["q_catalog_merge"] = _CATALOG_MERGE_SQL
     sql.update(_dataops_oracle_sql(media))
     return sql

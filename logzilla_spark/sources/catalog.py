@@ -164,6 +164,52 @@ class SnapshotError(RuntimeError):
     pass
 
 
+class CommitConflictError(RuntimeError):
+    """A row-level rewrite (delete_where / merge_upsert) found the
+    table head advanced between its read and its commit — committing
+    would silently drop the concurrent writer's files (the rewrite's
+    kept-file list was computed against the superseded snapshot).
+    Iceberg's optimistic-concurrency validation failure; retry the
+    operation against the new head."""
+
+
+def _local_path(uri: str) -> str:
+    """``_metadata.file_path`` URI -> the absolute local path recorded
+    in manifests (strip the file: scheme, decode percent-escapes that
+    Spark applies to special characters in partition dir names)."""
+    from urllib.parse import unquote, urlparse
+
+    # Spark emits 'file:/tmp/x' (no authority slashes); urlparse
+    # handles both that and bare paths (scheme empty -> path verbatim)
+    return unquote(urlparse(uri).path)
+
+
+def _explicit_schema(schema_json: str | None):
+    """Manifest schema JSON -> the StructType reads apply explicitly
+    (Iceberg-style evolution: files from before an added column fill it
+    with NULL, so every field must read as nullable regardless of the
+    writer's flags). None for legacy manifests (inference path)."""
+    if schema_json is None:
+        return None
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType.fromJson(json.loads(schema_json))
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in st]
+    )
+
+
+def _partition_dir_columns(files: list[str]) -> list[str]:
+    """Partition columns encoded in the data-file paths (``col=value``
+    directory segments), in directory order — so a rewrite can re-stage
+    with the same physical layout."""
+    for f in files:
+        cols = [seg.split("=", 1)[0] for seg in f.split(os.sep)[:-1] if "=" in seg]
+        if cols:
+            return cols
+    return []
+
+
 class LocalCatalog:
     def __init__(self, warehouse: str):
         self.warehouse = os.path.abspath(warehouse)
@@ -754,6 +800,261 @@ class LocalCatalog:
             summary=summary,
         )
 
+    # -- row-level DML (copy-on-write) -----------------------------------
+    def _scan_files_with_path(
+        self, spark: SparkSession, groups: list[dict], schema_json: str | None,
+        columns: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Scan ``groups`` with the hidden ``_metadata.file_path``
+        surfaced as ``__file``. The metadata column only resolves on
+        the scan relation itself, so it is selected per-group BEFORE
+        the union (selecting it on the unioned frame fails)."""
+        schema = _explicit_schema(schema_json)
+        out = None
+        for g in groups:
+            if not g["files"]:
+                continue
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            d = reader.option("basePath", g["base"]).parquet(*g["files"])
+            sel = [F.col(c) for c in columns] if columns is not None else [F.col("*")]
+            d = d.select(*sel, F.col("_metadata.file_path").alias("__file"))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    def _stat_columns(self, groups: list[dict]) -> list[str]:
+        """Columns any committed file carries manifest stats for — a
+        rewrite collects stats for its replacement files on the same
+        columns so file pruning survives row-level DML."""
+        return sorted({
+            c for g in groups for s in g.get("stats", {}).values() for c in s
+        })
+
+    def _commit_rewrite(
+        self,
+        name: str,
+        head_sid: int,
+        groups: list[dict],
+        dirty: set[str],
+        staged: DataFrame,
+        operation: str,
+        summary: dict,
+        schema_json: str | None,
+    ) -> int:
+        """Stage the rewritten content of the ``dirty`` files and
+        publish: every file NOT in ``dirty`` carries over metadata-only
+        (stats included); the commit validates the head is still
+        ``head_sid`` (optimistic concurrency — a concurrent commit's
+        files would otherwise be silently dropped) and raises
+        CommitConflictError to ask for a retry."""
+        dirty_files = sorted(dirty)
+        part_cols = _partition_dir_columns(dirty_files)
+        if part_cols:
+            # normalize dir tokens via string staging (compact
+            # precedent); committed schema below stays the table's, so
+            # reads cast dir values back to the declared types
+            staged = staged.select(
+                *[F.col(c).cast("string") if c in set(part_cols) else F.col(c)
+                  for c in staged.columns]
+            )
+        new_files = self._stage_write(staged, name, part_cols or None)
+        new_group: dict = {"base": self._data_dir(name), "files": new_files}
+        stat_cols = self._stat_columns(groups)
+        if stat_cols and new_files:
+            stats = _collect_file_stats(new_files, stat_cols)
+            if stats:
+                new_group["stats"] = stats
+        with _COMMIT_LOCK:
+            if self.last_snapshot_id(name) != head_sid:
+                raise CommitConflictError(
+                    f"{operation}({name}): head advanced past snapshot "
+                    f"{head_sid} during the rewrite — retry against the "
+                    "new head"
+                )
+            kept = []
+            for g in groups:
+                keep_files = [f for f in g["files"] if f not in dirty]
+                if not keep_files:
+                    continue
+                kg: dict = {"base": g["base"], "files": keep_files}
+                keep_stats = {
+                    f: s for f, s in g.get("stats", {}).items()
+                    if f in set(keep_files)
+                }
+                if keep_stats:
+                    kg["stats"] = keep_stats
+                kept.append(kg)
+            if new_files:
+                kept.append(new_group)
+            sid = self._commit(
+                name, kept, operation, summary, schema_json=schema_json
+            )
+            _invalidate_partitioned_cache(self.warehouse, name)  # after publish
+            return sid
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        condition: str,
+        prune_column: str | None = None,
+        prune_points: list | None = None,
+        prune_ranges: list[tuple] | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Row-level ``DELETE FROM name WHERE condition`` with Iceberg
+        copy-on-write semantics: rewrite ONLY the data files that
+        actually contain matching rows; every other file carries into
+        the new snapshot metadata-only. SQL DELETE semantics — rows
+        where ``condition`` is NULL are RETAINED (only condition IS
+        TRUE deletes). History is preserved (time travel to the
+        pre-delete snapshot still sees the rows; rollback undoes).
+
+        Candidate narrowing is two-stage: (1) when the caller supplies
+        ``prune_column`` + points/ranges bounding the condition, the
+        committed manifest stats prune the candidate file list with
+        ZERO data IO (clustered tables: a tight-range delete touches
+        only the overlapping files); (2) one distributed pass over the
+        candidates finds the files with >= 1 matching row (the collect
+        is the distinct FILE LIST — metadata-scale, never rows). A
+        no-match delete publishes nothing and returns the head id.
+
+        At 100 TB this is the takedown/GDPR path: the cost is
+        O(matching files rewritten), not O(table)."""
+        head_sid = self.last_snapshot_id(name)
+        if head_sid is None:
+            raise SnapshotError(f"table {name!r} has no committed snapshot")
+        groups = self._groups(name, head_sid)
+        schema_json = self._schema_json_at(name, head_sid)
+        if prune_column and (prune_points or prune_ranges):
+            cand_groups, _total = self.stats_pruned_files(
+                name, prune_column, prune_points, prune_ranges
+            )
+        else:
+            cand_groups = groups
+        cand = self._scan_files_with_path(spark, cand_groups, schema_json)
+        dirty: set[str] = set()
+        if cand is not None:
+            dirty = {
+                _local_path(r["__file"])
+                for r in cand.where(condition).select("__file").distinct().collect()
+            }
+        if not dirty:
+            return head_sid
+        dirty_groups = [
+            {"base": g["base"], "files": [f for f in g["files"] if f in dirty]}
+            for g in groups
+            if any(f in dirty for f in g["files"])
+        ]
+        retained = self._read_groups(spark, dirty_groups, schema_json).where(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        return self._commit_rewrite(
+            name, head_sid, groups, dirty, retained, "delete",
+            {"condition": condition, "rewritten_files": len(dirty),
+             **(summary or {})},
+            schema_json,
+        )
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        name: str,
+        keys: list[str],
+        order_col: str | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """``MERGE INTO name USING source ON keys WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — Iceberg
+        copy-on-write: only files containing a matched key are
+        rewritten; everything else carries metadata-only. Default is
+        source-wins (the MERGE above); with ``order_col`` the NEWEST
+        row per key wins (recrawl keep-newest — a source row older than
+        the committed row leaves it in place; ties go to the source).
+        ``keys`` and ``order_col`` must be non-NULL in both sides —
+        NULL never equals NULL under MERGE's ON, so NULL-keyed rows
+        would silently always insert; require the caller to clean them.
+
+        Dirty-file detection is stats-first: the source's [min, max] on
+        ``keys[0]`` prunes the candidate list from committed manifest
+        stats (clustered tables: a recrawl batch of recent ids touches
+        only the tail files), then one distributed semi-join on the
+        keys finds the files actually holding matches (collect =
+        distinct file list, metadata-scale). The staged rewrite is the
+        retained rows of dirty files plus the whole source — brand-new
+        keys insert through the same append."""
+        head_sid = self.last_snapshot_id(name)
+        if head_sid is None:
+            raise SnapshotError(f"table {name!r} has no committed snapshot")
+        groups = self._groups(name, head_sid)
+        schema_json = self._schema_json_at(name, head_sid)
+        source = source.persist()  # consumed by detection AND the rewrite
+        try:
+            bounds = source.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).first()
+            if bounds["lo"] is not None and keys[0] in self._stat_columns(groups):
+                cand_groups, _ = self.stats_pruned_files(
+                    name, keys[0], ranges=[(bounds["lo"], bounds["hi"])]
+                )
+            else:
+                cand_groups = groups
+            src_keys = source.select(*keys).distinct()
+            cand = self._scan_files_with_path(
+                spark, cand_groups, schema_json, columns=keys
+            )
+            dirty: set[str] = set()
+            if cand is not None:
+                dirty = {
+                    _local_path(r["__file"])
+                    for r in cand.join(src_keys, on=keys, how="left_semi")
+                    .select("__file").distinct().collect()
+                }
+            dirty_groups = [
+                {"base": g["base"], "files": [f for f in g["files"] if f in dirty]}
+                for g in groups
+                if any(f in dirty for f in g["files"])
+            ]
+            cols = [
+                f.name for f in (_explicit_schema(schema_json) or source.schema)
+            ]
+            target_rows = (
+                self._read_groups(spark, dirty_groups, schema_json).select(*cols)
+                if dirty_groups else None
+            )
+            src = source.select(*cols)
+            if order_col is None:
+                staged = src if target_rows is None else (
+                    target_rows.join(src_keys, on=keys, how="left_anti")
+                    .unionByName(src)
+                )
+            else:
+                # keep-newest: fold both sides through ONE max_by agg —
+                # (order_col, is_source) orders ties toward the source;
+                # unmatched rows are singleton groups and pass through
+                both = src.withColumn("__src", F.lit(1))
+                if target_rows is not None:
+                    both = target_rows.withColumn("__src", F.lit(0)).unionByName(both)
+                staged = (
+                    both.groupBy(*keys)
+                    .agg(F.max_by(
+                        F.struct(*[c for c in cols if c not in set(keys)]),
+                        F.struct(F.col(order_col), F.col("__src")),
+                    ).alias("__r"))
+                    .select(*keys, "__r.*")
+                    .select(*cols)
+                )
+            return self._commit_rewrite(
+                name, head_sid, groups, dirty, staged, "merge",
+                {"keys": keys, "rewritten_files": len(dirty),
+                 **(summary or {})},
+                schema_json,
+            )
+        finally:
+            source.unpersist()
+
     def snapshot_summary(self, name: str, snapshot_id: int) -> dict:
         return self._load_snapshot(name, snapshot_id).get("summary", {})
 
@@ -787,16 +1088,7 @@ class LocalCatalog:
         # footer sampling/inference runs at plan time — the manifest is
         # the source of truth. Legacy manifests (no schema) keep the
         # inference path.
-        schema = None
-        if schema_json is not None:
-            from pyspark.sql.types import StructField, StructType
-
-            st = StructType.fromJson(json.loads(schema_json))
-            # evolution fills missing columns with NULL -> every field
-            # must read as nullable regardless of the writer's flags
-            schema = StructType(
-                [StructField(f.name, f.dataType, True, f.metadata) for f in st]
-            )
+        schema = _explicit_schema(schema_json)
         out = None
         for g in groups:
             if not g["files"]:
