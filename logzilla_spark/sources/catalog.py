@@ -240,8 +240,14 @@ class LocalCatalog:
 
     def _load_snapshot(self, name: str, snapshot_id: int) -> dict:
         path = os.path.join(self._snap_dir(name), f"snap-{snapshot_id:08d}.json")
-        with open(path) as f:
-            return json.load(f)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise SnapshotError(
+                f"table {name!r} has no snapshot {snapshot_id} "
+                "(never committed, or expired by expire_snapshots)"
+            ) from None
 
     def _commit(
         self,
@@ -1054,6 +1060,108 @@ class LocalCatalog:
             )
         finally:
             source.unpersist()
+
+    # -- maintenance: expiration + orphan cleanup -------------------------
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 1,
+        keep_ids: list[int] | None = None,
+    ) -> dict:
+        """Iceberg expire_snapshots: drop snapshot manifests older than
+        the newest ``keep_last`` (the head is always kept; ``keep_ids``
+        pins extra snapshots, e.g. a rollback target), then delete data
+        files referenced ONLY by expired snapshots. This is what bounds
+        disk under copy-on-write churn — compaction/DELETE/MERGE never
+        delete the files they replace, so history grows until expired.
+
+        Crash-safe ordering: manifests are removed BEFORE their
+        now-dead files — a crash in between leaves orphaned files
+        (reclaimed by remove_orphan_files), never a kept manifest
+        pointing at deleted data. Files outside the table's own data
+        dir (append_external) are never deleted — the catalog does not
+        own them; they are returned in ``external_skipped`` for the
+        caller. Time travel to an expired id raises SnapshotError."""
+        with _COMMIT_LOCK:
+            ids = self.snapshot_ids(name)
+            if not ids:
+                raise SnapshotError(f"table {name!r} has no committed snapshot")
+            keep = set(ids[-max(keep_last, 1):]) | (set(keep_ids or []) & set(ids))
+            expired = [i for i in ids if i not in keep]
+            if not expired:
+                return {"expired": [], "deleted_files": 0, "external_skipped": []}
+            live = {
+                f for i in keep for g in self._groups(name, i) for f in g["files"]
+            }
+            data_root = self._data_dir(name) + os.sep
+            dead, external = set(), set()
+            for i in expired:
+                for g in self._groups(name, i):
+                    for f in g["files"]:
+                        if f in live:
+                            continue
+                        (dead if f.startswith(data_root) else external).add(f)
+            for i in expired:
+                os.remove(
+                    os.path.join(self._snap_dir(name), f"snap-{i:08d}.json")
+                )
+            deleted = 0
+            for f in sorted(dead):
+                try:
+                    os.remove(f)
+                    deleted += 1
+                except OSError:
+                    pass
+            self._prune_empty_staging_dirs(name)
+            return {
+                "expired": expired,
+                "deleted_files": deleted,
+                "external_skipped": sorted(external),
+            }
+
+    def remove_orphan_files(
+        self, name: str, older_than_seconds: float = 3600.0
+    ) -> list[str]:
+        """Delete data files under the table's data dir referenced by
+        NO snapshot (crash leftovers: _stage_write ran, the commit
+        never published) — Iceberg's remove_orphan_files. The age guard
+        protects a concurrent writer's in-flight staging (freshly
+        staged files are not yet referenced either); deletions happen
+        under the commit lock so a commit cannot publish a file this
+        scan is deciding about."""
+        import time
+
+        with _COMMIT_LOCK:
+            referenced: set[str] = set()
+            for i in self.snapshot_ids(name):
+                for g in self._groups(name, i):
+                    referenced.update(g["files"])
+            cutoff = time.time() - older_than_seconds
+            removed = []
+            for root, _dirs, fnames in os.walk(self._data_dir(name)):
+                for fn in fnames:
+                    p = os.path.join(root, fn)
+                    if p in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(p) <= cutoff:
+                            os.remove(p)
+                            removed.append(p)
+                    except OSError:
+                        pass
+            self._prune_empty_staging_dirs(name)
+            return sorted(removed)
+
+    def _prune_empty_staging_dirs(self, name: str) -> None:
+        data = self._data_dir(name)
+        if not os.path.isdir(data):
+            return
+        for root, dirs, files in os.walk(data, topdown=False):
+            if root != data and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
 
     def snapshot_summary(self, name: str, snapshot_id: int) -> dict:
         return self._load_snapshot(name, snapshot_id).get("summary", {})
