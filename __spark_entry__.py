@@ -34,6 +34,7 @@ from logzilla_spark.operators.multiline import reassemble_multiline
 from logzilla_spark.operators import parsers as parser_registry
 from logzilla_spark.operators.lua import lua_parser
 from logzilla_spark.operators.parse import explode_lines, parse_records, text_from_html
+from logzilla_spark.operators.asof import asof_join
 from logzilla_spark.operators.sessionize import sessionize, sessionize_sql
 from logzilla_spark.operators.query import (
     AndNode,
@@ -325,6 +326,40 @@ def _q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_ids"),
         )
     )
+
+
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35 as-of join (operators/asof.py): every non-signup event gets
+    the user's latest signup marker at-or-before its timestamp. The
+    right side is pre-aggregated per (user_id, ts) — the operator's
+    uniqueness contract — with max(value), an order-independent fold.
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    markers = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker_value"))
+    )
+    left = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return asof_join(
+        left, markers, ["user_id"], "ts", "ts", ["marker_value"]
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH m AS (
+  SELECT user_id, ts, max(value) AS marker_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, user_id, ts, event_type, value
+  FROM events WHERE event_type <> 'signup'
+)
+SELECT l.event_id AS event_id, l.user_id AS user_id, l.ts AS ts,
+       l.event_type AS event_type, l.value AS value,
+       m.ts AS matched_ts, m.marker_value AS marker_value
+FROM l ASOF LEFT JOIN m ON l.user_id = m.user_id AND l.ts >= m.ts"""
 
 
 _CATALOG_DELETE_SQL = """
@@ -782,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessions": lambda s, d: sessionize(
             s.read.parquet(f"{d}/events.parquet")
         ),
+        # --- as-of (temporal) join: stamp every non-signup event with
+        # the user's latest at-or-before signup marker (T35) ---
+        "q_events_asof": _q_events_asof,
         # --- mergeable sketches (operators/sketches.py): fixed-size
         # map-side-combinable state; est_distinct double bits pinned
         # cross-engine (fixed-point harmonic sum, inlined ln table) ---
@@ -916,6 +954,7 @@ SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_fulltext_served": oracle.fulltext_sql(p, "disk svc3"),
         "q_multiline_reassembly": oracle.multiline_sql(p),
         "q_events_sessions": sessionize_sql("events"),
+        "q_events_asof": _EVENTS_ASOF_SQL,
         "q_sketch_hll_users": oracle_dataops.hll_distinct_sql(),
         "q_sketch_heavy_users": oracle_dataops.cm_heavy_hitters_sql(),
         "q_sketch_quantiles": oracle_dataops.hist_quantiles_sql(),
