@@ -328,6 +328,63 @@ def _q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_POINTS = [7, 123, 400]
+
+
+def _q_catalog_bloom_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T36 bloom-sidecar point lookup (catalog bloom_cols= +
+    read_stats_pruned points=): documents committed UNSORTED across 16
+    files — min/max spans the id domain, so only the per-file blooms
+    prune — then an exact id lookup reads the surviving files. Oracle
+    = a plain IN filter: pruning must change nothing."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_bloom_"))
+    cat.overwrite(
+        _docs(spark, sf_dir).repartition(16), "docs", bloom_cols=["doc_id"]
+    )
+    pruned = cat.read_stats_pruned(
+        spark, "docs", "doc_id", points=_BLOOM_POINTS
+    )
+    if pruned is None:  # every file bloom-pruned (sub-sf0.01 corpora)
+        pruned = cat.read(spark, "docs").limit(0)
+    return pruned.filter(F.col("doc_id").isin(_BLOOM_POINTS))
+
+
+def _q_catalog_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T38 dynamic file pruning for a lookup join
+    (enrich.join_dim_file_pruned): a takedown dim's distinct ids prune
+    the committed fact files through the bloom sidecars, then the dim
+    broadcasts into the join. Oracle = the same join unpruned."""
+    import tempfile
+
+    from logzilla_spark.operators.enrich import join_dim_file_pruned
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_dpp_"))
+    docs = _docs(spark, sf_dir)
+    cat.overwrite(docs.repartition(16), "docs", bloom_cols=["doc_id"])
+    dim = docs.filter((F.col("doc_id") % 97) == 0).select(
+        F.col("doc_id").alias("td_id"),
+        F.lit("takedown").alias("td_reason"),
+    )
+    out = join_dim_file_pruned(spark, cat, "docs", "doc_id", dim, "td_id")
+    return out.select("doc_id", "lang", "source", "n_chars", "td_reason")
+
+
+_CATALOG_BLOOM_SQL = """
+SELECT * FROM documents WHERE doc_id IN (7, 123, 400)"""
+
+_CATALOG_DPP_SQL = """
+SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+       d.n_chars AS n_chars, 'takedown' AS td_reason
+FROM documents d
+JOIN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) t
+  ON d.doc_id = t.doc_id"""
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T35 as-of join (operators/asof.py): every non-signup event gets
     the user's latest signup marker at-or-before its timestamp. The
@@ -885,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_catalog"] = _q_search_catalog  # O29 + T25 manifest pruning
     q["q_catalog_delete"] = _q_catalog_delete  # T33 copy-on-write DELETE
     q["q_catalog_merge"] = _q_catalog_merge  # T33 MERGE INTO upsert
+    q["q_catalog_bloom_point"] = _q_catalog_bloom_point  # T36 bloom skip
+    q["q_catalog_dpp_join"] = _q_catalog_dpp_join  # T38 dynamic file prune
     q.update(_dataops_queries())
     return q
 
@@ -987,5 +1046,7 @@ GROUP BY 1""",
     )
     sql["q_catalog_delete"] = _CATALOG_DELETE_SQL
     sql["q_catalog_merge"] = _CATALOG_MERGE_SQL
+    sql["q_catalog_bloom_point"] = _CATALOG_BLOOM_SQL
+    sql["q_catalog_dpp_join"] = _CATALOG_DPP_SQL
     sql.update(_dataops_oracle_sql(media))
     return sql

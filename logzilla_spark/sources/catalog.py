@@ -73,6 +73,10 @@ _HIVE_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | 
 
 _STATS_PRIMITIVES = (str, int, float, bool)
 
+# bloom sidecars are immutable once published (uuid-named, written via
+# rename), so a process-wide parse cache never goes stale
+_BLOOM_SIDECAR_CACHE: dict[str, dict] = {}
+
 
 def _stat_key(v):
     """Normalize a stats/query value for manifest comparison: datetimes
@@ -142,6 +146,56 @@ def _collect_file_stats(
                 fstats[col] = [lo, hi]
         if fstats:
             out[path] = fstats
+    return out
+
+
+def _collect_file_blooms(
+    files: list[str], columns: list[str]
+) -> dict[str, dict[str, dict]]:
+    """Per-file bloom filters over the DISTINCT values of ``columns``
+    (functions/bloom.py — the Iceberg Puffin-sidecar analog), built at
+    write time from one column-pruned read per freshly-staged LOCAL
+    file. Complements `_collect_file_stats`: min/max prunes ranges on
+    clustered columns; a bloom prunes EQUALITY lookups on columns the
+    file is not sorted by, where every [min, max] spans the domain.
+    NULLs are excluded (a point query never matches NULL); a column a
+    file lacks, an unportable value, or a distinct set past the bloom
+    cap simply yields no bloom — unknown means unprunable, the same
+    degrade-to-correct contract as missing stats."""
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return {}
+    from logzilla_spark.functions.bloom import build_bloom
+
+    out: dict[str, dict[str, dict]] = {}
+    for path in files:
+        try:
+            schema_cols = set(pq.read_schema(path).names)
+            want = [c for c in columns if c in schema_cols]
+            if not want:
+                continue
+            tbl = pq.read_table(path, columns=want)
+        except Exception:
+            continue
+        fblooms: dict[str, dict] = {}
+        for col in want:
+            try:
+                canon = [
+                    _stat_key(v)
+                    for v in pc.unique(tbl[col]).to_pylist()
+                    if v is not None
+                ]
+            except Exception:  # e.g. unique() on nested types
+                continue
+            if any(c is None for c in canon):
+                continue
+            bloom = build_bloom(canon)
+            if bloom is not None:
+                fblooms[col] = bloom
+        if fblooms:
+            out[path] = fblooms
     return out
 
 
@@ -224,6 +278,34 @@ class LocalCatalog:
 
     def _data_dir(self, name: str) -> str:
         return os.path.join(self._tbl(name), "data")
+
+    def _blooms_dir(self, name: str) -> str:
+        return os.path.join(self._tbl(name), "blooms")
+
+    def _write_bloom_sidecar(self, name: str, blooms: dict) -> str:
+        """Persist per-file blooms as one immutable sidecar per commit
+        (the Puffin-file analog): the manifest stays small — it records
+        only the sidecar path — and point pruning loads ONE small file
+        per commit group instead of bloating every snapshot JSON."""
+        d = self._blooms_dir(name)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"blooms-{uuid.uuid4().hex}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(blooms, f)
+        os.rename(tmp, path)
+        return path
+
+    def _load_bloom_sidecar(self, path: str) -> dict:
+        cached = _BLOOM_SIDECAR_CACHE.get(path)
+        if cached is None:
+            try:
+                with open(path) as f:
+                    cached = json.load(f)
+            except OSError:
+                cached = {}  # missing sidecar -> no blooms -> no pruning
+            _BLOOM_SIDECAR_CACHE[path] = cached
+        return cached
 
     # -- snapshot bookkeeping -------------------------------------------
     def snapshot_ids(self, name: str) -> list[int]:
@@ -355,14 +437,25 @@ class LocalCatalog:
         partition_by: list[str] | None = None,
         summary: dict | None = None,
         cluster_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
-        """Stage parquet then atomically publish a new snapshot."""
+        """Stage parquet then atomically publish a new snapshot.
+        ``bloom_cols``: build per-file bloom filters on these columns
+        (point-lookup file skipping on columns the layout is not
+        clustered by — see _collect_file_blooms)."""
         new_files = self._stage_write(df, name, partition_by, cluster_by)
         new_group = {"base": self._data_dir(name), "files": new_files}
         if cluster_by:
             stats = _collect_file_stats(new_files, cluster_by)
             if stats:
                 new_group["stats"] = stats
+        if bloom_cols:
+            blooms = _collect_file_blooms(new_files, bloom_cols)
+            if blooms:
+                new_group["blooms"] = {
+                    "path": self._write_bloom_sidecar(name, blooms),
+                    "cols": bloom_cols,
+                }
         # prev-groups read + commit under ONE lock hold: two concurrent
         # appenders both reading prev=N would each publish groups
         # missing the other's files (lost append). Staging (the Spark
@@ -413,6 +506,7 @@ class LocalCatalog:
         partition_by: list[str] | None = None,
         summary: dict | None = None,
         cluster_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         new_files = self._stage_write(df, name, partition_by, cluster_by)
         groups = [{"base": self._data_dir(name), "files": new_files}]
@@ -420,6 +514,13 @@ class LocalCatalog:
             stats = _collect_file_stats(new_files, cluster_by)
             if stats:
                 groups[0]["stats"] = stats
+        if bloom_cols:
+            blooms = _collect_file_blooms(new_files, bloom_cols)
+            if blooms:
+                groups[0]["blooms"] = {
+                    "path": self._write_bloom_sidecar(name, blooms),
+                    "cols": bloom_cols,
+                }
         with _COMMIT_LOCK:
             sid = self._commit(
                 name, groups, "overwrite", summary or {},
@@ -554,7 +655,16 @@ class LocalCatalog:
         Sound for clustered writes because ``cluster_by`` staging
         range-repartitions + sorts, so each file's [min, max] is tight
         and the set of files containing value v is exactly the set
-        whose range covers v."""
+        whose range covers v.
+
+        When the commit recorded bloom filters for ``column``
+        (bloom_cols= at write time), ``points`` additionally prune
+        through them: a file is dropped when NO query point can be in
+        its bloom AND no range keeps it — exact-lookup skipping on
+        columns the layout is NOT clustered by, where min/max spans
+        the domain and prunes nothing (the Iceberg Puffin shape).
+        Blooms only ever prove absence, so pruning stays sound; a
+        false positive costs one wasted file read."""
         sid = self.last_snapshot_id(name)
         if sid is None:
             raise SnapshotError(f"table {name!r} has no snapshots")
@@ -574,11 +684,8 @@ class LocalCatalog:
             # can't PROVE any file irrelevant -> no pruning at all
             pts, rgs = [], [(None, None)]
 
-        def matches(rng) -> bool:
+        def range_keeps(rng) -> bool:
             try:
-                for p in pts:
-                    if rng[0] <= p <= rng[1]:
-                        return True
                 for lo, hi in rgs:
                     if (lo is None or lo <= rng[1]) and (hi is None or hi >= rng[0]):
                         return True
@@ -586,15 +693,44 @@ class LocalCatalog:
                 return True  # incomparable types -> never prune
             return False
 
+        def points_in_range(rng) -> list:
+            try:
+                return [p for p in pts if rng[0] <= p <= rng[1]]
+            except TypeError:
+                return pts  # incomparable -> can't narrow
+
+        from logzilla_spark.functions.bloom import bloom_may_contain
+
         groups, total = [], 0
         for g in self._groups(name, sid):
             total += len(g["files"])
             stats = g.get("stats", {})
+            bmeta = g.get("blooms")
+            sidecar = (
+                self._load_bloom_sidecar(bmeta["path"])
+                if pts and bmeta and column in bmeta.get("cols", [])
+                else {}
+            )
             kept = []
             for f in g["files"]:
                 rng = stats.get(f, {}).get(column)
-                if rng is None or matches(rng):
-                    kept.append(f)
+                if rng is None:
+                    # no min/max: ranges can't prune; points fall
+                    # through to the bloom (if any)
+                    keep_by_range = bool(rgs)
+                    candidates = pts
+                else:
+                    keep_by_range = range_keeps(rng)
+                    candidates = points_in_range(rng)
+                if not keep_by_range:
+                    bloom = sidecar.get(f, {}).get(column)
+                    if bloom is not None:
+                        candidates = [
+                            p for p in candidates if bloom_may_contain(bloom, p)
+                        ]
+                    if not candidates:
+                        continue
+                kept.append(f)
             if kept:
                 groups.append({"base": g["base"], "files": kept})
         return groups, total
@@ -1093,10 +1229,19 @@ class LocalCatalog:
             live = {
                 f for i in keep for g in self._groups(name, i) for f in g["files"]
             }
+            live_sidecars = {
+                g["blooms"]["path"]
+                for i in keep
+                for g in self._groups(name, i)
+                if g.get("blooms")
+            }
             data_root = self._data_dir(name) + os.sep
-            dead, external = set(), set()
+            dead, external, dead_sidecars = set(), set(), set()
             for i in expired:
                 for g in self._groups(name, i):
+                    b = g.get("blooms")
+                    if b and b["path"] not in live_sidecars:
+                        dead_sidecars.add(b["path"])
                     for f in g["files"]:
                         if f in live:
                             continue
@@ -1110,6 +1255,16 @@ class LocalCatalog:
                 try:
                     os.remove(f)
                     deleted += 1
+                except OSError:
+                    pass
+            # bloom sidecars referenced only by expired snapshots go
+            # with them (same manifests-first crash ordering: a crash
+            # above leaves orphaned sidecars, never a kept manifest
+            # pointing at a deleted one)
+            for p in sorted(dead_sidecars):
+                _BLOOM_SIDECAR_CACHE.pop(p, None)
+                try:
+                    os.remove(p)
                 except OSError:
                     pass
             self._prune_empty_staging_dirs(name)
@@ -1133,22 +1288,32 @@ class LocalCatalog:
 
         with _COMMIT_LOCK:
             referenced: set[str] = set()
+            sidecars: set[str] = set()
             for i in self.snapshot_ids(name):
                 for g in self._groups(name, i):
                     referenced.update(g["files"])
+                    if g.get("blooms"):
+                        sidecars.add(g["blooms"]["path"])
             cutoff = time.time() - older_than_seconds
             removed = []
-            for root, _dirs, fnames in os.walk(self._data_dir(name)):
-                for fn in fnames:
-                    p = os.path.join(root, fn)
-                    if p in referenced:
-                        continue
-                    try:
-                        if os.path.getmtime(p) <= cutoff:
-                            os.remove(p)
-                            removed.append(p)
-                    except OSError:
-                        pass
+            roots = [self._data_dir(name)]
+            if os.path.isdir(self._blooms_dir(name)):
+                # crash-staged bloom sidecars (written before a commit
+                # that never published) age out under the same guard
+                roots.append(self._blooms_dir(name))
+            for r in roots:
+                for root, _dirs, fnames in os.walk(r):
+                    for fn in fnames:
+                        p = os.path.join(root, fn)
+                        if p in referenced or p in sidecars:
+                            continue
+                        try:
+                            if os.path.getmtime(p) <= cutoff:
+                                os.remove(p)
+                                removed.append(p)
+                                _BLOOM_SIDECAR_CACHE.pop(p, None)
+                        except OSError:
+                            pass
             self._prune_empty_staging_dirs(name)
             return sorted(removed)
 
