@@ -385,6 +385,36 @@ JOIN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) t
   ON d.doc_id = t.doc_id"""
 
 
+def _q_catalog_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T38 Z-order clustering (cluster_mode="zorder"): events
+    committed on a Morton curve over (ts, user_id), then a point
+    lookup on the SECONDARY column prunes through the multi-column
+    tight stats (linear layouts cannot — tests/test_zorder.py pins
+    the file-count gap). Oracle = plain filter + aggregate: the
+    curve layout must change nothing."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_z_"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat.overwrite(ev, "ev", cluster_by=["ts", "user_id"], cluster_mode="zorder")
+    pruned = cat.read_stats_pruned(spark, "ev", "user_id", points=[42, 97])
+    if pruned is None:
+        pruned = cat.read(spark, "ev").limit(0)
+    return (
+        pruned.filter(F.col("user_id").isin(42, 97))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _exact_sum("value", "sum_value"))
+    )
+
+
+_CATALOG_ZORDER_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE user_id IN (42, 97) GROUP BY 1, 2"""
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T35 as-of join (operators/asof.py): every non-signup event gets
     the user's latest signup marker at-or-before its timestamp. The
@@ -943,7 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_catalog_delete"] = _q_catalog_delete  # T33 copy-on-write DELETE
     q["q_catalog_merge"] = _q_catalog_merge  # T33 MERGE INTO upsert
     q["q_catalog_bloom_point"] = _q_catalog_bloom_point  # T36 bloom skip
-    q["q_catalog_dpp_join"] = _q_catalog_dpp_join  # T38 dynamic file prune
+    q["q_catalog_dpp_join"] = _q_catalog_dpp_join  # T37 dynamic file prune
+    q["q_catalog_zorder"] = _q_catalog_zorder  # T38 Morton-curve layout
     q.update(_dataops_queries())
     return q
 
@@ -1048,5 +1079,6 @@ GROUP BY 1""",
     sql["q_catalog_merge"] = _CATALOG_MERGE_SQL
     sql["q_catalog_bloom_point"] = _CATALOG_BLOOM_SQL
     sql["q_catalog_dpp_join"] = _CATALOG_DPP_SQL
+    sql["q_catalog_zorder"] = _CATALOG_ZORDER_SQL
     sql.update(_dataops_oracle_sql(media))
     return sql

@@ -401,8 +401,24 @@ class LocalCatalog:
         name: str,
         partition_by: list[str] | None,
         cluster_by: list[str] | None = None,
+        cluster_mode: str = "linear",
     ) -> list[str]:
-        if cluster_by:
+        if cluster_by and cluster_mode == "zorder":
+            # Morton-curve clustering (functions/zorder.py): each file
+            # covers a small hyper-rectangle of the cluster-key space,
+            # so the manifest min/max collected below is tight on
+            # EVERY cluster column — range predicates on any of them
+            # prune files, where linear mode only serves the first.
+            from logzilla_spark.functions.zorder import zorder_column
+
+            z = zorder_column(df, cluster_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange("__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             # Real data clustering, not just the DDL property: range-
             # repartition so each task (-> each data file) owns a
             # DISJOINT slice of the cluster-key space, then sort inside
@@ -438,12 +454,17 @@ class LocalCatalog:
         summary: dict | None = None,
         cluster_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        cluster_mode: str = "linear",
     ) -> int:
         """Stage parquet then atomically publish a new snapshot.
         ``bloom_cols``: build per-file bloom filters on these columns
         (point-lookup file skipping on columns the layout is not
-        clustered by — see _collect_file_blooms)."""
-        new_files = self._stage_write(df, name, partition_by, cluster_by)
+        clustered by — see _collect_file_blooms). ``cluster_mode``:
+        "linear" (lexicographic range+sort) or "zorder" (Morton curve
+        — multi-column pruning, functions/zorder.py)."""
+        new_files = self._stage_write(
+            df, name, partition_by, cluster_by, cluster_mode
+        )
         new_group = {"base": self._data_dir(name), "files": new_files}
         if cluster_by:
             stats = _collect_file_stats(new_files, cluster_by)
@@ -507,8 +528,11 @@ class LocalCatalog:
         summary: dict | None = None,
         cluster_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        cluster_mode: str = "linear",
     ) -> int:
-        new_files = self._stage_write(df, name, partition_by, cluster_by)
+        new_files = self._stage_write(
+            df, name, partition_by, cluster_by, cluster_mode
+        )
         groups = [{"base": self._data_dir(name), "files": new_files}]
         if cluster_by:
             stats = _collect_file_stats(new_files, cluster_by)
