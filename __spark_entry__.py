@@ -415,6 +415,95 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
 FROM events WHERE user_id IN (42, 97) GROUP BY 1, 2"""
 
 
+def _q_catalog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T40 row-level change feed (catalog.changes_between): commit
+    documents, DELETE a language, MERGE a recrawl batch, then read the
+    feed since the initial snapshot. Oracle = the state multiset diff
+    (EXCEPT ALL both ways): rows the copy-on-write rewrites merely
+    copied through must cancel, updates must surface as their
+    delete+insert pair."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_cdc_"))
+    docs = _docs(spark, sf_dir)
+    cat.overwrite(docs.repartition(8), "docs", cluster_by=["doc_id"])
+    cat.delete_where(spark, "docs", "lang = 'de'")
+    recrawl = (
+        docs.filter("doc_id % 7 = 0")
+        .withColumn("text", F.concat(F.lit("v2: "), F.col("text")))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    cat.merge_upsert(spark, recrawl, "docs", keys=["doc_id"])
+    return cat.changes_between(spark, "docs", 1)
+
+
+_CATALOG_CDC_SQL = """
+WITH src AS (
+  SELECT doc_id, 'v2: ' || text AS text, lang, source,
+         CAST(length('v2: ' || text) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+), fin AS (
+  SELECT d.* FROM documents d
+  WHERE NOT (d.lang = 'de')
+    AND d.doc_id NOT IN (SELECT doc_id FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT *, 'insert' AS _change_type FROM (
+  SELECT * FROM fin EXCEPT ALL SELECT * FROM documents
+)
+UNION ALL
+SELECT *, 'delete' AS _change_type FROM (
+  SELECT * FROM documents EXCEPT ALL SELECT * FROM fin
+)"""
+
+
+def _q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T39 continuous-aggregate cascade (streaming/rollup.py): hourly
+    counts committed as the fine table, incrementally rolled to daily,
+    then a mid-bucket range query served from whole coarse buckets +
+    ragged fine edges. Oracle = one direct aggregate over the raw
+    events: the cascade and its serving split must change nothing."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+    from logzilla_spark.streaming.rollup import refresh_rollup, serve_range
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_rollup_"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    cat.append(fine, "fine", cluster_by=["window_start"])
+    refresh_rollup(spark, cat, "fine", "daily", dims=("event_type",))
+    return serve_range(
+        spark,
+        cat,
+        "fine",
+        "daily",
+        datetime(2024, 1, 3, 12),
+        datetime(2024, 1, 20, 6),
+        dims=("event_type",),
+    )
+
+
+_ROLLUP_SERVE_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 12:00:00'
+  AND ts < TIMESTAMP '2024-01-20 06:00:00'
+GROUP BY 1"""
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T35 as-of join (operators/asof.py): every non-signup event gets
     the user's latest signup marker at-or-before its timestamp. The
@@ -975,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_catalog_bloom_point"] = _q_catalog_bloom_point  # T36 bloom skip
     q["q_catalog_dpp_join"] = _q_catalog_dpp_join  # T37 dynamic file prune
     q["q_catalog_zorder"] = _q_catalog_zorder  # T38 Morton-curve layout
+    q["q_rollup_serve"] = _q_rollup_serve  # T39 continuous aggregates
+    q["q_catalog_cdc"] = _q_catalog_cdc  # T40 row-level change feed
     q.update(_dataops_queries())
     return q
 
@@ -1080,5 +1171,7 @@ GROUP BY 1""",
     sql["q_catalog_bloom_point"] = _CATALOG_BLOOM_SQL
     sql["q_catalog_dpp_join"] = _CATALOG_DPP_SQL
     sql["q_catalog_zorder"] = _CATALOG_ZORDER_SQL
+    sql["q_rollup_serve"] = _ROLLUP_SERVE_SQL
+    sql["q_catalog_cdc"] = _CATALOG_CDC_SQL
     sql.update(_dataops_oracle_sql(media))
     return sql

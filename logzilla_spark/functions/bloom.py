@@ -99,7 +99,10 @@ def bloom_may_contain(bloom: dict, value) -> bool:
     b = _serialize(value)
     if b is None:
         return True
-    bits = base64.b64decode(bloom["b64"])
+    bits = bloom.get("_bits")
+    if bits is None:  # memoized decode: sidecars are immutable and a
+        # pruning pass probes the same bloom once per query point
+        bits = bloom["_bits"] = base64.b64decode(bloom["b64"])
     for idx in _probes(b, bloom["m"], bloom["k"]):
         if not (bits[idx >> 3] >> (idx & 7)) & 1:
             return False
