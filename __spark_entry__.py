@@ -415,6 +415,46 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
 FROM events WHERE user_id IN (42, 97) GROUP BY 1, 2"""
 
 
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T41 faceted search aggregations (query.search_facets): top-10
+    level/source counts + hourly histogram over the SAME filter as a
+    hits page, one scan + one shuffle. Oracle = the UNION-of-GROUP-BYs
+    twin (DuckDB re-scans per facet; ours must not — plan-linted)."""
+    from logzilla_spark.operators.query import search_facets
+
+    q = Query(
+        start=_T0, end=_T7, node=ComparisonNode("level", "INFO", "ne")
+    )
+    return search_facets(_records(spark, sf_dir), q)
+
+
+def _search_facets_sql(pages_path: str) -> str:
+    return f"""
+WITH {oracle.records_cte(pages_path)},
+base AS (
+  SELECT * FROM records
+  WHERE "timestamp" >= TIMESTAMP '2024-01-01 00:00:00'
+    AND "timestamp" <= TIMESTAMP '2024-01-08 00:00:00'
+    AND level <> 'INFO'
+), counts AS (
+  SELECT 'level' AS facet, CAST(level AS VARCHAR) AS value,
+         count(*) AS n FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'source', source, count(*) FROM base GROUP BY 2
+  UNION ALL
+  SELECT '_histogram',
+         strftime(date_trunc('hour', "timestamp"), '%Y-%m-%d %H:%M:%S'),
+         count(*)
+  FROM base GROUP BY 2
+), ranked AS (
+  SELECT facet, value, n,
+         rank() OVER (PARTITION BY facet ORDER BY n DESC) AS rnk
+  FROM counts
+)
+SELECT facet, value, CAST(n AS BIGINT) AS n
+FROM ranked WHERE facet = '_histogram' OR rnk <= 10"""
+
+
 def _q_catalog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T40 row-level change feed (catalog.changes_between): commit
     documents, DELETE a language, MERGE a recrawl batch, then read the
@@ -1066,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_catalog_zorder"] = _q_catalog_zorder  # T38 Morton-curve layout
     q["q_rollup_serve"] = _q_rollup_serve  # T39 continuous aggregates
     q["q_catalog_cdc"] = _q_catalog_cdc  # T40 row-level change feed
+    q["q_search_facets"] = _q_search_facets  # T41 one-pass aggregations
     q.update(_dataops_queries())
     return q
 
@@ -1173,5 +1214,6 @@ GROUP BY 1""",
     sql["q_catalog_zorder"] = _CATALOG_ZORDER_SQL
     sql["q_rollup_serve"] = _ROLLUP_SERVE_SQL
     sql["q_catalog_cdc"] = _CATALOG_CDC_SQL
+    sql["q_search_facets"] = _search_facets_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql

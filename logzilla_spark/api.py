@@ -205,3 +205,60 @@ def search_request(records: DataFrame, body: str | bytes) -> dict:
         "data": [r.asDict(recursive=True) for r in rows],
         "metadata": {"cursor": cursor, "count": len(rows)},
     }
+
+
+_HISTOGRAM_UNITS = {"minute", "hour", "day", "week", "month"}
+
+
+def facets_request(records: DataFrame, body: str | bytes) -> dict:
+    """``POST /api/logs/facets``: the aggregations sibling of
+    search_request — same query body (start/end/node; sort, limit and
+    cursor are meaningless for facets and ignored), plus optional
+    ``facets`` (field list, same whitelist as comparison nodes),
+    ``histogram`` (date_trunc unit) and ``top_k``. One scan, no hits
+    materialized (operators/query.search_facets)."""
+    from .operators.query import DEFAULT_FACETS, FIELD_PATTERN, search_facets
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:  # cap BEFORE parsing (helper.go:22)
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        fields = obj.pop("facets", list(DEFAULT_FACETS))
+        unit = obj.pop("histogram", "hour")
+        top_k = obj.pop("top_k", 10)
+        # the remainder is a plain search body (strict decode_query
+        # rejects unknown keys, which is exactly right for /search)
+        q = decode_query(json.dumps(obj))
+        if not isinstance(fields, list) or not fields or not all(
+            isinstance(f, str) and FIELD_PATTERN.match(f) for f in fields
+        ):
+            raise BadInputError(
+                "facets: expected a non-empty list of whitelisted fields"
+            )
+        if unit not in _HISTOGRAM_UNITS:
+            raise BadInputError(
+                f"histogram: expected one of {sorted(_HISTOGRAM_UNITS)}"
+            )
+        if not isinstance(top_k, int) or isinstance(top_k, bool) or not (
+            1 <= top_k <= 1000
+        ):
+            raise BadInputError("top_k: expected an int in [1, 1000]")
+        rows = search_facets(
+            records, q, facet_fields=fields, histogram=unit, top_k=top_k
+        ).collect()
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict() for r in rows],
+        "metadata": {"count": len(rows)},
+    }

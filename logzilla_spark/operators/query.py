@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # reference: storage/clickhouse.go:16
@@ -285,6 +285,28 @@ def default_field_sql(name: str) -> str:
     return name
 
 
+def _assemble_predicate(query: Query, time_column: str, field_resolver):
+    """The search WHERE clause: mandatory time range with auto-swap
+    (sqlbuilder.go:89-101) AND the user's node tree. Shared by the
+    hits path (search) and the aggregations path (search_facets) so
+    the two can never drift."""
+    start, end = query.start, query.end
+    backward = False
+    if end is not None and end < start:
+        # auto-swap + backward chronology (sqlbuilder.go:89-97,122-125)
+        start, end = end, start
+        backward = True
+    tc = F.col(time_column)
+    pred = tc >= start  # mandatory (sqlbuilder.go:100-101)
+    if end is not None:
+        pred = pred & (tc <= end)
+    if query.node is not None:
+        user = query.node.to_column(field_resolver)
+        if user is not None:
+            pred = pred & user
+    return pred, backward, tc
+
+
 def search(
     df: DataFrame,
     query: Query,
@@ -299,21 +321,7 @@ def search(
     prunes Iceberg partitions (months(warc_ts)) before any I/O.
     """
     query.validate(sort_whitelist)
-    start, end = query.start, query.end
-    backward = False
-    if end is not None and end < start:
-        # auto-swap + backward chronology (sqlbuilder.go:89-97,122-125)
-        start, end = end, start
-        backward = True
-
-    tc = F.col(time_column)
-    pred = tc >= start  # mandatory (sqlbuilder.go:100-101)
-    if end is not None:
-        pred = pred & (tc <= end)
-    if query.node is not None:
-        user = query.node.to_column(field_resolver)
-        if user is not None:
-            pred = pred & user
+    pred, backward, tc = _assemble_predicate(query, time_column, field_resolver)
 
     if query.cursor is not None:
         # O33 keyset: rows strictly after the cursor in (ts, id) order.
@@ -390,6 +398,64 @@ def search_catalog(
         # with the table's schema (metadata-only: limit(0) scans nothing)
         df = catalog.read(spark, name).limit(0)
     return search(df, query, time_column, sort_whitelist, field_resolver)
+
+
+DEFAULT_FACETS = ("level", "source")
+
+
+def search_facets(
+    df: DataFrame,
+    query: Query,
+    facet_fields: Sequence[str] = DEFAULT_FACETS,
+    histogram: str = "hour",
+    top_k: int = 10,
+    time_column: str = "timestamp",
+    field_resolver=default_field_resolver,
+) -> DataFrame:
+    """ES/Loki-style aggregations over the SAME filter as the hits
+    page: top-k value counts per facet field plus a date_trunc time
+    histogram, in ONE scan — the per-row (facet, value) pairs explode
+    out of a single pass and aggregate on one shuffle, instead of one
+    re-scan per facet (a UNION of GROUP BYs cannot share the scan
+    across differing aggregates; at 100 TB that multiplies the
+    dominant cost by the facet count).
+
+    Output (long form): facet, value, n — facet '_histogram' rows are
+    the bucket counts (every bucket, no top-k: a dashboard histogram
+    with holes is wrong), field rows are the values with count-rank
+    <= ``top_k``. rank() over n alone (no value tie-break): boundary
+    ties ALL surface, which is what makes the output SET a pure
+    function of the data — a row_number cutoff would pick arbitrary
+    winners among equal counts."""
+    query.validate()
+    pred, _backward, tc = _assemble_predicate(query, time_column, field_resolver)
+    pairs = [
+        F.struct(
+            F.lit(f).alias("facet"),
+            field_resolver(f).cast("string").alias("value"),
+        )
+        for f in facet_fields
+    ]
+    pairs.append(
+        F.struct(
+            F.lit("_histogram").alias("facet"),
+            F.date_format(
+                F.date_trunc(histogram, tc), "yyyy-MM-dd HH:mm:ss"
+            ).alias("value"),
+        )
+    )
+    counts = (
+        df.filter(pred)
+        .select(F.explode(F.array(*pairs)).alias("p"))
+        .groupBy(F.col("p.facet").alias("facet"), F.col("p.value").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rnk = F.rank().over(Window.partitionBy("facet").orderBy(F.col("n").desc()))
+    return (
+        counts.withColumn("_rnk", rnk)
+        .filter((F.col("facet") == "_histogram") | (F.col("_rnk") <= top_k))
+        .drop("_rnk")
+    )
 
 
 def search_oracle_sql(

@@ -114,7 +114,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._write(404, _envelope(False, f"no route: GET {self.path}"))
 
     def do_POST(self):  # noqa: N802
-        if self.path != "/api/logs/search":
+        if self.path == "/api/logs/search":
+            handler = search_request
+        elif self.path == "/api/logs/facets":
+            from logzilla_spark.api import facets_request
+
+            handler = facets_request
+        else:
             self._write(404, _envelope(False, f"no route: POST {self.path}"))
             return
         try:
@@ -134,7 +140,7 @@ class _Handler(BaseHTTPRequestHandler):
                     False, f"Body must not be larger than {MAX_BODY_BYTES} bytes."))
                 return
             body = self.rfile.read(length)
-            resp = search_request(type(self).records, body)
+            resp = handler(type(self).records, body)
             # fault-code -> status mapping (fault.go:7-12 analog):
             # validation/bad-input envelopes are client errors
             self._write(200 if resp["success"] else 400, resp)
