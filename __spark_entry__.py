@@ -455,6 +455,43 @@ SELECT facet, value, CAST(n AS BIGINT) AS n
 FROM ranked WHERE facet = '_histogram' OR rnk <= 10"""
 
 
+def _q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T42 log template mining (templates.mine_templates): Drain-style
+    digit-masked templates over the raw lines shape — one scan, one
+    aggregation, no state (the online parse tree is a single-node
+    amortization Spark doesn't need). Oracle = the same masking in
+    DuckDB's list dialect over the lines CTE."""
+    from logzilla_spark.operators.templates import mine_templates
+
+    return mine_templates(explode_lines(_pages(spark, sf_dir)))
+
+
+def _log_templates_sql(pages_path: str) -> str:
+    from logzilla_spark.operators.templates import mine_templates_sql
+
+    return (
+        f"WITH {oracle.records_cte(pages_path)}\n"
+        + mine_templates_sql("lines")
+    )
+
+
+def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T43 rate-anomaly detection (anomaly.rate_anomalies): hourly
+    per-event-type volumes, zero-filled, scored against each key's own
+    24-bucket trailing baseline; z doubles bit-identical cross-engine
+    (exact bigint window sums -> one fixed IEEE dag)."""
+    from logzilla_spark.operators.anomaly import rate_anomalies
+
+    return rate_anomalies(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "event_type"
+    )
+
+
+_RATE_ANOMALIES_SQL = __import__(
+    "logzilla_spark.operators.anomaly", fromlist=["rate_anomalies_sql"]
+).rate_anomalies_sql("events", "event_type")
+
+
 def _q_catalog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T40 row-level change feed (catalog.changes_between): commit
     documents, DELETE a language, MERGE a recrawl batch, then read the
@@ -1107,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_rollup_serve"] = _q_rollup_serve  # T39 continuous aggregates
     q["q_catalog_cdc"] = _q_catalog_cdc  # T40 row-level change feed
     q["q_search_facets"] = _q_search_facets  # T41 one-pass aggregations
+    q["q_log_templates"] = _q_log_templates  # T42 template mining
+    q["q_rate_anomalies"] = _q_rate_anomalies  # T43 rate anomalies
     q.update(_dataops_queries())
     return q
 
@@ -1215,5 +1254,7 @@ GROUP BY 1""",
     sql["q_rollup_serve"] = _ROLLUP_SERVE_SQL
     sql["q_catalog_cdc"] = _CATALOG_CDC_SQL
     sql["q_search_facets"] = _search_facets_sql(p)
+    sql["q_log_templates"] = _log_templates_sql(p)
+    sql["q_rate_anomalies"] = _RATE_ANOMALIES_SQL
     sql.update(_dataops_oracle_sql(media))
     return sql
