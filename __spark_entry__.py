@@ -475,6 +475,29 @@ def _log_templates_sql(pages_path: str) -> str:
     )
 
 
+_DELTA_SPLIT = "2024-01-04 00:00:00"  # mid-corpus (warc_ts spans one week)
+
+
+def _q_template_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44 template delta (templates.template_delta): new / vanished /
+    spiking templates between the two halves of the corpus week — one
+    scan, one conditional aggregation (never two mined runs joined).
+    BIGINT classification + a single IEEE division keep every column
+    hash-portable."""
+    from logzilla_spark.operators.templates import template_delta
+
+    return template_delta(explode_lines(_pages(spark, sf_dir)), _DELTA_SPLIT)
+
+
+def _template_delta_sql(pages_path: str) -> str:
+    from logzilla_spark.operators.templates import template_delta_sql
+
+    return (
+        f"WITH {oracle.records_cte(pages_path)}\n"
+        + template_delta_sql("lines", _DELTA_SPLIT)
+    )
+
+
 def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T43 rate-anomaly detection (anomaly.rate_anomalies): hourly
     per-event-type volumes, zero-filled, scored against each key's own
@@ -1146,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_facets"] = _q_search_facets  # T41 one-pass aggregations
     q["q_log_templates"] = _q_log_templates  # T42 template mining
     q["q_rate_anomalies"] = _q_rate_anomalies  # T43 rate anomalies
+    q["q_template_delta"] = _q_template_delta  # T44 template delta
     q.update(_dataops_queries())
     return q
 
@@ -1256,5 +1280,6 @@ GROUP BY 1""",
     sql["q_search_facets"] = _search_facets_sql(p)
     sql["q_log_templates"] = _log_templates_sql(p)
     sql["q_rate_anomalies"] = _RATE_ANOMALIES_SQL
+    sql["q_template_delta"] = _template_delta_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql

@@ -13,7 +13,7 @@ import datetime as dt
 import math
 
 from logzilla_spark.operators.anomaly import rate_anomalies
-from logzilla_spark.operators.templates import mine_templates
+from logzilla_spark.operators.templates import mine_templates, template_delta
 
 
 def _ts(h: int) -> dt.datetime:
@@ -52,6 +52,63 @@ class TestMineTemplates:
         df = spark.createDataFrame([("",), ("",)], ["line"])
         [r] = mine_templates(df).collect()
         assert r["template"] == "" and r["n"] == 2 and r["n_tokens"] == 1
+
+
+class TestTemplateDelta:
+    SPLIT = "2024-01-04 00:00:00"
+
+    def _lines(self, spark, rows):
+        # rows: (line, day-of-january)
+        return spark.createDataFrame(
+            [(l, dt.datetime(2024, 1, d)) for l, d in rows],
+            ["line", "warc_ts"],
+        )
+
+    def test_statuses_by_inspection(self, spark):
+        rows = (
+            [("boot ok", 2)]                                  # vanished
+            + [("oom killed pid 4", 5)] * 3                   # new
+            + [("req 1 done", 2), ("req 2 done", 5), ("req 3 done", 6)]  # up (1 -> 2)
+            + [("cache miss 9", 1)] * 4 + [("cache miss 9", 6)] * 2      # down (4 -> 2)
+            + [("tick 0", 2), ("tick 0", 3), ("tick 1", 5),
+               ("tick 2", 6), ("tick 3", 6)]                  # steady (2 -> 3)
+        )
+        out = {
+            r["template"]: r
+            for r in template_delta(self._lines(spark, rows), self.SPLIT).collect()
+        }
+        assert out["boot ok"]["status"] == "vanished"
+        assert out["boot ok"]["ratio"] == 0.0
+        assert out["oom killed pid <*>"]["status"] == "new"
+        assert out["oom killed pid <*>"]["ratio"] is None
+        assert out["req <*> done"]["status"] == "up"
+        assert out["req <*> done"]["ratio"] == 2.0
+        assert out["cache miss <*>"]["status"] == "down"
+        assert out["cache miss <*>"]["n_base"] == 4
+        assert out["cache miss <*>"]["n_cur"] == 2
+        assert out["tick <*>"]["status"] == "steady"
+        assert out["tick <*>"]["ratio"] == 1.5
+
+    def test_split_boundary_belongs_to_current(self, spark):
+        rows = [("edge 1", 4)]  # exactly at the split instant
+        [r] = template_delta(self._lines(spark, rows), self.SPLIT).collect()
+        assert (r["n_base"], r["n_cur"], r["status"]) == (0, 1, "new")
+
+    def test_null_ts_counts_as_baseline(self, spark):
+        df = spark.createDataFrame(
+            [("late 5", None), ("late 6", dt.datetime(2024, 1, 5))],
+            "line string, warc_ts timestamp",
+        )
+        [r] = template_delta(df, self.SPLIT).collect()
+        assert (r["n_base"], r["n_cur"], r["status"]) == (1, 1, "steady")
+
+    def test_one_scan_one_aggregate(self, spark):
+        # the delta must never be two mined runs joined: exactly one
+        # scan of the input and no Join in the optimized plan.
+        df = self._lines(spark, [("a 1", 2), ("a 2", 5)])
+        plan = template_delta(df, self.SPLIT)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("LogicalRDD") == 1
 
 
 class TestRateAnomalies:
