@@ -498,6 +498,28 @@ def _template_delta_sql(pages_path: str) -> str:
     )
 
 
+def _q_log_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T45 log-to-metric extraction (metrics.extract_metrics): hourly
+    per-source response-size series (cnt/sum/min/max/avg + exact
+    p50/p95) from the access records' m_size field — one corpus scan
+    collapsing to a value histogram before the shuffle; quantiles by
+    the explicit BIGINT rank rule, identical in both engines."""
+    from logzilla_spark.operators.metrics import extract_metrics
+
+    return extract_metrics(
+        _flat_records(_records(spark, sf_dir)), "m_size", "source"
+    )
+
+
+def _log_metrics_sql(pages_path: str) -> str:
+    from logzilla_spark.operators.metrics import extract_metrics_sql
+
+    return (
+        f"WITH {oracle.records_cte(pages_path)}\n"
+        + extract_metrics_sql("records", "m_size", "source")
+    )
+
+
 def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T43 rate-anomaly detection (anomaly.rate_anomalies): hourly
     per-event-type volumes, zero-filled, scored against each key's own
@@ -1170,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_log_templates"] = _q_log_templates  # T42 template mining
     q["q_rate_anomalies"] = _q_rate_anomalies  # T43 rate anomalies
     q["q_template_delta"] = _q_template_delta  # T44 template delta
+    q["q_log_metrics"] = _q_log_metrics  # T45 log-to-metric extraction
     q.update(_dataops_queries())
     return q
 
@@ -1281,5 +1304,6 @@ GROUP BY 1""",
     sql["q_log_templates"] = _log_templates_sql(p)
     sql["q_rate_anomalies"] = _RATE_ANOMALIES_SQL
     sql["q_template_delta"] = _template_delta_sql(p)
+    sql["q_log_metrics"] = _log_metrics_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql
