@@ -498,6 +498,49 @@ def _template_delta_sql(pages_path: str) -> str:
     )
 
 
+_RETENTION_CUTOFF = "2024-01-15"  # events span 2024-01-01..2024-01-30
+
+
+def _q_catalog_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T46 retention/TTL (catalog.expire_partitions_before): events
+    committed day-partitioned, every partition before the cutoff
+    dropped as a METADATA-ONLY commit (no read, rewrite, or file
+    deletion — the old snapshot still time-travels), then the survivors
+    aggregated per event_type. Oracle = the equivalent ts filter over
+    raw events: the catalog round trip + partition drop must equal the
+    predicate exactly (day token is the zero-padded date, so
+    lexicographic == chronological)."""
+    import tempfile
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+
+    cat = LocalCatalog(tempfile.mkdtemp(prefix="cat_ttl_"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cat.append(ev, "events", partition_by=["day"])
+    cat.expire_partitions_before("events", "day", _RETENTION_CUTOFF)
+    return (
+        cat.read(spark, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _exact_sum("value", "sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+_CATALOG_RETENTION_SQL = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') >= '{_RETENTION_CUTOFF}'
+GROUP BY 1"""
+
+
 def _q_log_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T45 log-to-metric extraction (metrics.extract_metrics): hourly
     per-source response-size series (cnt/sum/min/max/avg + exact
@@ -1193,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_rate_anomalies"] = _q_rate_anomalies  # T43 rate anomalies
     q["q_template_delta"] = _q_template_delta  # T44 template delta
     q["q_log_metrics"] = _q_log_metrics  # T45 log-to-metric extraction
+    q["q_catalog_retention"] = _q_catalog_retention  # T46 partition TTL
     q.update(_dataops_queries())
     return q
 
@@ -1305,5 +1349,6 @@ GROUP BY 1""",
     sql["q_rate_anomalies"] = _RATE_ANOMALIES_SQL
     sql["q_template_delta"] = _template_delta_sql(p)
     sql["q_log_metrics"] = _log_metrics_sql(p)
+    sql["q_catalog_retention"] = _CATALOG_RETENTION_SQL
     sql.update(_dataops_oracle_sql(media))
     return sql

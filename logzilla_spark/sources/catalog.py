@@ -870,6 +870,105 @@ class LocalCatalog:
                 counts[val] = counts.get(val, 0) + 1
         return counts
 
+    def drop_partitions(
+        self,
+        name: str,
+        partition_by: str,
+        partition_values: list[str],
+        summary: dict | None = None,
+    ) -> int:
+        """METADATA-ONLY partition drop (Iceberg ``DROP PARTITION`` /
+        ``DELETE WHERE`` on a partition boundary): publish a snapshot
+        whose file list simply omits every data file under the named
+        ``partition_by=<v>`` directories. No data is read, rewritten,
+        or deleted — at 100 TB this is the difference between an O(1)
+        manifest commit and a table-sized copy-on-write pass, which is
+        why log stores enforce retention on partition boundaries.
+        Dropped files stay on disk for time travel until
+        expire_snapshots (history) + remove_orphan_files reclaim them.
+
+        Fail-closed on legacy layouts: a table holding files OUTSIDE
+        any ``partition_by=`` directory raises — those files can hold
+        rows belonging to the dropped range, and a "successful"
+        retention sweep that silently retains them is worse than a
+        loud one."""
+        _check_partition_values(partition_by, partition_values)
+        tokens = {f"{partition_by}={v}" for v in partition_values}
+
+        def doomed(path: str) -> bool:
+            return any(t in path.split(os.sep) for t in tokens)
+
+        with _COMMIT_LOCK:  # prev-groups read + commit: one RMW (see append)
+            prev = self.last_snapshot_id(name)
+            if prev is None:
+                raise SnapshotError(f"table {name!r} has no committed snapshot")
+            if self.has_unpartitioned_files(name, partition_by):
+                raise ValueError(
+                    f"drop_partitions({name}): table has data files outside "
+                    f"any {partition_by}= directory — a partition drop "
+                    "cannot bound what they contain; migrate (full rewrite "
+                    "partitioned by the retention column) first"
+                )
+            kept = []
+            for g in self._groups(name, prev):
+                keep_files = [f for f in g["files"] if not doomed(f)]
+                if not keep_files:
+                    continue
+                kg = {"base": g["base"], "files": keep_files}
+                keep_stats = {
+                    f: s for f, s in g.get("stats", {}).items() if f in set(keep_files)
+                }
+                if keep_stats:
+                    kg["stats"] = keep_stats
+                if g.get("blooms"):
+                    # sidecar entries for dropped files are simply unused
+                    kg["blooms"] = g["blooms"]
+                kept.append(kg)
+            # no cache invalidation needed: a drop only REMOVES files,
+            # so any cached fully-partitioned verdict (for any column)
+            # still holds on the new head.
+            return self._commit(
+                name,
+                kept,
+                "drop_partitions",
+                summary or {"dropped_partitions": sorted(partition_values)},
+                schema_json=self._schema_json_at(name, prev),
+            )
+
+    def expire_partitions_before(
+        self,
+        name: str,
+        partition_by: str,
+        cutoff: str,
+        summary: dict | None = None,
+    ) -> tuple[int | None, list[str]]:
+        """Retention sweep (TTL): drop every committed partition whose
+        value sorts strictly before ``cutoff`` — correct for the
+        zero-padded date/month tokens the sinks write (lexicographic ==
+        chronological; that invariant is the caller's, documented, not
+        checked). Returns ``(snapshot_id or None, dropped values)``;
+        no-op (None, []) when nothing is old enough. A partition value
+        appended between the scan and the drop commit waits for the
+        next sweep — retention is periodic by nature."""
+        counts = self.partition_file_counts(name, partition_by)
+        doomed = sorted(v for v in counts if v and v < cutoff)
+        if not doomed:
+            if "" in counts:
+                raise ValueError(
+                    f"expire_partitions_before({name}): unpartitioned data "
+                    f"files present — retention by {partition_by} cannot "
+                    "bound their contents"
+                )
+            return None, []
+        sid = self.drop_partitions(
+            name,
+            partition_by,
+            doomed,
+            summary
+            or {"retention_cutoff": cutoff, "dropped_partitions": doomed},
+        )
+        return sid, doomed
+
     def fragmented_partitions(
         self, name: str, partition_by: str, min_files: int = 8
     ) -> list[str]:
