@@ -498,6 +498,57 @@ def _template_delta_sql(pages_path: str) -> str:
     )
 
 
+def _alert_rules():
+    from logzilla_spark.streaming.alerts import AlertRule
+
+    return [
+        AlertRule("error_burst", min_count=5, level="ERROR"),
+        AlertRule("unparsed_flood", min_count=10, category="unparsed"),
+        AlertRule("hot_window", min_count=60),
+    ]
+
+
+def _q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T47 alert-rule evaluation (alerts.evaluate_alerts): threshold
+    rules (NULL fields = wildcards) over hourly windowed counts — one
+    broadcast rules join evaluates the whole rule set in one pass over
+    the aggregate (never a per-rule filter loop). The streaming twin
+    (start_alert_stream) lands this exact set once each via the
+    exactly-once ledger (differential in tests/test_alerts.py)."""
+    from logzilla_spark.operators.aggregate import windowed_counts
+    from logzilla_spark.streaming.alerts import evaluate_alerts
+
+    agg = windowed_counts(
+        _records(spark, sf_dir), time_col="timestamp", keys=("category", "level")
+    )
+    return evaluate_alerts(agg, _alert_rules())
+
+
+def _alerts_sql(pages_path: str) -> str:
+    values = ", ".join(
+        f"('{r.name}', CAST({r.min_count} AS BIGINT), "
+        + (f"'{r.category}'" if r.category else "NULL")
+        + ", "
+        + (f"'{r.level}'" if r.level else "NULL")
+        + ")"
+        for r in _alert_rules()
+    )
+    return f"""
+WITH {oracle.records_cte(pages_path)},
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', "timestamp") AS window_start,
+         time_bucket(INTERVAL '1 hour', "timestamp") + INTERVAL '1 hour' AS window_end,
+         category, level, CAST(count(*) AS BIGINT) AS n
+  FROM records GROUP BY 1, 2, 3, 4
+),
+rules(rule_name, min_count, r_category, r_level) AS (VALUES {values})
+SELECT rule_name, window_start, window_end, category, level, n, min_count
+FROM agg JOIN rules
+  ON (r_category IS NULL OR r_category = category)
+ AND (r_level IS NULL OR r_level = level)
+ AND n >= min_count"""
+
+
 _RETENTION_CUTOFF = "2024-01-15"  # events span 2024-01-01..2024-01-30
 
 
@@ -1237,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_template_delta"] = _q_template_delta  # T44 template delta
     q["q_log_metrics"] = _q_log_metrics  # T45 log-to-metric extraction
     q["q_catalog_retention"] = _q_catalog_retention  # T46 partition TTL
+    q["q_alerts"] = _q_alerts  # T47 alert-rule evaluation
     q.update(_dataops_queries())
     return q
 
@@ -1350,5 +1402,6 @@ GROUP BY 1""",
     sql["q_template_delta"] = _template_delta_sql(p)
     sql["q_log_metrics"] = _log_metrics_sql(p)
     sql["q_catalog_retention"] = _CATALOG_RETENTION_SQL
+    sql["q_alerts"] = _alerts_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql
