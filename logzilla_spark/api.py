@@ -262,3 +262,77 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
         "data": [r.asDict() for r in rows],
         "metadata": {"count": len(rows)},
     }
+
+
+# -- alerts ------------------------------------------------------------
+
+_ALERT_FIELDS = {"rule", "since", "until", "limit"}
+_RULE_NAME_RE_SRC = r"^[A-Za-z0-9_.\-]{1,64}$"
+
+
+def alerts_request(alerts: DataFrame | None, body: str | bytes) -> dict:
+    """``POST /api/alerts``: read the alert ledger (streaming/alerts.py)
+    through the search endpoint's discipline — strict JSON body, field
+    whitelist, size cap before parsing, collect at the API edge only.
+
+    Body (all optional): ``rule`` (exact rule name), ``since`` /
+    ``until`` (RFC3339, matched against window_start: since <= ws <
+    until), ``limit`` (int in [1, 1000], default 100). Results are
+    newest-window first with a deterministic (rule, category, level)
+    tie-break. ``alerts=None`` (server started without a ledger) is a
+    client-visible envelope error, not a 500."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:  # cap BEFORE parsing (helper.go:22)
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8")) if raw.strip() else {}
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        unknown = set(obj) - _ALERT_FIELDS
+        if unknown:
+            raise BadInputError(f"unknown field: {sorted(unknown)[0]!r}")
+        if alerts is None:
+            raise BadInputError("alerting is not configured on this server")
+        rule = obj.get("rule")
+        if rule is not None and not (
+            isinstance(rule, str) and _re.match(_RULE_NAME_RE_SRC, rule)
+        ):
+            raise BadInputError("rule: expected a short alphanumeric name")
+        limit = obj.get("limit", 100)
+        if isinstance(limit, bool) or not isinstance(limit, int) or not (
+            1 <= limit <= 1000
+        ):
+            raise BadInputError("limit: expected an int in [1, 1000]")
+        df = alerts
+        if rule is not None:
+            df = df.filter(F.col("rule_name") == rule)
+        if obj.get("since") is not None:
+            df = df.filter(F.col("window_start") >= _parse_ts(obj["since"], "since"))
+        if obj.get("until") is not None:
+            df = df.filter(F.col("window_start") < _parse_ts(obj["until"], "until"))
+        rows = (
+            df.orderBy(
+                F.col("window_start").desc(), "rule_name", "category", "level"
+            )
+            .limit(limit)  # TakeOrderedAndProject: top-k, never a full sort
+            .collect()
+        )
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        # datetimes serialize at the HTTP edge (server._write default=str),
+        # same as search_request's hit rows
+        "data": [r.asDict() for r in rows],
+        "metadata": {"count": len(rows)},
+    }

@@ -49,6 +49,7 @@ def _envelope(success: bool, message: str = "", data=None, metadata=None) -> dic
 class _Handler(BaseHTTPRequestHandler):
     server_version = "logzilla-spark"
     records: DataFrame  # bound by make_server
+    alerts: DataFrame | None = None  # bound by make_server (optional)
     trusted_origins: tuple[str, ...] = ()  # bound by make_server
     # Per-connection socket timeout (BaseRequestHandler.setup applies
     # it to the accepted socket). Without it a client that connects
@@ -120,6 +121,13 @@ class _Handler(BaseHTTPRequestHandler):
             from logzilla_spark.api import facets_request
 
             handler = facets_request
+        elif self.path == "/api/alerts":
+            from logzilla_spark.api import alerts_request
+
+            # bound to the alert LEDGER, not the records frame
+            handler = lambda _records, b: alerts_request(  # noqa: E731
+                type(self).alerts, b
+            )
         else:
             self._write(404, _envelope(False, f"no route: POST {self.path}"))
             return
@@ -157,6 +165,7 @@ def make_server(
     key_file: str | None = None,
     trusted_origins: tuple[str, ...] = (),
     handler_timeout: float = 30.0,
+    alerts: DataFrame | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server bound to a records DataFrame.
 
@@ -164,12 +173,16 @@ def make_server(
     TLS is enabled exactly like the reference (api/server.go:57-64):
     only when BOTH cert_file and key_file are configured.
     ``handler_timeout`` bounds how long an idle connection (or a
-    never-completing TLS handshake) may hold its handler thread."""
+    never-completing TLS handshake) may hold its handler thread.
+    ``alerts`` (optional) binds the alert-ledger frame behind
+    ``POST /api/alerts``; without it the route answers with a client
+    envelope error."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {
             "records": records,
+            "alerts": alerts,
             "trusted_origins": tuple(trusted_origins),
             "timeout": handler_timeout,
         },
@@ -198,11 +211,15 @@ def serve_background(
     cert_file: str | None = None,
     key_file: str | None = None,
     trusted_origins: tuple[str, ...] = (),
+    alerts: DataFrame | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the serve loop on a daemon thread; returns (server, thread).
 
     Shut down with ``server.shutdown()`` (joins the loop)."""
-    srv = make_server(records, host, port, cert_file, key_file, trusted_origins)
+    srv = make_server(
+        records, host, port, cert_file, key_file, trusted_origins,
+        alerts=alerts,
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="logzilla-http")
     t.start()
