@@ -45,3 +45,26 @@ def compact_table(
         cat.compact(spark, table, partition_by, frag)
         after = cat.partition_file_counts(table, partition_by)
         return {v: after[v] for v in frag}
+
+
+def retention_sweep(
+    cat: LocalCatalog,
+    table: str,
+    partition_by: str,
+    cutoff: str,
+) -> tuple[int | None, list[str]]:
+    """Age out a (possibly live) sink table's old partitions under the
+    streaming upsert lock.
+
+    The lock matters: an unserialized sweep can race a live keyed merge
+    of the SAME partition — the upsert read the pre-drop snapshot, so
+    its overwrite_partitions would re-commit the partition's merged OLD
+    rows and silently undo the retention. Serialized, the sweep and the
+    epoch merge order cleanly either way. Pick a cutoff comfortably
+    older than the stream's watermark horizon: a late-but-in-watermark
+    row for an already-swept window re-enters the table as a fresh
+    partition (correct per the merge semantics, surprising per
+    retention intent).
+    """
+    with _upsert_lock(cat, table):
+        return cat.expire_partitions_before(table, partition_by, cutoff)

@@ -133,3 +133,49 @@ def test_compact_live_agg_sink_then_upsert(spark, tmp_path):
     assert upsert_agg_batch(spark, cat, batch(99, 3), batch_id=9)
     after = cat.read(spark, "stream_agg")
     assert after.filter(F.col("n") == 99).count() == 3
+
+
+def test_retention_sweep_on_live_agg_sink(spark, tmp_path):
+    """Retention composes with the streaming agg sink: old months age
+    out metadata-only, later epochs touching other months never
+    resurrect them."""
+    from logzilla_spark.streaming.maintenance import retention_sweep
+    from logzilla_spark.streaming.stream_pipeline import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+
+    def batch(n, month, day=1):
+        return spark.range(n).select(
+            F.to_timestamp(
+                F.lit(f"2024-{month:02d}-{day:02d} 00:00:00")
+            ).alias("window_start"),
+            F.to_timestamp(
+                F.lit(f"2024-{month:02d}-{day:02d} 01:00:00")
+            ).alias("window_end"),
+            F.lit("json").alias("category"),
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("level"),
+            F.lit(n).alias("n"),
+        ).distinct()
+
+    upsert_agg_batch(spark, cat, batch(5, 1), batch_id=0)   # 202401
+    upsert_agg_batch(spark, cat, batch(6, 2), batch_id=1)   # 202402
+    upsert_agg_batch(spark, cat, batch(7, 3), batch_id=2)   # 202403
+
+    sid, dropped = retention_sweep(cat, "stream_agg", "agg_month", "202403")
+    assert dropped == ["202401", "202402"]
+    months = {
+        r["agg_month"]
+        for r in cat.read(spark, "stream_agg").select("agg_month").distinct().collect()
+    }
+    assert {str(m) for m in months} == {"202403"}
+
+    # a later epoch touching only a NEW month leaves the sweep intact
+    assert upsert_agg_batch(spark, cat, batch(8, 4), batch_id=3)
+    months = {
+        str(r["agg_month"])
+        for r in cat.read(spark, "stream_agg").select("agg_month").distinct().collect()
+    }
+    assert months == {"202403", "202404"}
+
+    # nothing left to sweep below the same cutoff
+    assert retention_sweep(cat, "stream_agg", "agg_month", "202403") == (None, [])
