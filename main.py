@@ -137,10 +137,19 @@ def main(argv: list[str] | None = None) -> int:
         from logzilla_spark.server import make_server
 
         records = read_all_sinks(spark, pipe.cat, pipe.categories)
+        # serve the alert ledger too when an alert stream has committed
+        # one into this warehouse (POST /api/alerts; absent -> the
+        # route answers with a client envelope error)
+        alerts = (
+            pipe.cat.read(spark, "stream_alerts")
+            if pipe.cat.exists("stream_alerts")
+            else None
+        )
         srv = make_server(
             records, host="0.0.0.0", port=args.serve,
             cert_file=args.tls_cert, key_file=args.tls_key,
             trusted_origins=tuple(args.cors_origin),
+            alerts=alerts,
         )
         print(json.dumps({"serving": list(srv.server_address)}), flush=True)
         srv.serve_forever()
