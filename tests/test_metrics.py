@@ -93,3 +93,56 @@ class TestExtractMetrics:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Aggregate") == 2
         assert "Window" in plan
+
+
+# -- property: Spark quantiles == a pure-Python reference of the rule --
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _ref_metrics(values, quantiles):
+    """Pure-Python reference of the documented rank rule:
+    p_q = min(v : den * cum >= num * n) over the sorted histogram."""
+    vs = sorted(values)
+    n = len(vs)
+    out = {
+        "cnt": n,
+        "v_sum": sum(vs),
+        "v_min": vs[0],
+        "v_max": vs[-1],
+        "v_avg": float(sum(vs)) / float(n),
+    }
+    for name, (num, den) in quantiles.items():
+        cum = 0
+        seen = None
+        for v in vs:
+            cum += 1
+            if den * cum >= num * n:
+                seen = v
+                break
+        out[name] = seen
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=60
+    ),
+    qnum=st.integers(min_value=1, max_value=20),
+)
+def test_quantile_rule_matches_python_reference(values, qnum, spark):
+    quantiles = {"p50": (1, 2), "p95": (19, 20), "pq": (qnum, 20)}
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), str(v)) for v in values],
+        "key string, ts timestamp, val string",
+    )
+    [r] = extract_metrics(df, "val", "key", ts_col="ts", quantiles=quantiles).collect()
+    ref = _ref_metrics(values, quantiles)
+    for k, want in ref.items():
+        assert r[k] == want, (k, r[k], want, sorted(values))
