@@ -1047,6 +1047,17 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_dsir": lambda s, d: textstats.dsir_scores(
             _docs(s, d), _docs(s, d).filter(F.col("doc_id") < 10)
         ),
+        # --- CCNet perplexity gate: hashed bigram LM, head/middle/tail
+        # (demo thresholds calibrated to the synthetic corpus's
+        # 7.1-8.1 bits/token band so all three buckets are exercised;
+        # CCNet likewise applies training-distribution cutoffs as
+        # constants) ---
+        "q_text_lm_perplexity": lambda s, d: textstats.lm_perplexity(
+            _docs(s, d),
+            _docs(s, d).filter(F.col("doc_id") < 100),
+            head_bits=7.5,
+            tail_bits=7.8,
+        ),
         # --- SemDeDup: semantic dedup inside IVF cells (embeddings) ---
         "q_dedup_semdedup": lambda s, d: similarity.semdedup(_emb(s, d)),
         # --- multimodal plumbing (synthetic media table) ---
@@ -1117,6 +1128,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_dup_passages": oracle_dataops.dup_passage_stats_sql(docs),
         "q_text_substring_dedup": oracle_dataops.substring_dedup_sql(docs),
         "q_text_dsir": oracle_dataops.dsir_scores_sql(docs, "id < 10"),
+        "q_text_lm_perplexity": oracle_dataops.lm_perplexity_sql(
+            docs, "id < 100", head_bits=7.5, tail_bits=7.8
+        ),
         "q_dedup_semdedup": oracle_dataops.semdedup_sql(emb),
         "q_media_stats": oracle_dataops.media_stats_sql(media),
         "q_media_image_features": oracle_dataops.image_features_sql(media),

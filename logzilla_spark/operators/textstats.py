@@ -1722,3 +1722,145 @@ def dsir_scores(
             F.sum("_llr").alias("logw_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM perplexity gate (hashed bigram LM, fixed-point bits)
+# --------------------------------------------------------------------------
+
+LM_BUCKETS = 1024  # hashed vocab size (contexts AND next-tokens)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    train: DataFrame,
+    n_buckets: int = LM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_bits: float = 9.0,
+    tail_bits: float = 10.0,
+) -> DataFrame:
+    """CCNet's perplexity gate (Wenzek et al. 2020): score every doc by
+    a reference-domain language model and bucket head / middle / tail.
+    CCNet trains KenLM on Wikipedia; here the model is an add-one-
+    smoothed HASHED bigram LM — contexts and next-tokens both hash into
+    ``n_buckets``, so P(next | prev) = (c(bp, nb) + 1) / (c(bp) + B)
+    sums to one per context by construction, and the whole model is two
+    fixed-size count tables.
+
+    Fixed-point bits instead of KenLM's float log10 (the module's
+    float-portability rule): probabilities become integer ppm with a
+    1e-6 floor (``greatest(p_ppm, 1)``), per-bigram log-probs are
+    ``_log2_fp(p_ppm) - DSIR_LOG2_FP_1M`` (<= 0), and the doc score is
+    their exact BIGINT sum. ``bits_per_token`` is the one IEEE division
+    at the edge; the head/middle/tail CLASSIFICATION never touches
+    floats — thresholds are integer fixed-point constants compared as
+    ``-logp_fp <=> round(bits * 2^20) * n_bigrams``.
+
+    Scale shape: the train side collapses to <= B + observed-pair rows
+    (both broadcast); all log2 math runs on those model rows, never per
+    corpus token. The corpus is touched ONCE: a bigram occurrence
+    stream -> two broadcast joins (observed-pair llp, per-context
+    unseen-pair default llp) -> one groupBy(id) with map-side partials.
+    No shuffle ever carries token-grain data except that final id agg.
+
+    Docs with < 2 tokens have no bigrams and emit no row (the DSIR
+    NULL-text contract); thresholds are model-relative constants the
+    caller calibrates once (CCNet computes its tercile cutoffs on the
+    training distribution and applies them as constants too).
+
+    Output: (id, n_bigrams, logp_fp, bits_per_token, bucket).
+    """
+    B = int(n_buckets)
+    fb = 1 << DSIR_FRAC_BITS
+    head_fp = round(head_bits * fb)
+    tail_fp = round(tail_bits * fb)
+    if not head_fp <= tail_fp:
+        raise ValueError(f"head_bits {head_bits} must be <= tail_bits {tail_bits}")
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+            )
+            .filter(F.col("_n").isNotNull())
+            .withColumn("_t", F.split("_n", " "))
+            .filter(F.size("_t") >= 2)
+            .select(
+                "id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_t) - 1), "
+                        "i -> struct(element_at(_t, i) AS p, "
+                        "element_at(_t, i + 1) AS c))"
+                    )
+                ).alias("_bg"),
+            )
+            .select(
+                "id",
+                F.pmod(F.expr(md5_long_expr("_bg.p")), F.lit(B)).alias("bp"),
+                F.pmod(F.expr(md5_long_expr("_bg.c")), F.lit(B)).alias("nb"),
+            )
+        )
+
+    pair_counts = _bigrams(train).groupBy("bp", "nb").agg(
+        F.count(F.lit(1)).alias("_cp")
+    )
+    ctx_counts = pair_counts.groupBy("bp").agg(F.sum("_cp").alias("_cc"))
+
+    # llp per MODEL cell (fixed-point log2 of the ppm probability,
+    # centered at 1.0): computed once on <= B^2 + B rows, never per
+    # corpus occurrence. Unseen pairs share c=0, so their llp depends
+    # only on the context -> a B-row default table.
+    def _llp():
+        # reads the _p1 column of the frame it is selected from
+        return F.expr(
+            f"(cast(length(bin(_p1)) - 1 as bigint) * {fb} "
+            f"+ (_p1 * {fb}) div shiftleft(cast(1 as bigint), "
+            f"length(bin(_p1)) - 1) - {fb}) - {DSIR_LOG2_FP_1M}"
+        )
+
+    obs = (
+        pair_counts.join(ctx_counts, "bp")
+        .withColumn(
+            "_p1",
+            F.expr(f"greatest((1000000 * (_cp + 1)) div (_cc + {B}), 1L)"),
+        )
+        .select("bp", "nb", _llp().alias("_llp_obs"))
+    )
+    dflt = ctx_counts.withColumn(
+        "_p1", F.expr(f"greatest(1000000 div (_cc + {B}), 1L)")
+    ).select("bp", _llp().alias("_llp_ctx"))
+    # contexts never seen in training: c(bp)=0 -> P = 1/B, one constant
+    unseen_ctx_llp = _log2_fp(max(1_000_000 // B, 1)) - DSIR_LOG2_FP_1M
+
+    scored = (
+        _bigrams(df)
+        .join(F.broadcast(obs), ["bp", "nb"], "left")
+        .join(F.broadcast(dflt), ["bp"], "left")
+        .select(
+            "id",
+            F.coalesce(
+                "_llp_obs", "_llp_ctx", F.lit(unseen_ctx_llp)
+            ).alias("_llp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_llp").alias("logp_fp"),
+        )
+    )
+    neg = -F.col("logp_fp")
+    return scored.select(
+        "id",
+        "n_bigrams",
+        "logp_fp",
+        (
+            neg.cast("double")
+            / (F.col("n_bigrams") * F.lit(fb)).cast("double")
+        ).alias("bits_per_token"),
+        F.when(neg <= F.lit(head_fp) * F.col("n_bigrams"), F.lit("head"))
+        .when(neg > F.lit(tail_fp) * F.col("n_bigrams"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )

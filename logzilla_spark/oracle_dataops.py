@@ -1790,3 +1790,72 @@ SELECT n_sample,
             ELSE CAST(n_sample - 1 AS DOUBLE) /
                  (CAST(kth AS DOUBLE) / {dlit(KMV_RANGE)}) END AS est_distinct
 FROM agg"""
+
+
+def lm_perplexity_sql(
+    docs_path: str,
+    train_pred: str,
+    n_buckets: int | None = None,
+    head_bits: float = 9.0,
+    tail_bits: float = 10.0,
+) -> str:
+    """Twin of textstats.lm_perplexity: hashed bigram LM trained on the
+    docs matching ``train_pred`` (over the doc id), add-one smoothing,
+    fixed-point log2 bits, BIGINT head/middle/tail thresholds. Same
+    integer pipeline as the DSIR twin (``//`` == Spark's ``div``,
+    printf('%b') msb == length(bin()))."""
+    from logzilla_spark.operators.textstats import (
+        DSIR_FRAC_BITS,
+        DSIR_LOG2_FP_1M,
+        LM_BUCKETS,
+        _log2_fp,
+    )
+
+    B = int(n_buckets if n_buckets is not None else LM_BUCKETS)
+    fb = 1 << DSIR_FRAC_BITS
+    head_fp = round(head_bits * fb)
+    tail_fp = round(tail_bits * fb)
+    unseen_ctx_llp = _log2_fp(max(1_000_000 // B, 1)) - DSIR_LOG2_FP_1M
+    llp = (
+        f"(CAST(length(printf('%b', p1)) - 1 AS BIGINT) * {fb} "
+        f"+ (p1 * {fb}) // (1::BIGINT << (length(printf('%b', p1)) - 1)) "
+        f"- {fb}) - {DSIR_LOG2_FP_1M}"
+    )
+    return f"""WITH {_docs_cte(docs_path)},
+toks AS (SELECT id, string_split(n, ' ') AS t FROM docs
+         WHERE n IS NOT NULL AND len(string_split(n, ' ')) >= 2),
+bg AS (
+  SELECT id,
+         {md5_long_sql('u.p')} % {B} AS bp,
+         {md5_long_sql('u.c')} % {B} AS nb
+  FROM (SELECT id, unnest([{{'p': t[i], 'c': t[i + 1]}}
+                           FOR i IN range(1, len(t))]) AS u
+        FROM toks)
+),
+pairc AS (SELECT bp, nb, CAST(count(*) AS BIGINT) AS cp
+          FROM bg WHERE {train_pred} GROUP BY bp, nb),
+ctxc AS (SELECT bp, CAST(sum(cp) AS BIGINT) AS cc FROM pairc GROUP BY bp),
+obs AS (
+  SELECT bp, nb, {llp} AS llp_obs
+  FROM (SELECT bp, nb,
+               greatest((1000000 * (cp + 1)) // (cc + {B}), 1) AS p1
+        FROM pairc JOIN ctxc USING (bp))
+),
+dflt AS (
+  SELECT bp, {llp} AS llp_ctx
+  FROM (SELECT bp, greatest(1000000 // (cc + {B}), 1) AS p1 FROM ctxc)
+),
+scored AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(coalesce(llp_obs, llp_ctx, {unseen_ctx_llp})) AS BIGINT)
+           AS logp_fp
+  FROM bg LEFT JOIN obs USING (bp, nb) LEFT JOIN dflt USING (bp)
+  GROUP BY id
+)
+SELECT id, n_bigrams, logp_fp,
+       CAST(-logp_fp AS DOUBLE)
+         / CAST(n_bigrams * {fb} AS DOUBLE) AS bits_per_token,
+       CASE WHEN -logp_fp <= {head_fp} * n_bigrams THEN 'head'
+            WHEN -logp_fp > {tail_fp} * n_bigrams THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM scored"""
