@@ -1201,6 +1201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_fulltext_index": _q_fulltext_index,
         "q_fulltext_served": _q_fulltext_served,
+        # --- T50 BM25 relevance tier (OR semantics, scored top-k) ---
+        "q_fulltext_bm25": lambda s, d: __import__(
+            "logzilla_spark.operators.fulltext", fromlist=["bm25_topk"]
+        ).bm25_topk(_records(s, d), "disk error svc3", k=25),
         # --- multi-line record reassembly (gaps-and-islands) ---
         "q_multiline_reassembly": lambda s, d: reassemble_multiline(
             explode_lines(_pages(s, d)).select("url", "pos", "line")
@@ -1370,6 +1374,12 @@ SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_fulltext_scan": oracle.fulltext_sql(p, "disk svc3"),
         "q_fulltext_index": oracle.fulltext_sql(p, "disk svc3"),
         "q_fulltext_served": oracle.fulltext_sql(p, "disk svc3"),
+        "q_fulltext_bm25": (
+            f"WITH {oracle.records_cte(p)},\n"
+            + __import__(
+                "logzilla_spark.operators.fulltext", fromlist=["bm25_topk_sql"]
+            ).bm25_topk_sql("records", "disk error svc3", k=25)
+        ),
         "q_multiline_reassembly": oracle.multiline_sql(p),
         "q_events_sessions": sessionize_sql("events"),
         "q_events_asof": _EVENTS_ASOF_SQL,

@@ -186,3 +186,209 @@ def serve_fulltext(
         # tokens -> nothing matches
         return records.filter(F.lit(False))
     return search_index(postings, records, query, id_col)
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance ranking (Robertson '94) — the scored tier above the
+# boolean AND search
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    records: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-k records by BM25 relevance (OR semantics: any matching
+    term scores; the boolean tiers keep AND).
+
+    Spark-first shape — ZERO token-grain shuffles: term frequencies
+    are per-term ``size(filter(tokens, x -> x = t))`` array
+    expressions (no explode), corpus stats (N, Σdl, per-term document
+    frequencies) come from ONE single-row aggregate broadcast back via
+    crossJoin, scoring is one projection, and the cut is
+    TakeOrderedAndProject on (score DESC, id ASC). Two column-pruned
+    scans of the records frame total (stats + scoring) — at 100 TB
+    that beats persisting a tokenized corpus copy.
+
+    Cross-engine determinism: idf uses the module-standard fixed-point
+    log2 of an exact integer ratio-ppm — ``idf_t = log2((2N + 2) /
+    (2 df_t + 1)) / 1`` bits, never ln() — and the remaining score is
+    ONE fixed IEEE dag (identical expression text in the DuckDB twin),
+    so scores hash bit-identically and the (score, id) top-k cut
+    selects identical rows. Ties at rank k break by id ascending.
+
+    Output: (id, n_terms_matched, score), score > 0 only (docs
+    matching no term never rank).
+    """
+    from logzilla_spark.operators.textstats import (
+        DSIR_FRAC_BITS,
+        DSIR_LOG2_FP_1M,
+    )
+
+    q_tokens = query_tokens(query)
+    if not q_tokens:
+        raise ValueError("bm25_topk: query has no tokens")
+    fb = 1 << DSIR_FRAC_BITS
+
+    def _tf_pred(tok: str):
+        # single-arg lambda: a two-arg lambda would make F.filter pass
+        # the element INDEX as the second argument
+        return lambda x: x == F.lit(tok)
+
+    toks = records.select(
+        F.col(id_col).alias("id"),
+        _tokens(searchable_text(records)).alias("_t"),
+    ).select(
+        "id",
+        F.size("_t").cast("bigint").alias("_dl"),
+        *[
+            F.size(F.filter("_t", _tf_pred(t)))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(q_tokens)
+        ],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(q_tokens))
+        ],
+    )
+    # idf in bits via the fixed-point log2 of the exact rational
+    # (N - df + 0.5)/(df + 0.5) + 1 == (2N + 2)/(2 df + 1), as ppm
+    def _idf(i: int):
+        r = f"greatest((1000000 * (2 * _n + 2)) div (2 * _df{i} + 1), 1L)"
+        return F.expr(
+            f"cast((cast(length(bin({r})) - 1 as bigint) * {fb} "
+            f"+ (({r}) * {fb}) div shiftleft(cast(1 as bigint), "
+            f"length(bin({r})) - 1) - {fb}) - {DSIR_LOG2_FP_1M} as double) / {fb}"
+        )
+
+    # one fixed IEEE dag per term; identical text in the DuckDB twin
+    def _term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (
+            F.col("_dl").cast("double")
+            / (F.col("_sumdl").cast("double") / F.col("_n").cast("double"))
+        )
+        return F.when(
+            F.col(f"_tf{i}") > 0,
+            F.col(f"_idf{i}")
+            * (tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * norm)),
+        ).otherwise(F.lit(0.0))
+
+    scored = toks.crossJoin(
+        F.broadcast(
+            stats.select(
+                "_n",
+                "_sumdl",
+                *[_idf(i).alias(f"_idf{i}") for i in range(len(q_tokens))],
+            )
+        )
+    ).select(
+        "id",
+        sum(
+            ((F.col(f"_tf{i}") > 0).cast("int") for i in range(len(q_tokens))),
+            F.lit(0),
+        ).alias("n_terms_matched"),
+        sum(
+            (_term_score(i) for i in range(len(q_tokens))), F.lit(0.0)
+        ).alias("score"),
+    )
+    return (
+        scored.filter(F.col("n_terms_matched") > 0)
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    records_relation: str,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer, same exact
+    integer idf, same IEEE score dag, same (score DESC, id) cut. The
+    searchable string mirrors ``searchable_text`` over the flattened
+    records CTE (message, source, level, m_* values)."""
+    from logzilla_spark.operators.textstats import (
+        DSIR_FRAC_BITS,
+        DSIR_LOG2_FP_1M,
+    )
+
+    q_tokens = query_tokens(query)
+    fb = 1 << DSIR_FRAC_BITS
+    meta = ", ".join(
+        f"coalesce(m_{k_}, '')"
+        for k_ in ["service", "request_id", "attempt", "ip", "method",
+                   "path", "status", "size"]
+    )
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(q_tokens)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(q_tokens))
+    )
+
+    def _idf(i: int) -> str:
+        r = f"greatest((1000000 * (2 * n + 2)) // (2 * df{i} + 1), 1)"
+        return (
+            f"CAST((CAST(length(printf('%b', {r})) - 1 AS BIGINT) * {fb} "
+            f"+ (({r}) * {fb}) // (1::BIGINT << (length(printf('%b', {r})) - 1)) "
+            f"- {fb}) - {DSIR_LOG2_FP_1M} AS DOUBLE) / {fb}"
+        )
+
+    idf_cols = ",\n         ".join(
+        f"{_idf(i)} AS idf{i}" for i in range(len(q_tokens))
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(q_tokens))
+    )
+    score_sum = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN idf{i} * (CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r} "
+        f"/ (CAST(tf{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} * "
+        f"(CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) "
+        f"ELSE 0.0 END"
+        for i in range(len(q_tokens))
+    )
+    return f"""
+toks AS (
+  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (
+    SELECT id, list_filter(string_split_regex(lower(
+             concat_ws(' ', message, source, level, {meta})),
+             '[^a-z0-9]+'), x -> x != '') AS t
+    FROM {records_relation}
+  )
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         {df_cols}
+  FROM toks
+),
+idfs AS (
+  SELECT n, sumdl,
+         {idf_cols}
+  FROM stats
+)
+SELECT id,
+       CAST({match_sum} AS INT) AS n_terms_matched,
+       {score_sum} AS score
+FROM toks, idfs
+WHERE {match_sum} > 0
+ORDER BY score DESC, id
+LIMIT {int(k)}"""
