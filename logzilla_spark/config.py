@@ -43,6 +43,12 @@ Schema (TOML shown; JSON/YAML mirror it):
     #   when the script has the canonical string.match shape, else run
     #   in the sandboxed Arrow interpreter (operators/lua.py)
 
+    [[alerts]]                           # optional threshold alert rules
+    name      = "error_burst"            # (streaming/alerts.py; consumed
+    min_count = 5                        #  by main.py --tail as a second
+    level     = "ERROR"                  #  stream writing stream_alerts)
+    # category = "json"                  # omitted field = wildcard
+
     [session]
     shuffle_partitions = 32              # optional conf overrides
 """
@@ -76,6 +82,7 @@ class PipelineConfig:
     logs_dir: str | None = None
     dims_dir: str | None = None
     parsers: list[dict[str, Any]] = field(default_factory=list)
+    alerts: list[dict[str, Any]] = field(default_factory=list)
     shuffle_partitions: int | None = None
 
 
@@ -107,7 +114,7 @@ def load_config(path: str) -> PipelineConfig:
     pipe = doc.get("pipeline") or {}
     if "warehouse" not in pipe:
         raise ConfigError("pipeline.warehouse is required")
-    known = {"pipeline", "source", "enrich", "parsers", "session"}
+    known = {"pipeline", "source", "enrich", "parsers", "alerts", "session"}
     unknown = set(doc) - known
     if unknown:
         # DisallowUnknownFields analog — typos fail fast
@@ -125,6 +132,7 @@ def load_config(path: str) -> PipelineConfig:
         logs_dir=(doc.get("source") or {}).get("logs"),
         dims_dir=(doc.get("enrich") or {}).get("dims_dir"),
         parsers=list(doc.get("parsers") or []),
+        alerts=list(doc.get("alerts") or []),
         shuffle_partitions=(doc.get("session") or {}).get("shuffle_partitions"),
     )
 
@@ -202,3 +210,49 @@ def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> Pipeline:
 
 def pipeline_from_file(spark: SparkSession, path: str) -> Pipeline:
     return build_pipeline(spark, load_config(path))
+
+
+def configured_alert_rules(cfg: PipelineConfig):
+    """[[alerts]] entries -> AlertRule list (streaming/alerts.py).
+
+        [[alerts]]
+        name      = "error_burst"
+        min_count = 5
+        level     = "ERROR"       # optional; omitted = wildcard
+        # category = "json"       # optional; omitted = wildcard
+
+    Fail-fast validation in the config layer (the reference's
+    DisallowUnknownFields posture): unknown keys, missing name, or a
+    non-integer/boolean min_count raise ConfigError before any stream
+    starts. Returns [] when the section is absent."""
+    from .streaming.alerts import AlertRule
+
+    rules = []
+    for e in cfg.alerts:
+        unknown = set(e) - {"name", "min_count", "category", "level"}
+        if unknown:
+            raise ConfigError(f"alerts: unknown key {sorted(unknown)[0]!r}")
+        name = e.get("name")
+        if not isinstance(name, str) or not name:
+            raise ConfigError("alerts: each rule needs a non-empty name")
+        mc = e.get("min_count")
+        if isinstance(mc, bool) or not isinstance(mc, int):
+            raise ConfigError(f"alerts[{name}]: min_count must be an integer")
+        for k in ("category", "level"):
+            if e.get(k) is not None and not isinstance(e[k], str):
+                raise ConfigError(f"alerts[{name}]: {k} must be a string")
+        try:
+            rules.append(
+                AlertRule(
+                    name=name,
+                    min_count=mc,
+                    category=e.get("category"),
+                    level=e.get("level"),
+                )
+            )
+        except ValueError as err:
+            raise ConfigError(f"alerts[{name}]: {err}") from err
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ConfigError(f"alerts: duplicate rule names {sorted(names)}")
+    return rules

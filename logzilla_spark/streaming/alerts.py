@@ -45,6 +45,7 @@ __all__ = [
     "evaluate_alerts",
     "alert_batch",
     "start_alert_stream",
+    "start_logfile_alert_stream",
     "ALERT_KEYS",
 ]
 
@@ -74,9 +75,22 @@ def _rules_df(spark: SparkSession, rules: list[AlertRule]) -> DataFrame:
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {sorted(names)}")
-    return spark.createDataFrame(
-        [(r.name, r.min_count, r.category, r.level) for r in rules],
-        "rule_name string, min_count bigint, r_category string, r_level string",
+    # pure-literal frame (constant-folds to a LocalRelation) instead of
+    # createDataFrame: no Python-RDD backing, so alert evaluation plans
+    # stay 100% JVM-side like every other registered query
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule_name"),
+                F.lit(r.min_count).cast("bigint").alias("min_count"),
+                F.lit(r.category).cast("string").alias("r_category"),
+                F.lit(r.level).cast("string").alias("r_level"),
+            )
+            for r in rules
+        ]
+    )
+    return (
+        spark.range(1).select(F.explode(entries).alias("_r")).select("_r.*")
     )
 
 
@@ -158,6 +172,46 @@ def start_alert_stream(
     records = parse_records(
         stream_pages(spark, pages_dir, max_files_per_trigger), impl=parse_impl
     )
+    agg = streaming_windowed_counts(records, watermark=watermark)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        alert_batch(cat, batch, batch_id, rules)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_logfile_alert_stream(
+    spark: SparkSession,
+    logs_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    rules: list[AlertRule],
+    chain: tuple[str, ...] = ("access", "json"),
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Alerting on the reference's native input: raw log files ->
+    registry parser chain -> windowed counts -> exactly-once alert
+    ledger. The same source/chain as the tail-follow routing loop, so
+    one `-config` deployment can run both (separate checkpoints; the
+    ledger table keeps its own committed map)."""
+    from ..operators.parsers import records_from_lines
+    from ..sources.textfiles import text_file_lines_stream
+    from .stream_pipeline import streaming_windowed_counts
+
+    cat = LocalCatalog(warehouse)
+    lines = text_file_lines_stream(
+        spark, logs_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    records = records_from_lines(lines, chain=chain)
     agg = streaming_windowed_counts(records, watermark=watermark)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:

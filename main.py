@@ -93,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         SparkSession.builder.appName("logzilla-spark").getOrCreate(),
         shuffle_partitions=args.shuffle_partitions,
     )
+    cfg = None
     if args.config:
         from logzilla_spark.config import build_pipeline, load_config
 
@@ -123,13 +124,42 @@ def main(argv: list[str] | None = None) -> int:
 
         from logzilla_spark.streaming import start_logfile_routing_stream
 
+        chain = tuple(c.strip() for c in args.chain.split(",") if c.strip())
         ckpt = os.path.join(pipe.cat.warehouse, "_checkpoints", "route_logs")
         q = start_logfile_routing_stream(
-            spark, args.tail, pipe.cat.warehouse, ckpt,
-            chain=tuple(c.strip() for c in args.chain.split(",") if c.strip()),
+            spark, args.tail, pipe.cat.warehouse, ckpt, chain=chain,
         )
         q.awaitTermination()
-        print(json.dumps({"tailed": args.tail, "warehouse": pipe.cat.warehouse}))
+        # config-declared alert rules: run the alert stream over the
+        # same source/chain (own checkpoint; exactly-once ledger)
+        if cfg is not None:
+            from logzilla_spark.config import configured_alert_rules
+
+            rules = configured_alert_rules(cfg)
+        else:
+            rules = []
+        n_alerts = 0
+        if rules:
+            from logzilla_spark.sources.catalog import LocalCatalog
+            from logzilla_spark.streaming.alerts import (
+                start_logfile_alert_stream,
+            )
+
+            qa = start_logfile_alert_stream(
+                spark, args.tail, pipe.cat.warehouse,
+                os.path.join(pipe.cat.warehouse, "_checkpoints", "alert_logs"),
+                rules, chain=chain,
+            )
+            qa.awaitTermination()
+            n_alerts = LocalCatalog(pipe.cat.warehouse).read(
+                spark, "stream_alerts"
+            ).count()
+        print(json.dumps({
+            "tailed": args.tail,
+            "warehouse": pipe.cat.warehouse,
+            "alert_rules": len(rules),
+            "alerts_total": n_alerts,
+        }))
         return 0
 
     if args.serve is not None:

@@ -178,3 +178,93 @@ script-path = "{script}"
         from logzilla_spark.operators.parsers import unregister_parser
 
         unregister_parser("cfgluatail")
+
+
+def test_config_alert_rules_validation(tmp_path):
+    from logzilla_spark.config import configured_alert_rules
+
+    def _cfg(alerts_toml):
+        p = tmp_path / "a.toml"
+        p.write_text(
+            f'[pipeline]\nwarehouse = "{tmp_path}/wh"\n{alerts_toml}'
+        )
+        return load_config(str(p))
+
+    rules = configured_alert_rules(_cfg(
+        '[[alerts]]\nname = "eb"\nmin_count = 5\nlevel = "ERROR"\n'
+        '[[alerts]]\nname = "any"\nmin_count = 100\n'
+    ))
+    assert [(r.name, r.min_count, r.category, r.level) for r in rules] == [
+        ("eb", 5, None, "ERROR"), ("any", 100, None, None)
+    ]
+    assert configured_alert_rules(_cfg("")) == []
+    with pytest.raises(ConfigError, match="unknown key"):
+        configured_alert_rules(_cfg('[[alerts]]\nname="x"\nmin_count=1\nlvl="E"\n'))
+    with pytest.raises(ConfigError, match="min_count"):
+        configured_alert_rules(_cfg('[[alerts]]\nname="x"\nmin_count="5"\n'))
+    with pytest.raises(ConfigError, match="min_count"):
+        configured_alert_rules(_cfg('[[alerts]]\nname="x"\nmin_count=0\n'))
+    with pytest.raises(ConfigError, match="duplicate"):
+        configured_alert_rules(_cfg(
+            '[[alerts]]\nname="x"\nmin_count=1\n'
+            '[[alerts]]\nname="x"\nmin_count=2\n'
+        ))
+
+
+def test_config_alerts_drive_tail_alert_stream(spark, tmp_path):
+    """A config with [[alerts]] runs the alert stream alongside the
+    tail-follow loop: the ledger lands exactly the batch alert set for
+    the tailed files."""
+    import os
+
+    import main as cli
+
+    from logzilla_spark.operators.aggregate import windowed_counts
+    from logzilla_spark.operators.parsers import records_from_lines
+    from logzilla_spark.sources.textfiles import text_file_lines
+    from logzilla_spark.streaming.alerts import AlertRule, evaluate_alerts
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    (logs / "x.log").write_text(
+        '{"timestamp":"2024-01-02T03:04:05Z","level":"error","message":"a"}\n'
+        '{"timestamp":"2024-01-02T03:10:05Z","level":"error","message":"b"}\n'
+        '{"timestamp":"2024-01-02T03:20:05Z","level":"info","message":"c"}\n'
+    )
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f"""
+[pipeline]
+warehouse = "{tmp_path}/wh"
+chain = ["access", "json"]
+
+[source]
+logs = "{logs}"
+
+[[alerts]]
+name = "err2"
+min_count = 2
+level = "ERROR"
+"""
+    )
+    assert cli.main(["--config", str(cfg)]) == 0
+    cat = LocalCatalog(f"{tmp_path}/wh")
+    got = {
+        (r["rule_name"], r["window_start"], r["category"], r["level"], r["n"])
+        for r in cat.read(spark, "stream_alerts").collect()
+    }
+    batch = evaluate_alerts(
+        windowed_counts(
+            records_from_lines(
+                text_file_lines(spark, str(logs)), chain=("access", "json")
+            ),
+            time_col="timestamp",
+            keys=("category", "level"),
+        ),
+        [AlertRule("err2", min_count=2, level="ERROR")],
+    )
+    expect = {
+        (r["rule_name"], r["window_start"], r["category"], r["level"], r["n"])
+        for r in batch.collect()
+    }
+    assert got == expect and got
