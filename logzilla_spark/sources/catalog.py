@@ -359,6 +359,31 @@ class LocalCatalog:
             snap_dir = self._snap_dir(name)
             os.makedirs(snap_dir, exist_ok=True)
             new_id = (self.last_snapshot_id(name) or 0) + 1
+            # Carry the streaming exactly-once map ("committed":
+            # query_id -> max batch_id) through commits that don't
+            # write their own — maintenance (drop_partitions, compact)
+            # and DML (delete/merge) change ROWS, not which epochs were
+            # processed, so a replayed epoch must still be refused
+            # after them. Without the carry, expire_snapshots deleting
+            # the last map-bearing manifest would silently re-open the
+            # table to epoch replays (double-counting). Rollback is
+            # deliberately excluded: rewinding state rewinds
+            # bookkeeping with it (the walk continues into history).
+            if operation != "rollback" and "committed" not in (summary or {}):
+                prev_id = new_id - 1
+                if prev_id >= 1:
+                    try:
+                        prev_sum = (
+                            self._load_snapshot(name, prev_id).get("summary")
+                            or {}
+                        )
+                    except SnapshotError:
+                        prev_sum = {}
+                    if "committed" in prev_sum:
+                        summary = {
+                            **(summary or {}),
+                            "committed": prev_sum["committed"],
+                        }
             manifest = {
                 "snapshot_id": new_id,
                 "operation": operation,

@@ -68,3 +68,55 @@ def retention_sweep(
     """
     with _upsert_lock(cat, table):
         return cat.expire_partitions_before(table, partition_by, cutoff)
+
+
+def maintenance_cycle(
+    spark: SparkSession,
+    cat: LocalCatalog,
+    table: str,
+    partition_by: str | None = None,
+    retention_cutoff: str | None = None,
+    min_files: int = 8,
+    keep_last_snapshots: int = 2,
+    orphan_age_seconds: float = 3600.0,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """One nightly maintenance pass over a (possibly live) table — the
+    cycle every table-format deployment schedules (Iceberg's
+    expire_snapshots + rewrite_data_files + remove_orphan_files, plus
+    retention), in the one order that avoids wasted work:
+
+    1. retention first (needs ``partition_by`` + ``retention_cutoff``)
+       — dropping doomed partitions BEFORE compaction means the
+       rewrite never compacts data about to be deleted;
+    2. small-file compaction of what survives;
+    3. snapshot expiry — reclaims the files steps 1-2 superseded
+       (``keep_last_snapshots`` >= 2 keeps one pre-cycle snapshot for
+       a same-day rollback);
+    4. orphan-file cleanup (age-guarded; crash leftovers).
+
+    Each step takes the streaming upsert lock itself, so the cycle
+    interleaves safely with live sinks (epochs may land BETWEEN steps
+    — each step is individually correct against the head snapshot).
+    Returns a report dict; steps skipped for lack of parameters or
+    work report None/empty.
+    """
+    report: dict = {"table": table}
+    if retention_cutoff is not None:
+        if partition_by is None:
+            raise ValueError("retention_cutoff requires partition_by")
+        _sid, dropped = retention_sweep(
+            cat, table, partition_by, retention_cutoff
+        )
+        report["retention_dropped"] = dropped
+    report["compacted"] = compact_table(
+        spark, cat, table, partition_by, min_files, cluster_by
+    )
+    with _upsert_lock(cat, table):
+        report["snapshots"] = cat.expire_snapshots(
+            table, keep_last=max(keep_last_snapshots, 1)
+        )
+    report["orphans_removed"] = len(
+        cat.remove_orphan_files(table, older_than_seconds=orphan_age_seconds)
+    )
+    return report

@@ -42,7 +42,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.aggregate import DEFAULT_WINDOW
 from ..operators.parse import parse_records
 from ..schemas import CATEGORIES, PAGES_SCHEMA
-from ..sources.catalog import LocalCatalog
+from ..sources.catalog import LocalCatalog, SnapshotError
 
 AGG_KEYS = ["window_start", "window_end", "category", "level"]
 
@@ -102,7 +102,14 @@ def _committed_map(cat: LocalCatalog, table: str) -> dict[str, int]:
     merged: dict[str, int] = {}
     sid = cat.last_snapshot_id(table)
     while sid is not None and sid >= 1:
-        s = cat.snapshot_summary(table, sid)
+        try:
+            s = cat.snapshot_summary(table, sid)
+        except SnapshotError:
+            # history below this point was expired (expire_snapshots);
+            # sound to stop because every live commit carries the
+            # cumulative map forward (catalog._commit), so anything a
+            # deleted manifest knew is present in a surviving one above
+            break
         if (
             s.get("query_id") is not None
             and s.get("batch_id") is not None

@@ -179,3 +179,69 @@ def test_retention_sweep_on_live_agg_sink(spark, tmp_path):
 
     # nothing left to sweep below the same cutoff
     assert retention_sweep(cat, "stream_agg", "agg_month", "202403") == (None, [])
+
+
+def test_maintenance_cycle_on_live_agg_sink(spark, tmp_path):
+    """The nightly cycle (retention -> compaction -> snapshot expiry ->
+    orphan cleanup) over a live agg sink: content stays exactly the
+    post-retention truth, dropped + superseded files are reclaimed from
+    disk, and the sink keeps accepting upserts afterwards."""
+    import os
+
+    from logzilla_spark.streaming.maintenance import maintenance_cycle
+    from logzilla_spark.streaming.stream_pipeline import upsert_agg_batch
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+
+    def batch(n, month, day=1):
+        return spark.range(n).select(
+            F.to_timestamp(
+                F.lit(f"2024-{month:02d}-{day:02d} 00:00:00")
+            ).alias("window_start"),
+            F.to_timestamp(
+                F.lit(f"2024-{month:02d}-{day:02d} 01:00:00")
+            ).alias("window_end"),
+            F.lit("json").alias("category"),
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("level"),
+            F.lit(n).alias("n"),
+        ).distinct()
+
+    # fragment month 202402 with several epochs; month 202401 is old
+    upsert_agg_batch(spark, cat, batch(5, 1), batch_id=0)
+    for i in range(1, 5):
+        upsert_agg_batch(spark, cat, batch(5 + i, 2, day=i), batch_id=i)
+    pre_files = {
+        f
+        for g in cat._groups("stream_agg", cat.last_snapshot_id("stream_agg"))
+        for f in g["files"]
+    }
+    expect = sorted(
+        map(tuple, cat.read(spark, "stream_agg")
+            .filter(F.col("agg_month") != "202401").collect())
+    )
+
+    rep = maintenance_cycle(
+        spark, cat, "stream_agg",
+        partition_by="agg_month",
+        retention_cutoff="202402",
+        min_files=2,
+        keep_last_snapshots=1,
+        orphan_age_seconds=0.0,
+    )
+    assert rep["retention_dropped"] == ["202401"]
+    assert rep["compacted"], "fixture should have fragmented partitions"
+    assert rep["snapshots"]["expired"]
+
+    got = sorted(map(tuple, cat.read(spark, "stream_agg").collect()))
+    assert got == expect
+    # dropped month's physical files are gone from disk
+    old = [f for f in pre_files if "agg_month=202401" in f]
+    assert old and all(not os.path.exists(f) for f in old)
+    # exactly-once bookkeeping SURVIVED the cycle: maintenance commits
+    # carry the cumulative committed map forward, so even though
+    # expire_snapshots deleted every map-bearing streaming manifest, a
+    # replayed old epoch is still refused (no double count)
+    assert upsert_agg_batch(spark, cat, batch(5 + 2, 2, day=2), batch_id=2) is False
+    # and the sink keeps working after the full cycle
+    assert upsert_agg_batch(spark, cat, batch(99, 3), batch_id=9)
+    assert cat.read(spark, "stream_agg").filter(F.col("n") == 99).count() == 3

@@ -142,12 +142,25 @@ def test_committed_map_is_o1_at_snapshot_head(tmp_path, monkeypatch):
     assert not sp._already_committed(cat, "t", "agg", 1000)
     assert len(reads) == 2  # one summary read per lookup — the head
 
-    # legacy / batch-append snapshots on top: walk stops at the first
-    # cumulative map, not the beginning of history
-    cat._commit("t", [], "append", {"note": "batch append, no map"})
+    # batch-append / maintenance snapshots on top: _commit carries the
+    # predecessor's cumulative map into them, so the head summary keeps
+    # the map and the lookup stays ONE read (and the map survives
+    # expire_snapshots deleting the older manifests)
+    cat._commit("t", [], "append", {"note": "batch append, no own map"})
     reads.clear()
     assert sp._already_committed(cat, "t", "agg", 999)
-    assert len(reads) == 2  # head (no map) + first mapped snapshot
+    assert len(reads) == 1  # the head carries the carried-forward map
+    assert cat.snapshot_summary("t", cat.last_snapshot_id("t"))[
+        "committed"
+    ] == {"agg": 999}
+
+    # expired history below the head: the walk stops at the gap instead
+    # of raising (the carry-forward is what makes stopping sound)
+    cat.expire_snapshots("t", keep_last=1)
+    reads.clear()
+    assert sp._already_committed(cat, "t", "agg", 999)
+    assert not sp._already_committed(cat, "t", "agg", 1000)
+    assert len(reads) == 2
 
 
 def test_committed_map_fresh_under_interleaved_queries(tmp_path):
