@@ -26,7 +26,7 @@ hand-merged cross-set table lives in BENCH/DEDUP_SCALE_DOWNSTREAM.md).
 
 Usage: python scripts/dedup_scale_probe.py [--max-mult 40]
            [--ops any comma list of: minhash,simhash,ngram,clusters,
-            passages,bpe,bpetrain,substr,dsir,funnel,gopher]
+            passages,bpe,bpetrain,substr,dsir,lm,funnel,gopher]
 """
 
 from __future__ import annotations
@@ -109,6 +109,10 @@ OPS = {
     "substr": lambda d: T.substring_dedup(d),
     # constant-size target sample (the registered query's shape)
     "dsir": lambda d: T.dsir_scores(d, d.filter("doc_id < 10")),
+    # hashed-bigram LM scoring: train side constant (id < 100 of the
+    # BASE ids exists at every mult), corpus side one scan + broadcast
+    # joins — wall should track corpus size
+    "lm": lambda d: T.lm_perplexity(d, d.filter("doc_id < 100")),
     # the composed 6-stage pipeline (gates relaxed for the synthetic
     # corpus exactly like the registered query)
     "funnel": lambda d: T.curation_funnel(
