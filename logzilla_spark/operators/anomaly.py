@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rate_anomalies", "rate_anomalies_sql"]
+__all__ = [
+    "rate_anomalies",
+    "rate_anomalies_from_counts",
+    "rate_anomalies_sql",
+]
 
 _BUCKETS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
 
@@ -64,13 +68,49 @@ def rate_anomalies(
     """
     if bucket not in _BUCKETS:
         raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
-    step = _BUCKETS[bucket]
     counts = (
         df.groupBy(
             F.col(key_col).alias("key"),
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return rate_anomalies_from_counts(
+        counts, bucket=bucket, trailing=trailing,
+        min_history=min_history, threshold=threshold,
+    )
+
+
+def rate_anomalies_from_counts(
+    counts: DataFrame,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    x_col: str = "x",
+    bucket: str = "hour",
+    trailing: int = 24,
+    min_history: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Score a PRE-AGGREGATED (key, bucket, count) series.
+
+    The production shape at scale: a deployment maintains its bucketed
+    counts continuously (the exactly-once ``stream_agg`` sink, or the
+    rollup cascade), so anomaly scoring should read THAT table —
+    metadata-scale, already partition-pruned — never rescan the raw
+    corpus. :func:`rate_anomalies` is this function composed with the
+    one corpus-touching groupBy; everything here (dense zero-filled
+    grid, trailing window, the fixed IEEE z dag) runs on keys x buckets
+    rows. Missing buckets are treated as silent (x = 0) — the input
+    must carry one row per OBSERVED (key, bucket), which both the
+    bucketing groupBy and the agg sink guarantee.
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
+    step = _BUCKETS[bucket]
+    counts = counts.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(x_col).cast("bigint").alias("x"),
     )
     # global bucket span (1 row) broadcast onto the distinct keys ->
     # dense grid; BroadcastNestedLoopJoin with a 1-row build side, by

@@ -12,6 +12,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from pyspark.sql import functions as F
+
 from logzilla_spark.operators.anomaly import rate_anomalies
 from logzilla_spark.operators.templates import mine_templates, template_delta
 
@@ -175,3 +177,62 @@ class TestRateAnomalies:
         rows += [("quiet", _ts(h)) for h in range(20)]
         out = rate_anomalies(self._events(spark, rows), "event_type")
         assert all(not r["is_anomaly"] for r in out.collect())
+
+
+class TestRateAnomaliesFromCounts:
+    def test_from_counts_equals_raw_scoring(self, spark):
+        # the split must be transparent: pre-aggregated counts through
+        # rate_anomalies_from_counts == raw events through the
+        # one-corpus-scan wrapper.
+        from logzilla_spark.operators.anomaly import rate_anomalies_from_counts
+
+        rows = [
+            ("svc", _ts(h)) for h in range(15) for _ in range(1 + h % 3)
+        ] + [("svc", _ts(15))] * 40 + [("other", _ts(2))]
+        df = spark.createDataFrame(rows, ["event_type", "ts"])
+        raw = sorted(map(tuple, rate_anomalies(df, "event_type").collect()))
+        counts = df.groupBy(
+            df.event_type.alias("key"),
+            F.date_trunc("hour", df.ts).alias("bucket"),
+        ).count().withColumnRenamed("count", "x")
+        pre = sorted(
+            map(tuple, rate_anomalies_from_counts(counts).collect())
+        )
+        assert raw == pre and raw
+
+    def test_scores_the_maintained_agg_table(self, spark, tmp_path):
+        # the 100 TB shape: anomaly scoring reads the exactly-once
+        # stream_agg table (metadata scale), never the raw corpus.
+        from logzilla_spark.operators.anomaly import rate_anomalies_from_counts
+        from logzilla_spark.sources.catalog import LocalCatalog
+        from logzilla_spark.streaming.stream_pipeline import upsert_agg_batch
+
+        cat = LocalCatalog(str(tmp_path / "wh"))
+
+        def batch(day_hours):
+            return spark.createDataFrame(
+                [
+                    (dt.datetime(2024, 1, 1, h), dt.datetime(2024, 1, 1, h + 1),
+                     "json", "ERROR", n)
+                    for h, n in day_hours
+                ],
+                "window_start timestamp, window_end timestamp, "
+                "category string, level string, n bigint",
+            )
+
+        upsert_agg_batch(
+            spark, cat, batch([(h, 1 + h % 2) for h in range(14)]), batch_id=0
+        )
+        upsert_agg_batch(spark, cat, batch([(14, 60)]), batch_id=1)
+
+        agg = cat.read(spark, "stream_agg").select(
+            F.concat_ws("/", "category", "level").alias("key"),
+            F.col("window_start").alias("bucket"),
+            F.col("n").alias("x"),
+        )
+        out = {
+            r["bucket"].hour: r
+            for r in rate_anomalies_from_counts(agg).collect()
+        }
+        assert out[14]["x"] == 60 and out[14]["is_anomaly"] is True
+        assert not any(r["is_anomaly"] for h, r in out.items() if h != 14)
