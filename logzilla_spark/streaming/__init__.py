@@ -1,4 +1,16 @@
+from .alerts import (
+    AlertRule,
+    alert_batch,
+    evaluate_alerts,
+    start_alert_stream,
+    start_logfile_alert_stream,
+)
 from .sketch import read_hll_distinct, start_hll_stream, upsert_hll_batch
+from .templates import (
+    read_templates,
+    start_templates_stream,
+    upsert_templates_batch,
+)
 from .stream_pipeline import (
     route_batch,
     start_agg_stream,
@@ -20,4 +32,12 @@ __all__ = [
     "upsert_agg_batch",
     "upsert_hll_batch",
     "read_hll_distinct",
+    "AlertRule",
+    "evaluate_alerts",
+    "alert_batch",
+    "start_alert_stream",
+    "start_logfile_alert_stream",
+    "read_templates",
+    "start_templates_stream",
+    "upsert_templates_batch",
 ]
