@@ -549,6 +549,36 @@ FROM agg JOIN rules
  AND n >= min_count"""
 
 
+_CONTEXT_ANCHOR = "https://hot0.example/ja/page1104#0002"  # a 5-line page
+
+
+def _q_search_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T52 context view (query.search_context): the anchor record plus
+    its same-document neighbors in line order — one scan, a pushable
+    (url, pos-range) predicate recovered from the id string, no lookup
+    join. Oracle = the same url/pos filter over the records CTE."""
+    from logzilla_spark.operators.query import search_context
+
+    return _flat_records(
+        search_context(_records(spark, sf_dir), _CONTEXT_ANCHOR)
+    ).withColumn(
+        "pos", F.regexp_extract("id", "#([0-9]+)$", 1).try_cast("int")
+    )
+
+
+def _search_context_sql(pages_path: str) -> str:
+    from logzilla_spark.operators.query import parse_record_id
+
+    url, pos = parse_record_id(_CONTEXT_ANCHOR)
+    return f"""
+WITH {oracle.records_cte(pages_path)}
+SELECT *, TRY_CAST(regexp_extract(id, '#([0-9]+)$', 1) AS INT) AS pos
+FROM records
+WHERE url = '{url}'
+  AND TRY_CAST(regexp_extract(id, '#([0-9]+)$', 1) AS INT)
+      BETWEEN {pos - 2} AND {pos + 2}"""
+
+
 _RETENTION_CUTOFF = "2024-01-15"  # events span 2024-01-01..2024-01-30
 
 
@@ -1307,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_log_metrics"] = _q_log_metrics  # T45 log-to-metric extraction
     q["q_catalog_retention"] = _q_catalog_retention  # T46 partition TTL
     q["q_alerts"] = _q_alerts  # T47 alert-rule evaluation
+    q["q_search_context"] = _q_search_context  # T52 context view
     q.update(_dataops_queries())
     return q
 
@@ -1427,5 +1458,6 @@ GROUP BY 1""",
     sql["q_log_metrics"] = _log_metrics_sql(p)
     sql["q_catalog_retention"] = _CATALOG_RETENTION_SQL
     sql["q_alerts"] = _alerts_sql(p)
+    sql["q_search_context"] = _search_context_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql

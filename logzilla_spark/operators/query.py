@@ -510,3 +510,51 @@ def search_oracle_sql(
         + ", ".join(order)
         + f" LIMIT {query.limit}"
     )
+
+
+# --------------------------------------------------------------------------
+# context view — "show the surrounding lines of this hit"
+# --------------------------------------------------------------------------
+
+
+def parse_record_id(anchor_id: str) -> tuple[str, int]:
+    """Split a record id (``url#<zero-padded pos>``, parse.record_id)
+    back into (url, pos). Fails loudly on malformed ids — a context
+    request for a non-record string is a caller bug, not an empty
+    result."""
+    url, sep, pos = anchor_id.rpartition("#")
+    if not sep or not url or not pos.isdigit():
+        raise ValueError(f"not a record id: {anchor_id!r}")
+    return url, int(pos)
+
+
+def search_context(
+    records: DataFrame,
+    anchor_id: str,
+    before: int = 2,
+    after: int = 2,
+) -> DataFrame:
+    """The log-UI "view in context" primitive: the anchor record plus
+    its ``before``/``after`` neighbors FROM THE SAME SOURCE DOCUMENT,
+    in original line order.
+
+    The id encodes (url, pos), so the anchor is parsed driver-side
+    from the string — NO lookup pass, no join, no collect: the whole
+    operator is one scan with a conjunctive pushable predicate
+    (url equality — partition/file-prunable on a url-clustered layout
+    — plus a pos range recovered from the id suffix) and a
+    TakeOrderedAndProject-sized sort on the <= before+after+1 rows
+    that survive. Gaps at document edges simply return fewer rows.
+    """
+    if before < 0 or after < 0:
+        raise ValueError("before/after must be >= 0")
+    url, pos = parse_record_id(anchor_id)
+    rpos = F.regexp_extract("id", "#([0-9]+)$", 1).try_cast("int")
+    return (
+        records.filter(
+            (F.col("url") == url)
+            & rpos.between(pos - before, pos + after)
+        )
+        .withColumn("pos", rpos)
+        .orderBy("pos")
+    )

@@ -167,3 +167,48 @@ def test_cursor_rejects_garbage(df):
               select_columns=["id"])
     with pytest.raises(QueryValidationError):
         search(df, q).collect()
+
+
+class TestSearchContext:
+    def _records(self, spark):
+        rows = []
+        for url, n in (("https://a/x", 5), ("https://b/y", 3)):
+            for p in range(n):
+                rows.append((f"{url}#{p:04d}", url, f"line {p} of {url}"))
+        return spark.createDataFrame(rows, "id string, url string, message string")
+
+    def test_window_and_order(self, spark):
+        from logzilla_spark.operators.query import search_context
+
+        out = search_context(self._records(spark), "https://a/x#0002").collect()
+        assert [r["pos"] for r in out] == [0, 1, 2, 3, 4]
+        assert all(r["url"] == "https://a/x" for r in out)
+
+    def test_document_edges_truncate(self, spark):
+        from logzilla_spark.operators.query import search_context
+
+        out = search_context(
+            self._records(spark), "https://b/y#0000", before=2, after=1
+        ).collect()
+        assert [r["pos"] for r in out] == [0, 1]
+
+    def test_never_crosses_documents(self, spark):
+        from logzilla_spark.operators.query import search_context
+
+        out = search_context(
+            self._records(spark), "https://b/y#0001", before=10, after=10
+        ).collect()
+        assert {r["url"] for r in out} == {"https://b/y"}
+        assert len(out) == 3
+
+    def test_malformed_anchor_and_args_raise(self, spark):
+        import pytest as _pytest
+
+        from logzilla_spark.operators.query import search_context
+
+        rec = self._records(spark)
+        for bad in ("nohash", "https://a/x#", "#0001", "https://a/x#12a"):
+            with _pytest.raises(ValueError, match="not a record id"):
+                search_context(rec, bad)
+        with _pytest.raises(ValueError, match=">= 0"):
+            search_context(rec, "https://a/x#0001", before=-1)
