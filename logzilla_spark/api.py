@@ -336,3 +336,57 @@ def alerts_request(alerts: DataFrame | None, body: str | bytes) -> dict:
         "data": [r.asDict() for r in rows],
         "metadata": {"count": len(rows)},
     }
+
+
+# -- context view --------------------------------------------------------
+
+_CONTEXT_FIELDS = {"id", "before", "after"}
+
+
+def context_request(records: DataFrame, body: str | bytes) -> dict:
+    """``POST /api/logs/context``: the hits page's "view in context"
+    button — anchor record id in, the surrounding same-document lines
+    out (operators/query.search_context), with the search endpoint's
+    strict-body discipline. ``before``/``after`` are capped so one
+    request can never materialize more than 201 rows driver-side."""
+    from .operators.query import search_context
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:  # cap BEFORE parsing (helper.go:22)
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        unknown = set(obj) - _CONTEXT_FIELDS
+        if unknown:
+            raise BadInputError(f"unknown field: {sorted(unknown)[0]!r}")
+        anchor = obj.get("id")
+        if not isinstance(anchor, str) or not anchor:
+            raise BadInputError("id: Field is required.")
+        spans = {}
+        for k in ("before", "after"):
+            v = obj.get(k, 2)
+            if isinstance(v, bool) or not isinstance(v, int) or not (
+                0 <= v <= 100
+            ):
+                raise BadInputError(f"{k}: expected an int in [0, 100]")
+            spans[k] = v
+        try:
+            df = search_context(records, anchor, **spans)
+        except ValueError as e:
+            raise BadInputError(str(e)) from e
+        rows = df.collect()
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict() for r in rows],
+        "metadata": {"count": len(rows), "anchor": anchor},
+    }

@@ -121,6 +121,10 @@ class _Handler(BaseHTTPRequestHandler):
             from logzilla_spark.api import facets_request
 
             handler = facets_request
+        elif self.path == "/api/logs/context":
+            from logzilla_spark.api import context_request
+
+            handler = context_request
         elif self.path == "/api/alerts":
             from logzilla_spark.api import alerts_request
 

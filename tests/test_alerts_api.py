@@ -105,3 +105,41 @@ def test_unconfigured_route_is_client_error(spark, records_sf0001):
         assert "not configured" in json.loads(exc.value.read())["message"]
     finally:
         srv.shutdown()
+
+
+# -- /api/logs/context (rides the same server; tested here to reuse the
+#    live harness) -------------------------------------------------------
+
+
+def _post_ctx(base, payload):
+    req = urllib.request.Request(
+        f"{base}/api/logs/context",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_context_route_end_to_end(alert_server, spark, records_sf0001):
+    anchor = records_sf0001.orderBy("id").limit(3).collect()[2]["id"]
+    status, resp = _post_ctx(alert_server, {"id": anchor, "before": 2, "after": 2})
+    assert status == 200 and resp["success"]
+    assert resp["metadata"]["anchor"] == anchor
+    assert 1 <= resp["metadata"]["count"] <= 5
+    assert any(r["id"] == anchor for r in resp["data"])
+    url = anchor.rsplit("#", 1)[0]
+    assert all(r["id"].rsplit("#", 1)[0] == url for r in resp["data"])
+
+
+def test_context_route_validation(alert_server):
+    for payload in (
+        {},                                  # id missing
+        {"id": "not-a-record-id"},           # malformed anchor
+        {"id": "https://a/x#0001", "before": 101},  # span cap
+        {"id": "https://a/x#0001", "nope": 1},      # unknown field
+    ):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_ctx(alert_server, payload)
+        assert exc.value.code == 400
