@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["extract_metrics", "extract_metrics_sql", "DEFAULT_QUANTILES"]
+__all__ = [
+    "extract_metrics",
+    "metrics_from_histogram",
+    "extract_metrics_sql",
+    "DEFAULT_QUANTILES",
+]
 
 # name -> (num, den): quantile q = num/den, exact rational
 DEFAULT_QUANTILES: dict[str, tuple[int, int]] = {
@@ -73,6 +78,23 @@ def extract_metrics(
     hist = base.groupBy("key", "bucket", "v").agg(
         F.count(F.lit(1)).alias("c")
     )
+    return metrics_from_histogram(hist, quantiles)
+
+
+def metrics_from_histogram(
+    hist: DataFrame,
+    quantiles: dict[str, tuple[int, int]] = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """The series/quantile core over a pre-built value HISTOGRAM
+    (``key, bucket, v, c`` — the MERGEABLE artifact: histograms union
+    by summing counts per cell, which is what lets a streaming sink
+    maintain one committed histogram table and serve exact quantiles
+    from it). :func:`extract_metrics` is the one corpus-touching
+    groupBy composed with this; everything here runs at histogram
+    scale (distinct values per bucket), never corpus scale."""
+    for name, (num, den) in quantiles.items():
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {name}: need 0 < num <= den, got {num}/{den}")
     w = Window.partitionBy("key", "bucket").orderBy("v")
     ranked = hist.select(
         "key",
