@@ -5,6 +5,11 @@ from .alerts import (
     start_alert_stream,
     start_logfile_alert_stream,
 )
+from .metrics import (
+    read_metric_series,
+    start_metrics_stream,
+    upsert_metrics_batch,
+)
 from .sketch import read_hll_distinct, start_hll_stream, upsert_hll_batch
 from .templates import (
     read_templates,
@@ -40,4 +45,7 @@ __all__ = [
     "read_templates",
     "start_templates_stream",
     "upsert_templates_batch",
+    "read_metric_series",
+    "start_metrics_stream",
+    "upsert_metrics_batch",
 ]
