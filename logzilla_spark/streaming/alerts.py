@@ -46,7 +46,10 @@ __all__ = [
     "alert_batch",
     "start_alert_stream",
     "start_logfile_alert_stream",
+    "anomaly_alert_batch",
+    "start_anomaly_alert_stream",
     "ALERT_KEYS",
+    "ANOMALY_ALERT_KEYS",
 ]
 
 # alert identity: one firing per rule per window per key
@@ -216,6 +219,131 @@ def start_logfile_alert_stream(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         alert_batch(cat, batch, batch_id, rules)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------------------------------
+# anomaly-based alerting — z-score firings from the maintained agg table
+# --------------------------------------------------------------------------
+
+ANOMALY_ALERT_KEYS = ["rule_name", "window_start", "window_end", "category", "level"]
+_KEY_SEP = "\x1f"  # unit separator: cannot occur in category/level values
+
+
+def anomaly_alert_batch(
+    cat: LocalCatalog,
+    batch: DataFrame,
+    batch_id: int,
+    rule_name: str = "rate_anomaly",
+    z_threshold: float = 3.0,
+    min_history: int = 12,
+    query_id: str = "anomaly_alerts",
+    table: str = "stream_anomaly_alerts",
+    agg_table: str = "stream_agg",
+) -> bool:
+    """The modern alerting mode: fire when a key's windowed volume
+    spikes against ITS OWN trailing baseline (anomaly.rate_anomalies'
+    z-score), instead of a hand-tuned static threshold.
+
+    Runs AFTER the agg sink merged the epoch (compose both in one
+    foreachBatch): evaluation reads the MAINTAINED agg table — already
+    metadata-scale — restricted to the keys this epoch actually
+    changed (a broadcast semi-join of the epoch's tiny distinct key
+    set), zero-fills and scores their full series, and appends
+    newly-flagged (rule, window, key) identities to a dedicated
+    anomaly ledger. A window's z can flip as late data revises it or
+    its baseline; standard alert semantics apply — the FIRST flagged
+    epoch fires, later unflagging never retracts, and the ledger
+    anti-join keeps firing at-most-once. Exactly-once via the shared
+    committed map (a replayed epoch re-reads the agg HEAD, which
+    already contains it — evaluation converges; the map guard keeps
+    the ledger append from duplicating)."""
+    from ..operators.anomaly import rate_anomalies_from_counts
+    from .stream_pipeline import _committed_map, _summary_at_publish, _upsert_lock
+
+    spark = batch.sparkSession
+    with _upsert_lock(cat, table):
+        committed = _committed_map(cat, table)
+        if committed.get(query_id, -1) >= batch_id:
+            return False
+        changed = batch.select("category", "level").distinct()
+        series = (
+            cat.read(spark, agg_table)
+            .join(F.broadcast(changed), ["category", "level"], "left_semi")
+            .select(
+                F.concat_ws(_KEY_SEP, "category", "level").alias("key"),
+                F.col("window_start").alias("bucket"),
+                F.col("n").alias("x"),
+            )
+        )
+        scored = rate_anomalies_from_counts(
+            series, threshold=z_threshold, min_history=min_history
+        )
+        fired = scored.filter(F.col("is_anomaly")).select(
+            F.lit(rule_name).alias("rule_name"),
+            F.col("bucket").alias("window_start"),
+            (F.col("bucket") + F.expr("interval 1 hour")).alias("window_end"),
+            F.split_part(F.col("key"), F.lit(_KEY_SEP), F.lit(1)).alias("category"),
+            F.split_part(F.col("key"), F.lit(_KEY_SEP), F.lit(2)).alias("level"),
+            "x",
+            "z",
+        )
+        if cat.exists(table) and cat.last_snapshot_id(table) is not None:
+            ledger = cat.read(spark, table).select(*ANOMALY_ALERT_KEYS)
+            fired = fired.join(ledger, ANOMALY_ALERT_KEYS, "left_anti")
+        cat.append(
+            fired,
+            table,
+            summary=_summary_at_publish(cat, table, query_id, batch_id),
+        )
+        return True
+
+
+def start_anomaly_alert_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    z_threshold: float = 3.0,
+    min_history: int = 12,
+    watermark: str = "10 minutes",
+    parse_impl: str = "arrow",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """pages stream -> windowed counts -> agg sink + anomaly alerts,
+    composed in ONE foreachBatch: the epoch merges into ``stream_agg``
+    first (its own exactly-once guard), then the anomaly pass scores
+    the refreshed table. A crash between the two is safe: on replay
+    the agg sink skips (already committed) and the anomaly pass
+    evaluates against the head — same result."""
+    from ..operators.parse import parse_records
+    from .stream_pipeline import (
+        stream_pages,
+        streaming_windowed_counts,
+        upsert_agg_batch,
+    )
+
+    cat = LocalCatalog(warehouse)
+    records = parse_records(
+        stream_pages(spark, pages_dir, max_files_per_trigger), impl=parse_impl
+    )
+    agg = streaming_windowed_counts(records, watermark=watermark)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        upsert_agg_batch(batch.sparkSession, cat, batch, batch_id)
+        anomaly_alert_batch(
+            cat, batch, batch_id,
+            z_threshold=z_threshold, min_history=min_history,
+        )
 
     writer = (
         agg.writeStream.outputMode("update")

@@ -152,3 +152,92 @@ class TestAlertStreamDifferential:
         assert got == expect and got
         # each identity fired exactly once
         assert cat.read(spark, "stream_alerts").count() == len(got)
+
+
+class TestAnomalyAlerts:
+    def _agg_batch(self, spark, rows):
+        # rows: (hour, category, level, n)
+        return _agg(spark, rows)
+
+    def test_spike_fires_once_quiet_keys_never(self, spark, tmp_path):
+        from logzilla_spark.sources.catalog import LocalCatalog
+        from logzilla_spark.streaming.alerts import anomaly_alert_batch
+        from logzilla_spark.streaming.stream_pipeline import upsert_agg_batch
+
+        cat = LocalCatalog(str(tmp_path / "wh"))
+        # epoch 0: 14h wobbly baseline for (json, ERROR); flat noise key
+        base = [(h, "json", "ERROR", 1 + h % 2) for h in range(14)]
+        base += [(h, "access", "INFO", 3) for h in range(14)]
+        b0 = self._agg_batch(spark, base)
+        upsert_agg_batch(spark, cat, b0, batch_id=0)
+        assert anomaly_alert_batch(cat, b0, 0)
+        assert cat.read(spark, "stream_anomaly_alerts").count() == 0
+
+        # epoch 1: hour 14 spikes for the ERROR key only
+        b1 = self._agg_batch(spark, [(14, "json", "ERROR", 60),
+                                     (14, "access", "INFO", 3)])
+        upsert_agg_batch(spark, cat, b1, batch_id=1)
+        assert anomaly_alert_batch(cat, b1, 1)
+        rows = cat.read(spark, "stream_anomaly_alerts").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["category"], r["level"], r["x"]) == ("json", "ERROR", 60)
+        assert r["z"] > 3.0 and r["window_start"].hour == 14
+
+        # epoch 2: the SAME window revised upward — no second firing;
+        # replayed epoch — skipped whole
+        b2 = self._agg_batch(spark, [(14, "json", "ERROR", 90)])
+        upsert_agg_batch(spark, cat, b2, batch_id=2)
+        assert anomaly_alert_batch(cat, b2, 2)
+        assert anomaly_alert_batch(cat, b2, 2) is False
+        assert cat.read(spark, "stream_anomaly_alerts").count() == 1
+
+    def test_evaluation_restricted_to_changed_keys(self, spark, tmp_path):
+        # an epoch touching only key B must not fire key A's windows
+        # (even if A's history would flag) — A wasn't revised.
+        from logzilla_spark.sources.catalog import LocalCatalog
+        from logzilla_spark.streaming.alerts import anomaly_alert_batch
+        from logzilla_spark.streaming.stream_pipeline import upsert_agg_batch
+
+        cat = LocalCatalog(str(tmp_path / "wh"))
+        a_hist = [(h, "json", "ERROR", 1 + h % 2) for h in range(14)]
+        a_hist += [(14, "json", "ERROR", 60)]  # A spikes
+        b_hist = [(h, "access", "INFO", 2 + h % 2) for h in range(15)]
+        b0 = self._agg_batch(spark, a_hist + b_hist)
+        upsert_agg_batch(spark, cat, b0, batch_id=0)
+        # epoch 0's anomaly pass is SKIPPED (simulating a deployment
+        # that enabled alerting later); epoch 1 touches only B
+        b1 = self._agg_batch(spark, [(15, "access", "INFO", 2)])
+        upsert_agg_batch(spark, cat, b1, batch_id=1)
+        assert anomaly_alert_batch(cat, b1, 1, query_id="anomaly_alerts")
+        cats = {
+            r["category"]
+            for r in cat.read(spark, "stream_anomaly_alerts").collect()
+        }
+        assert "json" not in cats
+
+    def test_stream_composition_end_to_end(self, spark, staged_pages):  # noqa: F811
+        from logzilla_spark.sources.catalog import LocalCatalog
+        from logzilla_spark.streaming.alerts import start_anomaly_alert_stream
+
+        base, in_dir = staged_pages
+        wh = os.path.join(base, "wh_anom")
+        q = start_anomaly_alert_stream(
+            spark, in_dir, wh, os.path.join(base, "ckpt_anom"),
+            z_threshold=2.0, min_history=6, watermark="9 days",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(timeout=300)
+        cat = LocalCatalog(wh)
+        # both tables exist and the ledger is consistent: every firing's
+        # identity is unique and refers to a window in the agg table
+        ledger = cat.read(spark, "stream_anomaly_alerts")
+        n = ledger.count()
+        assert ledger.select("rule_name", "window_start", "category", "level").distinct().count() == n
+        agg = cat.read(spark, "stream_agg").select(
+            "window_start", "category", "level"
+        )
+        joined = ledger.join(
+            agg, ["window_start", "category", "level"], "left_semi"
+        )
+        assert joined.count() == n
