@@ -36,6 +36,7 @@ from logzilla_spark.operators.lua import lua_parser
 from logzilla_spark.operators.parse import explode_lines, parse_records, text_from_html
 from logzilla_spark.operators.asof import asof_join
 from logzilla_spark.operators.sessionize import sessionize, sessionize_sql
+from logzilla_spark.operators.dsl import parse_dsl_query
 from logzilla_spark.operators.query import (
     AndNode,
     ComparisonNode,
@@ -230,6 +231,26 @@ def _search_queries() -> dict[str, Query]:
             node=ComparisonNode("level", "FATAL", "eq"),
         ),
     }
+
+
+# T55 query-string DSL: the text form of the search surface (what a
+# Loki/ES user types instead of the JSON node tree). The string
+# exercises precedence (explicit OR inside implicit AND), wildcard →
+# ILIKE translation, an IN list, a metadata path, NOT, and all four
+# directives. It parses to the SAME sealed node tree the JSON API
+# builds, so the oracle twin is the standard search twin over the
+# parsed Query — the parser itself is what's under test.
+_DSL_TEXT = (
+    "(level:FATAL OR level:ERROR) NOT message:disk* "
+    "metadata.service in (svc1, svc3) "
+    "since:2024-01-01 until:2024-01-08 limit:1000 sort:source,-level"
+)
+
+
+def _q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _records(spark, sf_dir)
+    q = parse_dsl_query(_DSL_TEXT, select_columns=list(_SEARCH_COLS))
+    return search(rec, q)
 
 
 def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
@@ -1338,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_catalog_retention"] = _q_catalog_retention  # T46 partition TTL
     q["q_alerts"] = _q_alerts  # T47 alert-rule evaluation
     q["q_search_context"] = _q_search_context  # T52 context view
+    q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
     q.update(_dataops_queries())
     return q
 
@@ -1459,5 +1481,6 @@ GROUP BY 1""",
     sql["q_catalog_retention"] = _CATALOG_RETENTION_SQL
     sql["q_alerts"] = _alerts_sql(p)
     sql["q_search_context"] = _search_context_sql(p)
+    sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
     sql.update(_dataops_oracle_sql(media))
     return sql

@@ -38,6 +38,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+from .operators.dsl import parse_dsl_query
 from .operators.query import (
     DEFAULT_SELECT_COLUMNS,
     OPS,
@@ -56,7 +57,7 @@ from .operators.query import (
 MAX_BODY_BYTES = 1_048_576  # reference: api/helper.go:22
 
 _QUERY_FIELDS = {"start", "end", "limit", "sort_fields", "cursor", "node",
-                 "select_columns"}
+                 "select_columns", "q"}
 _SORT_FIELDS = {"name", "is_descending"}
 _COMPARISON_FIELDS = {"field", "op", "value"}
 
@@ -132,7 +133,14 @@ def decode_query(body: str | bytes) -> Query:
     unknown = set(obj) - _QUERY_FIELDS
     if unknown:
         raise BadInputError(f"unknown field: {sorted(unknown)[0]!r}")
-    if "start" not in obj:
+    has_dsl = obj.get("q") is not None
+    if has_dsl and not isinstance(obj["q"], str):
+        raise BadInputError("q: expected string")
+    if has_dsl and obj.get("node") is not None:
+        raise BadInputError("'q' and 'node' are mutually exclusive")
+    # with a DSL string the mandatory start may come from its 'since:'
+    # directive; parse_dsl_query enforces the requirement either way
+    if "start" not in obj and not has_dsl:
         raise BadInputError("start: Field is required.")  # querier.go:89-91
 
     sort = []
@@ -160,6 +168,22 @@ def decode_query(body: str | bytes) -> Query:
         not isinstance(sel, list) or not all(isinstance(c, str) for c in sel)
     ):
         raise BadInputError("select_columns: expected list of strings")
+
+    if has_dsl:
+        # T55 query-string DSL body: {"q": "level:ERROR since:..."}.
+        # Directives inside the string win over the JSON keywords; the
+        # JSON sort_fields apply only when no sort: directive is given.
+        q = parse_dsl_query(
+            obj["q"],
+            start=_parse_ts(obj["start"], "start") if "start" in obj else None,
+            end=_parse_ts(obj["end"], "end") if obj.get("end") is not None else None,
+            limit=limit,
+            select_columns=sel,
+        )
+        if sort and not q.sort:
+            q.sort = sort
+        q.cursor = cursor
+        return q
 
     return Query(
         start=_parse_ts(obj["start"], "start"),
