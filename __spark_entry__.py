@@ -253,6 +253,55 @@ def _q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q)
 
 
+# T56 metric range queries: the dashboard surface (Loki query_range).
+# q_range_rate exercises the DSL front-end, per-label zero-filled grid
+# and the count/step IEEE division; q_range_unwrap_avg exercises the
+# unwrap path (numeric metadata field, NULL exclusion, exact BIGINT
+# sums, one division). Both share the hits page's assembled predicate.
+_RANGE_DSL = "level in (ERROR, FATAL) since:2024-01-01 until:2024-01-08"
+_RANGE_RATE_KW = dict(agg="rate", step=21600, by=["level"], fill=True)
+_RANGE_UNWRAP_KW = dict(
+    agg="avg_over_time", step=86400, by=["source"], unwrap="metadata.size"
+)
+
+
+def _q_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query
+
+    return range_query(
+        _records(spark, sf_dir), parse_dsl_query(_RANGE_DSL), **_RANGE_RATE_KW
+    )
+
+
+def _q_range_unwrap_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return range_query(_records(spark, sf_dir), q, **_RANGE_UNWRAP_KW)
+
+
+def _range_rate_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import range_query_sql
+
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sql("records", parse_dsl_query(_RANGE_DSL),
+                          **_RANGE_RATE_KW)
+        + "\n) SELECT * FROM q"
+    )
+
+
+def _range_unwrap_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import range_query_sql
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sql("records", q, **_RANGE_UNWRAP_KW)
+        + "\n) SELECT * FROM q"
+    )
+
+
 def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = _records(spark, sf_dir)
@@ -1360,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_alerts"] = _q_alerts  # T47 alert-rule evaluation
     q["q_search_context"] = _q_search_context  # T52 context view
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
+    q["q_range_rate"] = _q_range_rate  # T56 metric range query (rate)
+    q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
     q.update(_dataops_queries())
     return q
 
@@ -1482,5 +1533,7 @@ GROUP BY 1""",
     sql["q_alerts"] = _alerts_sql(p)
     sql["q_search_context"] = _search_context_sql(p)
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
+    sql["q_range_rate"] = _range_rate_sql(p)
+    sql["q_range_unwrap_avg"] = _range_unwrap_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql

@@ -288,6 +288,100 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
     }
 
 
+# -- metric range queries -------------------------------------------------
+
+# driver-side collect cap for a matrix response: the grid is already
+# bounded at MAX_BUCKETS points per series; this bounds series count x
+# grid without knowing the label cardinality up front (CollectLimit in
+# the plan — the executors never ship more than this many cells).
+MAX_MATRIX_POINTS = 110_000
+
+
+def range_request(records: DataFrame, body: str | bytes) -> dict:
+    """``POST /api/logs/query_range``: the dashboard sibling of
+    search_request (Loki's query_range) — same query body (q/node,
+    start/end; sort, limit and cursor are hits-page parameters and
+    rejected/ignored per operators/range_query.py), plus ``step``
+    (seconds or ``30s``/``5m``/``1h``/``1d``), ``agg``, ``by`` (label
+    fields, comparison-node whitelist), ``unwrap`` (numeric field for
+    the *_over_time value aggs) and ``fill`` (zero-fill the grid).
+
+    Response data is the Loki matrix shape: one entry per label set,
+    ``{"labels": {...}, "values": [[bucket_epoch_s, v], ...]}`` with
+    values bucket-ascending."""
+    from .operators.range_query import (
+        AGGS,
+        MAX_BUCKETS,
+        range_query,
+    )
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:  # cap BEFORE parsing (helper.go:22)
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        if "step" not in obj:
+            raise BadInputError("step: Field is required.")
+        step = obj.pop("step")
+        agg = obj.pop("agg", "count_over_time")
+        by = obj.pop("by", [])
+        unwrap = obj.pop("unwrap", None)
+        fill = obj.pop("fill", False)
+        if not isinstance(agg, str) or agg not in AGGS:
+            raise BadInputError(f"agg: expected one of {sorted(AGGS)}")
+        if not isinstance(by, list) or not all(isinstance(f, str) for f in by):
+            raise BadInputError("by: expected a list of field names")
+        if unwrap is not None and not isinstance(unwrap, str):
+            raise BadInputError("unwrap: expected a field name")
+        if not isinstance(fill, bool):
+            raise BadInputError("fill: expected a boolean")
+        # the remainder is a plain search body (strict decode_query
+        # rejects unknown keys); range_query itself rejects cursors
+        # and requires end
+        q = decode_query(json.dumps(obj))
+        df = range_query(
+            records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill
+        )
+        rows = df.limit(MAX_MATRIX_POINTS + 1).collect()
+        if len(rows) > MAX_MATRIX_POINTS:
+            raise BadInputError(
+                f"result exceeds {MAX_MATRIX_POINTS} points"
+                f" ({MAX_BUCKETS} buckets/series); raise step or narrow by"
+            )
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    label_cols = [c for c in df.columns if c not in ("bucket", "v")]
+    series: dict[tuple, list] = {}
+    for r in rows:
+        series.setdefault(tuple(r[c] for c in label_cols), []).append(
+            (r["bucket"], r["v"])
+        )
+    data = [
+        {
+            "labels": dict(zip(label_cols, key)),
+            "values": sorted(vals),
+        }
+        # NULL labels sort first (None is not orderable against str)
+        for key, vals in sorted(
+            series.items(),
+            key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
+        )
+    ]
+    return {
+        "success": True,
+        "message": "",
+        "data": data,
+        "metadata": {"series": len(data), "points": len(rows)},
+    }
+
+
 # -- alerts ------------------------------------------------------------
 
 _ALERT_FIELDS = {"rule", "since", "until", "limit"}

@@ -1,0 +1,339 @@
+"""Metric range queries: LogQL/PromQL-style series over the search filter.
+
+The other half of every modern log engine's query surface (Loki's
+``query_range`` with ``count_over_time`` / ``rate`` / ``unwrap``
+aggregations, Elasticsearch's date-histogram aggs, Splunk timechart):
+the reference only ships the hits page (querier/querier.go), but a
+dashboard asks "how MANY per step, per label" — a matrix of
+(labels, time-step, value) — not for the rows themselves.
+
+Built as a pure composition over the audited search layer: the filter
+is the SAME assembled predicate as the hits page and the facets page
+(``query._assemble_predicate`` — mandatory time range with auto-swap
+AND the user's sealed node tree), so a number on a dashboard panel and
+the rows behind it can never drift.  A DSL string (T55) parses to the
+same ``Query``, giving ``rate({level:ERROR} ...)``-class text queries
+for free.
+
+100 TB shape: ONE scan with the pushed time+node predicate, ONE
+groupBy on (labels, bucket) with map-side partial aggregation — the
+shuffle carries label x bucket cells (dashboard scale), never rows.
+The optional zero-fill grid is driver-computed bounds (the REQUESTED
+range, known before any job) exploded onto the distinct observed label
+sets — post-aggregation scale, broadcast-joined.  A hot label is
+spread across its buckets, so the classic hot-key skew lands on many
+reducer keys (same argument as operators/anomaly.py).
+
+Cross-engine exactness: buckets are exact BIGINT epoch-second floors
+computed in integer arithmetic on both engines
+(``unix_micros(ts) div step_us`` / DuckDB ``epoch_us(ts) // step_us``
+— epoch() itself is DOUBLE in DuckDB, so micros are the shared exact
+currency); counts/sums/mins/maxes are BIGINT; ``rate`` and
+``avg_over_time`` are ONE IEEE division of exact integers, so doubles
+hash bit-identical.  Non-negative epochs assumed (pre-1970 buckets
+would need floor-division semantics; ``div`` and ``//`` both truncate
+toward zero — same on both engines, but not a floor).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .query import (
+    FIELD_PATTERN,
+    Query,
+    QueryValidationError,
+    _assemble_predicate,
+    _sql_lit,
+    default_field_resolver,
+    default_field_sql,
+)
+
+__all__ = [
+    "AGGS",
+    "MAX_BUCKETS",
+    "range_query",
+    "range_query_sql",
+    "parse_step",
+]
+
+# agg -> (needs_unwrap, rate_like). rate_like divides the BIGINT base
+# value by the step length (the only float in those outputs).
+AGGS: dict[str, tuple[bool, bool]] = {
+    "count_over_time": (False, False),
+    "rate": (False, True),
+    "bytes_over_time": (False, False),
+    "bytes_rate": (False, True),
+    "sum_over_time": (True, False),
+    "min_over_time": (True, False),
+    "max_over_time": (True, False),
+    "avg_over_time": (True, False),
+}
+
+# Loki's max resolution per query (11000 points); the grid is
+# driver-validated against it before any job starts.
+MAX_BUCKETS = 11_000
+
+_EPOCH = datetime(1970, 1, 1)
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def parse_step(step) -> int:
+    """``step`` as an int (seconds) or a duration string ``30s`` /
+    ``5m`` / ``1h`` / ``1d``."""
+    if isinstance(step, bool):
+        raise QueryValidationError("step: expected seconds or a duration string")
+    if isinstance(step, int):
+        n = step
+    elif isinstance(step, str) and len(step) >= 2 and step[:-1].isdigit() \
+            and step[-1] in _UNIT_SECONDS:
+        n = int(step[:-1]) * _UNIT_SECONDS[step[-1]]
+    else:
+        raise QueryValidationError(f"step: bad duration {step!r}")
+    if n < 1:
+        raise QueryValidationError("step: must be >= 1 second")
+    return n
+
+
+def _epoch_seconds(dt: datetime) -> int:
+    # exact integer micros (timedelta // timedelta is exact), then
+    # truncate to seconds — same truncation as unix_micros div 1e6
+    us = (dt - _EPOCH) // timedelta(microseconds=1)
+    return us // 1_000_000
+
+
+def _validate(
+    query: Query, agg: str, step: int, by: Sequence[str], unwrap: str | None,
+    fill: bool,
+) -> tuple[datetime, datetime, int, int]:
+    """Shared driver-side validation; returns (start, end, lo, hi)
+    with the auto-swap applied and the grid bounds as bucket seconds."""
+    query.validate()
+    if agg not in AGGS:
+        raise QueryValidationError(
+            f"unknown range aggregation {agg!r}; one of {sorted(AGGS)}"
+        )
+    needs_unwrap, _ = AGGS[agg]
+    if needs_unwrap and unwrap is None:
+        raise QueryValidationError(f"{agg} requires an unwrap field")
+    if not needs_unwrap and unwrap is not None:
+        raise QueryValidationError(f"{agg} does not take an unwrap field")
+    if unwrap is not None and not FIELD_PATTERN.match(unwrap):
+        raise QueryValidationError(f"unwrap field not allowed: {unwrap!r}")
+    for f in by:
+        if not FIELD_PATTERN.match(f):
+            raise QueryValidationError(f"by field not allowed: {f!r}")
+    if len(set(by)) != len(list(by)):
+        raise QueryValidationError("duplicate by field")
+    if query.cursor is not None:
+        raise QueryValidationError("range queries do not paginate (no cursor)")
+    if query.end is None:
+        # an open range has no grid and no honest rate denominator
+        raise QueryValidationError("range queries require end (or until:)")
+    if fill and needs_unwrap:
+        # zero is a real sample value for an unwrapped metric; a filled
+        # 0 would be indistinguishable from data (Loki omits too)
+        raise QueryValidationError(f"fill is not defined for {agg}")
+    start, end = query.start, query.end
+    if end < start:
+        start, end = end, start  # same auto-swap as the hits page
+    lo = (_epoch_seconds(start) // step) * step
+    hi = (_epoch_seconds(end) // step) * step
+    n = (hi - lo) // step + 1
+    if n > MAX_BUCKETS:
+        raise QueryValidationError(
+            f"range of {n} buckets exceeds {MAX_BUCKETS}; raise step"
+        )
+    return start, end, lo, hi
+
+
+def _label_name(field: str) -> str:
+    """Output column for a by/label field — the oracle's flattened
+    naming (``metadata.service`` -> ``m_service``) so the Spark frame
+    and the DuckDB twin agree column-for-column."""
+    return default_field_sql(field)
+
+
+def range_query(
+    df: DataFrame,
+    query: Query,
+    *,
+    agg: str = "count_over_time",
+    step: int = 3600,
+    by: Sequence[str] = (),
+    unwrap: str | None = None,
+    fill: bool = False,
+    time_column: str = "timestamp",
+    field_resolver=default_field_resolver,
+) -> DataFrame:
+    """Evaluate a metric range query; returns the long-form matrix
+    ``<label columns...>, bucket (BIGINT epoch seconds), v``.
+
+    ``v`` is BIGINT for count/bytes/sum/min/max, DOUBLE (one IEEE
+    division of exact BIGINTs) for rate/bytes_rate/avg.  ``fill=True``
+    (count/bytes/rate aggs only) densifies every observed label set
+    over the REQUESTED [start, end] grid with zeros — a dashboard
+    series with holes reads as "no data", not "zero events".  Rows
+    whose unwrapped value is NULL/unparseable are excluded (a row
+    lacking the field is not a zero-valued sample — the
+    operators/metrics.py convention).
+
+    ``query.sort``/``limit`` are hits-page parameters; they are
+    ignored here (the matrix is a pure function of filter + grid).
+    """
+    step = parse_step(step)
+    _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill)
+    pred, _backward, _tc = _assemble_predicate(query, time_column, field_resolver)
+    needs_unwrap, rate_like = AGGS[agg]
+
+    labels = [
+        field_resolver(f).cast("string").alias(_label_name(f)) for f in by
+    ]
+    label_names = [_label_name(f) for f in by]
+    bucket = F.expr(
+        f"(unix_micros(`{time_column}`) div {step * 1_000_000}) * {step}"
+    ).alias("bucket")
+
+    extra: list[Column] = []
+    if needs_unwrap:
+        extra = [field_resolver(unwrap).try_cast("bigint").alias("uv")]
+    elif agg in ("bytes_over_time", "bytes_rate"):
+        # message byte length (UTF-8): octet_length here, strlen in the twin
+        extra = [F.octet_length("message").alias("bv")]
+    base = df.filter(pred).select(*labels, bucket, *extra)
+    if needs_unwrap:
+        base = base.where(F.col("uv").isNotNull())
+
+    if agg in ("count_over_time", "rate"):
+        val: Column = F.count(F.lit(1))
+    elif agg in ("bytes_over_time", "bytes_rate"):
+        val = F.sum("bv")
+    elif agg == "sum_over_time":
+        val = F.sum("uv")
+    elif agg == "min_over_time":
+        val = F.min("uv")
+    elif agg == "max_over_time":
+        val = F.max("uv")
+    else:  # avg_over_time: exact BIGINT sums, one IEEE division
+        val = F.sum("uv").cast("double") / F.count("uv").cast("double")
+    cells = base.groupBy(*label_names, "bucket").agg(
+        val.cast("double" if agg == "avg_over_time" else "bigint").alias("n")
+    )
+
+    if fill:
+        # observed label sets x the requested grid: post-aggregation
+        # scale; 1-row-per-bucket build side broadcast onto the labels
+        grid_col = F.explode(
+            F.sequence(F.lit(lo), F.lit(hi), F.lit(step))
+        ).alias("bucket")
+        if label_names:
+            grid = cells.select(*label_names).distinct().select(
+                *label_names, grid_col
+            )
+            cells = grid.join(cells, [*label_names, "bucket"], "left")
+        else:
+            grid = cells.sparkSession.range(1).select(grid_col)
+            cells = grid.join(cells, ["bucket"], "left")
+        cells = cells.select(
+            *label_names, "bucket",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+
+    if rate_like:
+        v = (F.col("n").cast("double") / F.lit(float(step))).alias("v")
+    else:
+        v = F.col("n").alias("v")
+    return cells.select(*label_names, "bucket", v)
+
+
+def range_query_sql(
+    relation: str,
+    query: Query,
+    *,
+    agg: str = "count_over_time",
+    step: int = 3600,
+    by: Sequence[str] = (),
+    unwrap: str | None = None,
+    fill: bool = False,
+    time_column: str = '"timestamp"',
+    field_sql=default_field_sql,
+) -> str:
+    """DuckDB twin of :func:`range_query` — identical bucket integer
+    arithmetic, identical aggregation, identical division dag."""
+    step = parse_step(step)
+    _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill)
+    needs_unwrap, rate_like = AGGS[agg]
+
+    # same WHERE assembly as query.search_oracle_sql (auto-swap + node)
+    start, end = query.start, query.end
+    if end is not None and end < start:
+        start, end = end, start
+    where = [f"{time_column} >= {_sql_lit(start)}"]
+    if end is not None:
+        where.append(f"{time_column} <= {_sql_lit(end)}")
+    if query.node is not None:
+        s = query.node.to_sql(field_sql)
+        if s is not None:
+            where.append(s)
+    if needs_unwrap:
+        where.append(f"TRY_CAST({field_sql(unwrap)} AS BIGINT) IS NOT NULL")
+
+    label_sel = [f"CAST({field_sql(f)} AS VARCHAR) AS {_label_name(f)}" for f in by]
+    label_names = [_label_name(f) for f in by]
+    bucket_sql = f"(epoch_us({time_column}) // {step * 1_000_000}) * {step}"
+
+    if agg in ("count_over_time", "rate"):
+        val = "CAST(count(*) AS BIGINT)"
+    elif agg in ("bytes_over_time", "bytes_rate"):
+        val = "CAST(sum(strlen(message)) AS BIGINT)"
+    elif agg == "avg_over_time":
+        val = (
+            "CAST(sum(TRY_CAST({u} AS BIGINT)) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)"
+        ).format(u=field_sql(unwrap))
+    else:
+        fn = {"sum_over_time": "sum", "min_over_time": "min",
+              "max_over_time": "max"}[agg]
+        val = f"CAST({fn}(TRY_CAST({field_sql(unwrap)} AS BIGINT)) AS BIGINT)"
+
+    cols = ", ".join([*label_sel, f"{bucket_sql} AS bucket"])
+    group = ", ".join(str(i + 1) for i in range(len(by) + 1))
+    cells = (
+        f"SELECT {cols}, {val} AS n FROM {relation}\n"
+        f"  WHERE {' AND '.join(where)}\n  GROUP BY {group}"
+    )
+
+    vexpr = (
+        f"CAST(n AS DOUBLE) / {float(step)!r}" if rate_like else "n"
+    )
+    if not fill:
+        sel = ", ".join([*label_names, "bucket", f"{vexpr} AS v"])
+        return f"WITH cells AS (\n{cells}\n)\nSELECT {sel} FROM cells"
+    on = " AND ".join(
+        [f"g.{c} = c.{c}" for c in label_names] + ["g.bucket = c.bucket"]
+    )
+    gsel = ", ".join([f"g.{c}" for c in label_names] + ["g.bucket"])
+    if label_names:
+        lbls = ", ".join(label_names)
+        grid = (
+            f"SELECT {lbls}, unnest(generate_series({lo}, {hi}, {step}))"
+            f" AS bucket FROM (SELECT DISTINCT {lbls} FROM cells)"
+        )
+    else:
+        grid = f"SELECT unnest(generate_series({lo}, {hi}, {step})) AS bucket"
+    return f"""WITH cells AS (
+{cells}
+),
+grid AS (
+  {grid}
+),
+filled AS (
+  SELECT {gsel}, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN cells c ON {on}
+)
+SELECT {', '.join([*label_names, 'bucket'])}, {vexpr} AS v FROM filled"""

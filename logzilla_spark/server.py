@@ -125,6 +125,10 @@ class _Handler(BaseHTTPRequestHandler):
             from logzilla_spark.api import context_request
 
             handler = context_request
+        elif self.path == "/api/logs/query_range":
+            from logzilla_spark.api import range_request
+
+            handler = range_request
         elif self.path == "/api/alerts":
             from logzilla_spark.api import alerts_request
 
