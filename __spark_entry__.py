@@ -263,6 +263,10 @@ _RANGE_RATE_KW = dict(agg="rate", step=21600, by=["level"], fill=True)
 _RANGE_UNWRAP_KW = dict(
     agg="avg_over_time", step=86400, by=["source"], unwrap="metadata.size"
 )
+_RANGE_QUANTILE_KW = dict(
+    agg="quantile_over_time", step=86400, by=["source"],
+    unwrap="metadata.size", quantile=(19, 20),
+)
 
 
 def _q_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +282,24 @@ def _q_range_unwrap_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
     return range_query(_records(spark, sf_dir), q, **_RANGE_UNWRAP_KW)
+
+
+def _q_range_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return range_query(_records(spark, sf_dir), q, **_RANGE_QUANTILE_KW)
+
+
+def _range_quantile_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import range_query_sql
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sql("records", q, **_RANGE_QUANTILE_KW)
+        + "\n) SELECT * FROM q"
+    )
 
 
 def _range_rate_sql(pages: str | None = None) -> str:
@@ -1411,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
     q["q_range_rate"] = _q_range_rate  # T56 metric range query (rate)
     q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
+    q["q_range_quantile"] = _q_range_quantile  # T56 exact p95 over time
     q.update(_dataops_queries())
     return q
 
@@ -1535,5 +1558,6 @@ GROUP BY 1""",
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
     sql["q_range_rate"] = _range_rate_sql(p)
     sql["q_range_unwrap_avg"] = _range_unwrap_sql(p)
+    sql["q_range_quantile"] = _range_quantile_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql

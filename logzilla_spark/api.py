@@ -334,6 +334,20 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         by = obj.pop("by", [])
         unwrap = obj.pop("unwrap", None)
         fill = obj.pop("fill", False)
+        quantile = obj.pop("quantile", None)
+        if quantile is not None:
+            if (
+                not isinstance(quantile, list)
+                or len(quantile) != 2
+                or not all(
+                    isinstance(x, int) and not isinstance(x, bool)
+                    for x in quantile
+                )
+            ):
+                raise BadInputError(
+                    "quantile: expected [num, den] integers (e.g. [19, 20])"
+                )
+            quantile = tuple(quantile)
         if not isinstance(agg, str) or agg not in AGGS:
             raise BadInputError(f"agg: expected one of {sorted(AGGS)}")
         if not isinstance(by, list) or not all(isinstance(f, str) for f in by):
@@ -347,7 +361,8 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         # and requires end
         q = decode_query(json.dumps(obj))
         df = range_query(
-            records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill
+            records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill,
+            quantile=quantile,
         )
         rows = df.limit(MAX_MATRIX_POINTS + 1).collect()
         if len(rows) > MAX_MATRIX_POINTS:

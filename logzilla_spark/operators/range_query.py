@@ -72,6 +72,9 @@ AGGS: dict[str, tuple[bool, bool]] = {
     "min_over_time": (True, False),
     "max_over_time": (True, False),
     "avg_over_time": (True, False),
+    # exact discrete quantile (operators/metrics.py rank rule); takes
+    # the extra ``quantile=(num, den)`` rational parameter
+    "quantile_over_time": (True, False),
 }
 
 # Loki's max resolution per query (11000 points); the grid is
@@ -109,7 +112,7 @@ def _epoch_seconds(dt: datetime) -> int:
 
 def _validate(
     query: Query, agg: str, step: int, by: Sequence[str], unwrap: str | None,
-    fill: bool,
+    fill: bool, quantile: tuple[int, int] | None = None,
 ) -> tuple[datetime, datetime, int, int]:
     """Shared driver-side validation; returns (start, end, lo, hi)
     with the auto-swap applied and the grid bounds as bucket seconds."""
@@ -130,6 +133,16 @@ def _validate(
             raise QueryValidationError(f"by field not allowed: {f!r}")
     if len(set(by)) != len(list(by)):
         raise QueryValidationError("duplicate by field")
+    if agg == "quantile_over_time":
+        if quantile is None:
+            raise QueryValidationError("quantile_over_time requires quantile")
+        num, den = quantile
+        if not (isinstance(num, int) and isinstance(den, int) and 0 < num <= den):
+            raise QueryValidationError(
+                "quantile: need integers 0 < num <= den"
+            )
+    elif quantile is not None:
+        raise QueryValidationError(f"{agg} does not take a quantile")
     if query.cursor is not None:
         raise QueryValidationError("range queries do not paginate (no cursor)")
     if query.end is None:
@@ -168,11 +181,18 @@ def range_query(
     by: Sequence[str] = (),
     unwrap: str | None = None,
     fill: bool = False,
+    quantile: tuple[int, int] | None = None,
     time_column: str = "timestamp",
     field_resolver=default_field_resolver,
 ) -> DataFrame:
     """Evaluate a metric range query; returns the long-form matrix
     ``<label columns...>, bucket (BIGINT epoch seconds), v``.
+
+    ``quantile_over_time`` takes the exact rational ``quantile=(num,
+    den)`` and applies the discrete rank rule of operators/metrics.py
+    (``min(v : den*cum >= num*n)``, pure BIGINT) via the histogram
+    rewrite: the corpus collapses to distinct (labels, bucket, value)
+    cells map-side, the window then runs at histogram scale.
 
     ``v`` is BIGINT for count/bytes/sum/min/max, DOUBLE (one IEEE
     division of exact BIGINTs) for rate/bytes_rate/avg.  ``fill=True``
@@ -187,7 +207,8 @@ def range_query(
     ignored here (the matrix is a pure function of filter + grid).
     """
     step = parse_step(step)
-    _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill)
+    _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill,
+                                     quantile)
     pred, _backward, _tc = _assemble_predicate(query, time_column, field_resolver)
     needs_unwrap, rate_like = AGGS[agg]
 
@@ -208,6 +229,33 @@ def range_query(
     base = df.filter(pred).select(*labels, bucket, *extra)
     if needs_unwrap:
         base = base.where(F.col("uv").isNotNull())
+
+    if agg == "quantile_over_time":
+        # histogram rewrite (operators/metrics.py): map-side partials
+        # collapse the corpus to distinct-value cells, the rank window
+        # then runs at histogram scale, never corpus scale
+        from pyspark.sql import Window
+
+        num, den = quantile
+        hist = base.groupBy(*label_names, "bucket", "uv").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        cell = [*label_names, "bucket"]
+        w = Window.partitionBy(*cell).orderBy("uv")
+        ranked = hist.select(
+            *cell, "uv", "c",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(Window.partitionBy(*cell)).alias("tot"),
+        )
+        cells = ranked.groupBy(*cell).agg(
+            F.min(
+                F.when(
+                    F.lit(den) * F.col("cum") >= F.lit(num) * F.col("tot"),
+                    F.col("uv"),
+                )
+            ).cast("bigint").alias("n")
+        )
+        return cells.select(*label_names, "bucket", F.col("n").alias("v"))
 
     if agg in ("count_over_time", "rate"):
         val: Column = F.count(F.lit(1))
@@ -260,13 +308,15 @@ def range_query_sql(
     by: Sequence[str] = (),
     unwrap: str | None = None,
     fill: bool = False,
+    quantile: tuple[int, int] | None = None,
     time_column: str = '"timestamp"',
     field_sql=default_field_sql,
 ) -> str:
     """DuckDB twin of :func:`range_query` — identical bucket integer
     arithmetic, identical aggregation, identical division dag."""
     step = parse_step(step)
-    _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill)
+    _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill,
+                                     quantile)
     needs_unwrap, rate_like = AGGS[agg]
 
     # same WHERE assembly as query.search_oracle_sql (auto-swap + node)
@@ -286,6 +336,31 @@ def range_query_sql(
     label_sel = [f"CAST({field_sql(f)} AS VARCHAR) AS {_label_name(f)}" for f in by]
     label_names = [_label_name(f) for f in by]
     bucket_sql = f"(epoch_us({time_column}) // {step * 1_000_000}) * {step}"
+
+    if agg == "quantile_over_time":
+        num, den = quantile
+        cell = ", ".join([*label_names, "bucket"])
+        cols = ", ".join(
+            [*label_sel, f"{bucket_sql} AS bucket",
+             f"TRY_CAST({field_sql(unwrap)} AS BIGINT) AS uv"]
+        )
+        grp = ", ".join(str(i + 1) for i in range(len(by) + 2))
+        return f"""WITH hist AS (
+  SELECT {cols}, CAST(count(*) AS BIGINT) AS c
+  FROM {relation}
+  WHERE {' AND '.join(where)}
+  GROUP BY {grp}
+),
+win AS (
+  SELECT {cell}, uv, c,
+         sum(c) OVER (PARTITION BY {cell} ORDER BY uv
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY {cell}) AS tot
+  FROM hist
+)
+SELECT {cell},
+       CAST(min(CASE WHEN {den} * cum >= {num} * tot THEN uv END) AS BIGINT) AS v
+FROM win GROUP BY {cell}"""
 
     if agg in ("count_over_time", "rate"):
         val = "CAST(count(*) AS BIGINT)"

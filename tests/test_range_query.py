@@ -115,6 +115,32 @@ def test_bytes_and_unwrap_aggs(toy):
     assert got.v.iloc[0] == 5600
 
 
+def test_quantile_over_time_rank_rule(toy):
+    # 15 size samples 0,400,...,5600: p50 = min(v : 2*cum >= n) ->
+    # the 8th of 15 values = 2800; p95 -> the 15th = 5600
+    got = range_query(
+        toy, _q(), agg="quantile_over_time", step=86400,
+        unwrap="metadata.size", quantile=(1, 2),
+    ).toPandas()
+    assert got.v.iloc[0] == 2800
+    got = range_query(
+        toy, _q(), agg="quantile_over_time", step=86400,
+        unwrap="metadata.size", quantile=(19, 20),
+    ).toPandas()
+    assert got.v.iloc[0] == 5600
+
+
+def test_quantile_validation(toy):
+    with pytest.raises(QueryValidationError, match="requires quantile"):
+        range_query(toy, _q(), agg="quantile_over_time", step=86400,
+                    unwrap="metadata.size")
+    with pytest.raises(QueryValidationError, match="0 < num <= den"):
+        range_query(toy, _q(), agg="quantile_over_time", step=86400,
+                    unwrap="metadata.size", quantile=(3, 2))
+    with pytest.raises(QueryValidationError, match="does not take a quantile"):
+        range_query(toy, _q(), agg="rate", step=86400, quantile=(1, 2))
+
+
 def test_unwrap_null_rows_excluded_not_zero(toy):
     # only 15 of 60 rows carry metadata.size; avg must divide by 15
     got = range_query(
@@ -212,6 +238,8 @@ def test_oracle_twin_on_toy(toy, tmp_path):
         (dict(agg="avg_over_time", step=7200, by=["source"],
               unwrap="metadata.size"), ["source", "bucket"]),
         (dict(agg="bytes_over_time", step=3600), ["bucket"]),
+        (dict(agg="quantile_over_time", step=7200, by=["level"],
+              unwrap="metadata.size", quantile=(1, 2)), ["level", "bucket"]),
     ]:
         got = (
             range_query(flat, _q(), field_resolver=resolver, **kw)
