@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from logzilla_spark import oracle, oracle_dataops
 from logzilla_spark.functions.levels import level_sql_case, parse_level_col
 from logzilla_spark.operators import cluster, dedup, multimodal, similarity, sketches, textstats, urls
+from logzilla_spark.operators import shards as _shards
 from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_salted
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.fulltext import (
@@ -1129,6 +1130,12 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_line_dedup": lambda s, d: textstats.line_dedup(_docs(s, d)),
         # --- sequence packing manifest (hash-grouped concat-and-split) ---
         "q_text_pack": lambda s, d: textstats.pack_sequences(_docs(s, d)),
+        # T57 deterministic shuffle: every curated doc's (shard, pos)
+        # placement — the pack->shuffle->shard capstone of the
+        # training-output path (operators/shards.py)
+        "q_shard_manifest": lambda s, d: _shards.shard_manifest(
+            _docs(s, d), n_shards=16, seed="r4"
+        ),
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
         # --- stratified corpus report: per-(lang, band) stats ---
@@ -1240,6 +1247,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_text_chunks": oracle_dataops.chunk_sequences_sql(docs),
         "q_text_line_dedup": oracle_dataops.line_dedup_sql(docs),
         "q_text_pack": oracle_dataops.pack_sequences_sql(docs),
+        "q_shard_manifest": _shards.shard_manifest_sql(
+            docs, n_shards=16, seed="r4", id_expr="doc_id"
+        ),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
         "q_corpus_report": oracle_dataops.corpus_report_sql(docs),
         "q_curation_funnel": oracle_dataops.curation_funnel_sql(
