@@ -1044,6 +1044,32 @@ def _rank_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T58 drift dims: categorical language + document-length octave (the
+# exact-msb bucket both engines compute identically)
+_DRIFT_DIMS_SPARK = lambda: {  # noqa: E731 — Columns must build lazily
+    "lang": F.col("lang"),
+    "len_octave": F.expr(
+        "cast(length(bin(greatest(n_chars, 1L))) - 1 as string)"
+    ),
+}
+_DRIFT_DIMS_SQL = {
+    "lang": "lang",
+    "len_octave":
+        "CAST(length(printf('%b', greatest(n_chars, 1))) - 1 AS VARCHAR)",
+}
+
+
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.drift import corpus_drift
+
+    docs = _docs(spark, sf_dir)
+    return corpus_drift(
+        docs.filter(F.expr("doc_id % 2 = 0")),
+        docs.filter(F.expr("doc_id % 2 = 1")),
+        _DRIFT_DIMS_SPARK(),
+    )
+
+
 def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- dedup family (documents table) ---
@@ -1136,6 +1162,10 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_manifest": lambda s, d: _shards.shard_manifest(
             _docs(s, d), n_shards=16, seed="r4"
         ),
+        # T58 drift report: this-batch vs previous-batch distribution
+        # shift (even/odd doc_id halves stand in for two crawl
+        # snapshots) over language + length-octave dims
+        "q_corpus_drift": _q_corpus_drift,
         # --- composed curation pass (lang gate + quality gate + dedup) ---
         "q_curate_corpus": lambda s, d: textstats.curate_corpus(_docs(s, d)),
         # --- stratified corpus report: per-(lang, band) stats ---
@@ -1206,6 +1236,16 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _corpus_drift_twin(docs: str) -> str:
+    from logzilla_spark.operators.drift import corpus_drift_sql
+
+    return corpus_drift_sql(
+        f"(SELECT * FROM {docs} WHERE doc_id % 2 = 0)",
+        f"(SELECT * FROM {docs} WHERE doc_id % 2 = 1)",
+        _DRIFT_DIMS_SQL,
+    )
+
+
 def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
     docs, emb = "documents", "embeddings"
     media = media or _MEDIA01
@@ -1250,6 +1290,7 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_shard_manifest": _shards.shard_manifest_sql(
             docs, n_shards=16, seed="r4", id_expr="doc_id"
         ),
+        "q_corpus_drift": _corpus_drift_twin(docs),
         "q_curate_corpus": oracle_dataops.curate_corpus_sql(docs),
         "q_corpus_report": oracle_dataops.corpus_report_sql(docs),
         "q_curation_funnel": oracle_dataops.curation_funnel_sql(
