@@ -49,6 +49,13 @@ Schema (TOML shown; JSON/YAML mirror it):
     level     = "ERROR"                  #  stream writing stream_alerts)
     # category = "json"                  # omitted field = wildcard
 
+    [[recordings]]                       # optional recording rules:
+    name = "error_rate_6h"               # range queries maintained as
+    q    = "level in (ERROR, FATAL)"     # committed rec_<name> tables
+    step = "6h"                          # (streaming/recordings.py)
+    agg  = "rate"
+    by   = ["level"]
+
     [session]
     shuffle_partitions = 32              # optional conf overrides
 """
@@ -83,6 +90,7 @@ class PipelineConfig:
     dims_dir: str | None = None
     parsers: list[dict[str, Any]] = field(default_factory=list)
     alerts: list[dict[str, Any]] = field(default_factory=list)
+    recordings: list[dict[str, Any]] = field(default_factory=list)
     shuffle_partitions: int | None = None
 
 
@@ -114,7 +122,8 @@ def load_config(path: str) -> PipelineConfig:
     pipe = doc.get("pipeline") or {}
     if "warehouse" not in pipe:
         raise ConfigError("pipeline.warehouse is required")
-    known = {"pipeline", "source", "enrich", "parsers", "alerts", "session"}
+    known = {"pipeline", "source", "enrich", "parsers", "alerts",
+             "recordings", "session"}
     unknown = set(doc) - known
     if unknown:
         # DisallowUnknownFields analog — typos fail fast
@@ -133,6 +142,7 @@ def load_config(path: str) -> PipelineConfig:
         dims_dir=(doc.get("enrich") or {}).get("dims_dir"),
         parsers=list(doc.get("parsers") or []),
         alerts=list(doc.get("alerts") or []),
+        recordings=list(doc.get("recordings") or []),
         shuffle_partitions=(doc.get("session") or {}).get("shuffle_partitions"),
     )
 

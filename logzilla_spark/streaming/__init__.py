@@ -10,6 +10,12 @@ from .metrics import (
     start_metrics_stream,
     upsert_metrics_batch,
 )
+from .recordings import (
+    RecordingRule,
+    read_recording,
+    record_rule_window,
+    recording_rules_from_config,
+)
 from .sketch import read_hll_distinct, start_hll_stream, upsert_hll_batch
 from .templates import (
     read_templates,
@@ -48,4 +54,8 @@ __all__ = [
     "read_metric_series",
     "start_metrics_stream",
     "upsert_metrics_batch",
+    "RecordingRule",
+    "record_rule_window",
+    "read_recording",
+    "recording_rules_from_config",
 ]

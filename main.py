@@ -65,6 +65,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-partitions", type=int, default=None,
                    help="override spark.sql.shuffle.partitions (default: leave "
                         "submit-conf/AQE in charge)")
+    p.add_argument("--record", nargs=2, default=None,
+                   metavar=("START", "END"),
+                   help="evaluate the config-declared [[recordings]] rules "
+                        "over the RFC3339 window and merge each matrix into "
+                        "its committed rec_<name> table")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="instead of running the pipeline, serve the query API "
                         "(POST /api/logs/search, GET /healthcheck) over the "
@@ -160,6 +165,40 @@ def main(argv: list[str] | None = None) -> int:
             "alert_rules": len(rules),
             "alerts_total": n_alerts,
         }))
+        return 0
+
+    if args.record is not None:
+        from datetime import datetime
+
+        from logzilla_spark.operators.route import read_all_sinks
+        from logzilla_spark.streaming.recordings import (
+            record_rule_window,
+            recording_rules_from_config,
+        )
+
+        rules = recording_rules_from_config(cfg) if cfg is not None else []
+        if not rules:
+            build_arg_parser().error("--record needs [[recordings]] in --config")
+        def _ts(v: str) -> datetime:
+            from datetime import timezone
+
+            d = datetime.fromisoformat(v.replace("Z", "+00:00"))
+            # convert aware instants to UTC-naive, never strip offsets
+            return (
+                d.astimezone(timezone.utc).replace(tzinfo=None)
+                if d.tzinfo is not None else d
+            )
+
+        start, end = _ts(args.record[0]), _ts(args.record[1])
+        # the recording cycle: process any ingested delta first (no-op
+        # when the warehouse is current), then evaluate over the sinks
+        pipe.run(run_id=args.run_id)
+        records = read_all_sinks(spark, pipe.cat, pipe.categories)
+        out = {
+            r.name: record_rule_window(spark, pipe.cat, records, r, start, end)
+            for r in rules
+        }
+        print(json.dumps({"recorded": out, "window": args.record}))
         return 0
 
     if args.serve is not None:

@@ -1,0 +1,231 @@
+"""Recording rules (streaming/recordings.py, T59)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logzilla_spark.operators.query import Query, QueryValidationError
+from logzilla_spark.operators.range_query import range_query
+from logzilla_spark.sources.catalog import LocalCatalog
+from logzilla_spark.streaming.recordings import (
+    RecordingRule,
+    read_recording,
+    record_rule_window,
+    recording_rules_from_config,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _records(spark, hours, base=T0):
+    rows = [
+        (
+            f"u#{h:04d}{i}",
+            base + dt.timedelta(hours=h, minutes=13 * i),
+            ["ERROR", "INFO"][i % 2],
+            f"m{h}-{i}",
+        )
+        for h in hours
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "id string, timestamp timestamp, level string, message string"
+    )
+
+
+RULE = RecordingRule(
+    name="err_hourly", q="level:ERROR", step="1h", agg="count_over_time",
+    by=("level",),
+)
+
+
+def _canon(pdf):
+    return (
+        pdf.sort_values(["level", "bucket"]).reset_index(drop=True)
+    )
+
+
+def test_first_evaluation_matches_direct_query(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    rec = _records(spark, range(6))
+    end = T0 + dt.timedelta(hours=6)
+    n = record_rule_window(spark, cat, rec, RULE, T0, end)
+    assert n == 6
+    got = _canon(read_recording(spark, cat, "err_hourly").toPandas())
+    want = _canon(
+        range_query(
+            rec, Query(start=T0, end=end, node=RULE.node),
+            agg="count_over_time", step=3600, by=["level"],
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_incremental_windows_accumulate(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    rec = _records(spark, range(12))
+    mid = T0 + dt.timedelta(hours=6)
+    end = T0 + dt.timedelta(hours=12)
+    record_rule_window(spark, cat, rec, RULE, T0, mid)
+    record_rule_window(spark, cat, rec, RULE, mid, end)
+    got = _canon(read_recording(spark, cat, "err_hourly").toPandas())
+    want = _canon(
+        range_query(
+            rec, Query(start=T0, end=end, node=RULE.node),
+            agg="count_over_time", step=3600, by=["level"],
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_reevaluation_converges_after_late_data(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    end = T0 + dt.timedelta(hours=6)
+    record_rule_window(spark, cat, _records(spark, range(3)), RULE, T0, end)
+    # late data lands inside the already-recorded window; re-evaluate
+    full = _records(spark, range(6))
+    record_rule_window(spark, cat, full, RULE, T0, end)
+    record_rule_window(spark, cat, full, RULE, T0, end)  # idempotent
+    got = _canon(read_recording(spark, cat, "err_hourly").toPandas())
+    want = _canon(
+        range_query(
+            full, Query(start=T0, end=end, node=RULE.node),
+            agg="count_over_time", step=3600, by=["level"],
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_untouched_months_carry_metadata_only(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    jan = _records(spark, range(4))
+    feb = _records(spark, range(4), base=dt.datetime(2024, 2, 1))
+    record_rule_window(
+        spark, cat, jan, RULE, T0, T0 + dt.timedelta(hours=4)
+    )
+    table = "rec_err_hourly"
+    sid = cat.last_snapshot_id(table)
+    jan_files = {
+        f
+        for g in cat._groups(table, sid)
+        for f in g["files"]
+        if "rec_month=202401" in f
+    }
+    assert jan_files
+    record_rule_window(
+        spark, cat, feb, RULE, dt.datetime(2024, 2, 1),
+        dt.datetime(2024, 2, 1, 4),
+    )
+    sid2 = cat.last_snapshot_id(table)
+    jan_after = {
+        f
+        for g in cat._groups(table, sid2)
+        for f in g["files"]
+        if "rec_month=202401" in f
+    }
+    assert jan_after == jan_files  # same physical files — no rewrite
+
+
+def test_alignment_enforced(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    rec = _records(spark, range(2))
+    with pytest.raises(QueryValidationError, match="step-aligned"):
+        record_rule_window(
+            spark, cat, rec, RULE, T0 + dt.timedelta(minutes=30),
+            T0 + dt.timedelta(hours=2),
+        )
+
+
+def test_rule_validation():
+    with pytest.raises(QueryValidationError, match="alphanumeric"):
+        RecordingRule(name="bad name!")
+    with pytest.raises(QueryValidationError, match="not allowed here"):
+        RecordingRule(name="r", q="level:ERROR since:2024-01-01")
+
+
+class _Cfg:
+    def __init__(self, recordings):
+        self.recordings = recordings
+
+
+def test_rules_from_config():
+    rules = recording_rules_from_config(
+        _Cfg([
+            {"name": "a", "q": "level:ERROR", "step": "6h", "agg": "rate",
+             "by": ["level"]},
+            {"name": "b", "agg": "quantile_over_time",
+             "unwrap": "metadata.size", "quantile": [19, 20]},
+        ])
+    )
+    assert [r.name for r in rules] == ["a", "b"]
+    assert rules[0].step == 21600 and rules[1].quantile == (19, 20)
+    with pytest.raises(QueryValidationError, match="unknown key"):
+        recording_rules_from_config(_Cfg([{"name": "a", "bogus": 1}]))
+    with pytest.raises(QueryValidationError, match="duplicate"):
+        recording_rules_from_config(_Cfg([{"name": "a"}, {"name": "a"}]))
+    with pytest.raises(QueryValidationError, match="name is required"):
+        recording_rules_from_config(_Cfg([{}]))
+
+
+def test_record_cli_end_to_end(spark, tmp_path):
+    """Config-declared rule through `main.py --record`: ingest the
+    sf0.001 corpus into a warehouse, record one day, read the
+    committed matrix back."""
+    import json as _json
+
+    import main as cli
+    from logzilla_spark.testdata import ensure_pages
+
+    pages = f"{ensure_pages('/root/testdata/sf0.001')}/pages.parquet"
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f"""
+[pipeline]
+warehouse = "{tmp_path}/wh"
+
+[source]
+pages = "{pages}"
+
+[[recordings]]
+name = "err_rate"
+q    = "level in (ERROR, FATAL)"
+step = "6h"
+agg  = "rate"
+by   = ["level"]
+"""
+    )
+    assert cli.main([
+        "--config", str(cfg),
+        "--record", "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+    ]) == 0
+    cat = LocalCatalog(f"{tmp_path}/wh")
+    got = read_recording(spark, cat, "err_rate").toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {"level", "bucket", "v"}
+    assert set(got.level) <= {"ERROR", "FATAL"}
+    # rate = count/step: v * 21600 are integer counts
+    assert all(float(v * 21600).is_integer() for v in got.v)
+
+
+def test_config_document_roundtrip(tmp_path):
+    from logzilla_spark.config import load_config
+
+    p = tmp_path / "cfg.toml"
+    p.write_text(
+        """
+[pipeline]
+warehouse = "/tmp/wh"
+
+[[recordings]]
+name = "error_rate_6h"
+q    = "level in (ERROR, FATAL)"
+step = "6h"
+agg  = "rate"
+by   = ["level"]
+"""
+    )
+    cfg = load_config(str(p))
+    rules = recording_rules_from_config(cfg)
+    assert rules[0].name == "error_rate_6h" and rules[0].agg == "rate"
