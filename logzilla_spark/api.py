@@ -297,6 +297,95 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
 MAX_MATRIX_POINTS = 110_000
 
 
+def _matrix_envelope(df: DataFrame, rows: list) -> dict:
+    label_cols = [c for c in df.columns if c not in ("bucket", "v")]
+    series: dict[tuple, list] = {}
+    for r in rows:
+        series.setdefault(tuple(r[c] for c in label_cols), []).append(
+            (r["bucket"], r["v"])
+        )
+    data = [
+        {
+            "labels": dict(zip(label_cols, key)),
+            "values": sorted(vals),
+        }
+        # NULL labels sort first (None is not orderable against str)
+        for key, vals in sorted(
+            series.items(),
+            key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
+        )
+    ]
+    return {
+        "success": True,
+        "message": "",
+        "data": data,
+        "metadata": {"series": len(data), "points": len(rows)},
+    }
+
+
+_RECORDED_FIELDS = {"rule", "start", "end"}
+
+
+def recorded_range_request(recordings, spark, body: str | bytes) -> dict:
+    """``{"rule": "<name>"}`` body on ``POST /api/logs/query_range``:
+    serve the matrix from the rule's COMMITTED table
+    (streaming/recordings.py) — the dashboard read path, cells-scale,
+    no corpus scan.  Optional ``start``/``end`` (RFC3339) narrow the
+    buckets; same matrix envelope and points cap as the live path.
+    ``recordings=None`` (server started without a warehouse) is a
+    client envelope error."""
+    import re as _re
+
+    from .streaming.recordings import read_recording
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:  # cap BEFORE parsing (helper.go:22)
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        obj = json.loads(raw.decode("utf-8"))
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        unknown = set(obj) - _RECORDED_FIELDS
+        if unknown:
+            raise BadInputError(f"unknown field: {sorted(unknown)[0]!r}")
+        if recordings is None:
+            raise BadInputError("recordings are not configured on this server")
+        rule = obj.get("rule")
+        if not isinstance(rule, str) or not _re.match(
+            r"^[A-Za-z0-9_.\-]{1,64}$", rule
+        ):
+            raise BadInputError("rule: expected a short alphanumeric name")
+        from .sources.catalog import SnapshotError
+        from .operators.range_query import _epoch_seconds
+
+        try:
+            df = read_recording(spark, recordings, rule)
+        except SnapshotError:
+            raise BadInputError(f"unknown recording rule {rule!r}") from None
+        from pyspark.sql import functions as F
+
+        if obj.get("start") is not None:
+            df = df.filter(
+                F.col("bucket") >= _epoch_seconds(_parse_ts(obj["start"], "start"))
+            )
+        if obj.get("end") is not None:
+            df = df.filter(
+                F.col("bucket") <= _epoch_seconds(_parse_ts(obj["end"], "end"))
+            )
+        rows = df.limit(MAX_MATRIX_POINTS + 1).collect()
+        if len(rows) > MAX_MATRIX_POINTS:
+            raise BadInputError(
+                f"result exceeds {MAX_MATRIX_POINTS} points; narrow start/end"
+            )
+    except (ValueError, UnicodeDecodeError) as e:
+        if not isinstance(e, QueryValidationError):
+            e = BadInputError(f"invalid JSON: {e}")
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return _matrix_envelope(df, rows)
+
+
 def range_request(records: DataFrame, body: str | bytes) -> dict:
     """``POST /api/logs/query_range``: the dashboard sibling of
     search_request (Loki's query_range) — same query body (q/node,
@@ -372,29 +461,19 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
             )
     except QueryValidationError as e:
         return {"success": False, "message": str(e), "data": None, "metadata": None}
-    label_cols = [c for c in df.columns if c not in ("bucket", "v")]
-    series: dict[tuple, list] = {}
-    for r in rows:
-        series.setdefault(tuple(r[c] for c in label_cols), []).append(
-            (r["bucket"], r["v"])
-        )
-    data = [
-        {
-            "labels": dict(zip(label_cols, key)),
-            "values": sorted(vals),
-        }
-        # NULL labels sort first (None is not orderable against str)
-        for key, vals in sorted(
-            series.items(),
-            key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
-        )
-    ]
-    return {
-        "success": True,
-        "message": "",
-        "data": data,
-        "metadata": {"series": len(data), "points": len(rows)},
-    }
+    return _matrix_envelope(df, rows)
+
+
+def query_range_request(records: DataFrame, recordings, body: str | bytes) -> dict:
+    """``POST /api/logs/query_range`` dispatcher: a ``rule`` body reads
+    the committed recording table; everything else evaluates live."""
+    try:
+        obj = json.loads(body if isinstance(body, str) else body.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        obj = None  # range_request produces the canonical JSON error
+    if isinstance(obj, dict) and "rule" in obj:
+        return recorded_range_request(recordings, records.sparkSession, body)
+    return range_request(records, body)
 
 
 # -- alerts ------------------------------------------------------------

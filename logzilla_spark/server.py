@@ -50,6 +50,7 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = "logzilla-spark"
     records: DataFrame  # bound by make_server
     alerts: DataFrame | None = None  # bound by make_server (optional)
+    recordings = None  # LocalCatalog with rec_* tables (optional)
     trusted_origins: tuple[str, ...] = ()  # bound by make_server
     # Per-connection socket timeout (BaseRequestHandler.setup applies
     # it to the accepted socket). Without it a client that connects
@@ -126,9 +127,12 @@ class _Handler(BaseHTTPRequestHandler):
 
             handler = context_request
         elif self.path == "/api/logs/query_range":
-            from logzilla_spark.api import range_request
+            from logzilla_spark.api import query_range_request
 
-            handler = range_request
+            # a {"rule": ...} body reads the committed recording table
+            handler = lambda records, b: query_range_request(  # noqa: E731
+                records, type(self).recordings, b
+            )
         elif self.path == "/api/alerts":
             from logzilla_spark.api import alerts_request
 
@@ -174,6 +178,7 @@ def make_server(
     trusted_origins: tuple[str, ...] = (),
     handler_timeout: float = 30.0,
     alerts: DataFrame | None = None,
+    recordings=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server bound to a records DataFrame.
 
@@ -183,14 +188,16 @@ def make_server(
     ``handler_timeout`` bounds how long an idle connection (or a
     never-completing TLS handshake) may hold its handler thread.
     ``alerts`` (optional) binds the alert-ledger frame behind
-    ``POST /api/alerts``; without it the route answers with a client
-    envelope error."""
+    ``POST /api/alerts``; ``recordings`` (optional) binds a catalog
+    whose ``rec_*`` tables serve ``{"rule": ...}`` query_range bodies.
+    Without either, those routes answer with client envelope errors."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {
             "records": records,
             "alerts": alerts,
+            "recordings": recordings,
             "trusted_origins": tuple(trusted_origins),
             "timeout": handler_timeout,
         },
@@ -220,13 +227,14 @@ def serve_background(
     key_file: str | None = None,
     trusted_origins: tuple[str, ...] = (),
     alerts: DataFrame | None = None,
+    recordings=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the serve loop on a daemon thread; returns (server, thread).
 
     Shut down with ``server.shutdown()`` (joins the loop)."""
     srv = make_server(
         records, host, port, cert_file, key_file, trusted_origins,
-        alerts=alerts,
+        alerts=alerts, recordings=recordings,
     )
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="logzilla-http")

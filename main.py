@@ -219,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
             cert_file=args.tls_cert, key_file=args.tls_key,
             trusted_origins=tuple(args.cors_origin),
             alerts=alerts,
+            recordings=pipe.cat,  # {"rule": ...} query_range bodies
         )
         print(json.dumps({"serving": list(srv.server_address)}), flush=True)
         srv.serve_forever()

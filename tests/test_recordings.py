@@ -209,6 +209,66 @@ by   = ["level"]
     assert all(float(v * 21600).is_integer() for v in got.v)
 
 
+def test_serve_recorded_matrix(spark, tmp_path):
+    """{"rule": ...} query_range body reads the COMMITTED table —
+    matrix envelope identical in shape to the live path, no corpus
+    scan; live bodies keep working on the same route."""
+    import json as _json
+    import urllib.request
+
+    from logzilla_spark.server import serve_background
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    rec = _records(spark, range(6))
+    end = T0 + dt.timedelta(hours=6)
+    record_rule_window(spark, cat, rec, RULE, T0, end)
+    srv, _t = serve_background(rec, port=0, recordings=cat)
+    try:
+        port = srv.server_address[1]
+
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/logs/query_range",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return _json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return _json.loads(e.read())
+
+        out = post({"rule": "err_hourly"})
+        assert out["success"] and out["metadata"]["series"] == 1
+        assert out["data"][0]["labels"] == {"level": "ERROR"}
+        assert len(out["data"][0]["values"]) == 6
+        # start/end narrow the buckets
+        out2 = post({
+            "rule": "err_hourly",
+            "start": "2024-01-01T02:00:00Z", "end": "2024-01-01T03:00:00Z",
+        })
+        assert out2["success"] and out2["metadata"]["points"] == 2
+        # unknown rule / unknown field -> client envelope errors
+        assert not post({"rule": "nope"})["success"]
+        assert not post({"rule": "err_hourly", "bogus": 1})["success"]
+        # the live path still dispatches on the same route
+        live = post({
+            "q": "level:ERROR since:2024-01-01 until:2024-01-01T06:00:00",
+            "step": "1h", "agg": "count_over_time", "by": ["level"],
+        })
+        assert live["success"]
+        assert live["data"][0]["values"] == out["data"][0]["values"]
+    finally:
+        srv.shutdown()
+
+
+def test_serve_recorded_without_catalog_is_client_error(records_sf0001):
+    from logzilla_spark.api import query_range_request
+
+    out = query_range_request(records_sf0001, None, '{"rule": "x"}')
+    assert not out["success"] and "not configured" in out["message"]
+
+
 def test_config_document_roundtrip(tmp_path):
     from logzilla_spark.config import load_config
 
