@@ -303,6 +303,85 @@ def _range_quantile_sql(pages: str | None = None) -> str:
     )
 
 
+# T60 vector stage: topk over the evaluated matrix, regrouping onto a
+# label subset (record fine / serve coarse — no corpus rescan), and the
+# first/last_over_time range aggs with the deterministic (micros,
+# value) ordering pair.
+_RANGE_TOPK_KW = dict(agg="count_over_time", step=21600, by=["source", "level"])
+_RANGE_TOPK_K = 3
+_RANGE_LAST_KW = dict(
+    agg="last_over_time", step=86400, by=["source"], unwrap="metadata.size"
+)
+
+
+def _q_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query, vector_topk
+
+    m = range_query(
+        _records(spark, sf_dir), parse_dsl_query(_RANGE_DSL), **_RANGE_TOPK_KW
+    )
+    return vector_topk(m, _RANGE_TOPK_K)
+
+
+def _q_range_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query, vector_agg
+
+    m = range_query(
+        _records(spark, sf_dir), parse_dsl_query(_RANGE_DSL), **_RANGE_TOPK_KW
+    )
+    return vector_agg(m, "sum", ["level"])
+
+
+def _q_range_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return range_query(_records(spark, sf_dir), q, **_RANGE_LAST_KW)
+
+
+def _range_topk_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import (
+        range_query_sql,
+        vector_topk_sql,
+    )
+
+    inner = range_query_sql(
+        "records", parse_dsl_query(_RANGE_DSL), **_RANGE_TOPK_KW
+    )
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + vector_topk_sql(inner, _RANGE_TOPK_K, ["source", "level"])
+        + "\n) SELECT * FROM q"
+    )
+
+
+def _range_regroup_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import (
+        range_query_sql,
+        vector_agg_sql,
+    )
+
+    inner = range_query_sql(
+        "records", parse_dsl_query(_RANGE_DSL), **_RANGE_TOPK_KW
+    )
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + vector_agg_sql(inner, "sum", ["level"])
+        + "\n) SELECT * FROM q"
+    )
+
+
+def _range_last_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import range_query_sql
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sql("records", q, **_RANGE_LAST_KW)
+        + "\n) SELECT * FROM q"
+    )
+
+
 def _range_rate_sql(pages: str | None = None) -> str:
     from logzilla_spark.operators.range_query import range_query_sql
 
@@ -1485,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_range_rate"] = _q_range_rate  # T56 metric range query (rate)
     q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
     q["q_range_quantile"] = _q_range_quantile  # T56 exact p95 over time
+    q["q_range_topk"] = _q_range_topk  # T60 vector topk per bucket
+    q["q_range_regroup"] = _q_range_regroup  # T60 sum by label subset
+    q["q_range_last"] = _q_range_last  # T60 last_over_time
     q.update(_dataops_queries())
     return q
 
@@ -1610,5 +1692,8 @@ GROUP BY 1""",
     sql["q_range_rate"] = _range_rate_sql(p)
     sql["q_range_unwrap_avg"] = _range_unwrap_sql(p)
     sql["q_range_quantile"] = _range_quantile_sql(p)
+    sql["q_range_topk"] = _range_topk_sql(p)
+    sql["q_range_regroup"] = _range_regroup_sql(p)
+    sql["q_range_last"] = _range_last_sql(p)
     sql.update(_dataops_oracle_sql(media))
     return sql

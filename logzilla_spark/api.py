@@ -323,7 +323,51 @@ def _matrix_envelope(df: DataFrame, rows: list) -> dict:
     }
 
 
-_RECORDED_FIELDS = {"rule", "start", "end"}
+_RECORDED_FIELDS = {"rule", "start", "end", "vector"}
+
+
+def _apply_vector(df: "DataFrame", vec, label_mapper=None) -> "DataFrame":
+    """Apply a ``"vector"`` body field (the PromQL second stage) to an
+    evaluated matrix: ``{"op": "topk"|"bottomk", "k": N}`` or
+    ``{"op": "sum"|"min"|"max"|"avg"|"count", "by": [...]}``.
+
+    ``label_mapper`` translates the request's ``by`` names to matrix
+    columns — the live path maps range-level FIELD names through
+    ``_label_name`` (``metadata.service`` -> ``m_service``); the
+    recorded path serves whatever label columns the rule committed, so
+    names pass through verbatim (the same names the envelope shows)."""
+    from .operators.range_query import VECTOR_AGGS, vector_agg, vector_topk
+
+    if not isinstance(vec, dict):
+        raise BadInputError("vector: expected an object")
+    op = vec.get("op")
+    if op in ("topk", "bottomk"):
+        unknown = set(vec) - {"op", "k"}
+        if unknown:
+            raise BadInputError(
+                f"vector: unknown field {sorted(unknown)[0]!r}"
+            )
+        k = vec.get("k")
+        if isinstance(k, bool) or not isinstance(k, int):
+            raise BadInputError("vector: k must be an integer")
+        return vector_topk(df, k, bottom=(op == "bottomk"))
+    if op in VECTOR_AGGS:
+        unknown = set(vec) - {"op", "by"}
+        if unknown:
+            raise BadInputError(
+                f"vector: unknown field {sorted(unknown)[0]!r}"
+            )
+        vby = vec.get("by", [])
+        if not isinstance(vby, list) or not all(
+            isinstance(f, str) for f in vby
+        ):
+            raise BadInputError("vector: by must be a list of names")
+        if label_mapper is not None:
+            vby = [label_mapper(f) for f in vby]
+        return vector_agg(df, op, vby)
+    raise BadInputError(
+        f"vector: op must be topk, bottomk or one of {sorted(VECTOR_AGGS)}"
+    )
 
 
 def recorded_range_request(recordings, spark, body: str | bytes) -> dict:
@@ -374,6 +418,10 @@ def recorded_range_request(recordings, spark, body: str | bytes) -> dict:
             df = df.filter(
                 F.col("bucket") <= _epoch_seconds(_parse_ts(obj["end"], "end"))
             )
+        if obj.get("vector") is not None:
+            # recorded labels are served verbatim: record fine, regroup
+            # coarse at read time — still zero corpus scan
+            df = _apply_vector(df, obj["vector"])
         rows = df.limit(MAX_MATRIX_POINTS + 1).collect()
         if len(rows) > MAX_MATRIX_POINTS:
             raise BadInputError(
@@ -393,7 +441,10 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
     rejected/ignored per operators/range_query.py), plus ``step``
     (seconds or ``30s``/``5m``/``1h``/``1d``), ``agg``, ``by`` (label
     fields, comparison-node whitelist), ``unwrap`` (numeric field for
-    the *_over_time value aggs) and ``fill`` (zero-fill the grid).
+    the *_over_time value aggs), ``fill`` (zero-fill the grid) and
+    ``vector`` (the PromQL second stage — ``{"op": "topk", "k": 3}`` /
+    ``{"op": "sum", "by": ["level"]}`` applied to the evaluated
+    matrix; vector ``by`` names must be range-level ``by`` fields).
 
     Response data is the Loki matrix shape: one entry per label set,
     ``{"labels": {...}, "values": [[bucket_epoch_s, v], ...]}`` with
@@ -424,6 +475,7 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         unwrap = obj.pop("unwrap", None)
         fill = obj.pop("fill", False)
         quantile = obj.pop("quantile", None)
+        vector = obj.pop("vector", None)
         if quantile is not None:
             if (
                 not isinstance(quantile, list)
@@ -453,6 +505,18 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
             records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill,
             quantile=quantile,
         )
+        if vector is not None:
+            from .operators.range_query import _label_name
+
+            def _map_by(f: str) -> str:
+                if f not in by:
+                    raise BadInputError(
+                        f"vector: by field {f!r} must be one of the"
+                        f" range-level by fields {list(by)}"
+                    )
+                return _label_name(f)
+
+            df = _apply_vector(df, vector, _map_by)
         rows = df.limit(MAX_MATRIX_POINTS + 1).collect()
         if len(rows) > MAX_MATRIX_POINTS:
             raise BadInputError(

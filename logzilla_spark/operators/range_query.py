@@ -56,8 +56,13 @@ from .query import (
 __all__ = [
     "AGGS",
     "MAX_BUCKETS",
+    "VECTOR_AGGS",
     "range_query",
     "range_query_sql",
+    "vector_agg",
+    "vector_agg_sql",
+    "vector_topk",
+    "vector_topk_sql",
     "parse_step",
 ]
 
@@ -75,7 +80,22 @@ AGGS: dict[str, tuple[bool, bool]] = {
     # exact discrete quantile (operators/metrics.py rank rule); takes
     # the extra ``quantile=(num, den)`` rational parameter
     "quantile_over_time": (True, False),
+    # earliest/latest sample per cell (Loki first/last_over_time); the
+    # ordering key is the lexicographic BIGINT pair (event micros,
+    # value) so a timestamp tie cannot make the answer partition-order
+    # dependent — min_by over a struct here, ordered-aggregate
+    # first(v ORDER BY us, v) in the twin, identical total order
+    "first_over_time": (True, False),
+    "last_over_time": (True, False),
 }
+
+# second-stage (vector) aggregations over an evaluated matrix:
+# PromQL's ``sum by (..) (rate(..))`` family.  ``avg`` is the exact
+# sum/count IEEE division; ``sum``/``avg`` over a DOUBLE-valued matrix
+# (rate/avg upstream) are float additions and therefore order-
+# dependent — exact cross-engine twinning is guaranteed only for the
+# BIGINT-valued matrices (count/bytes/sum/min/max/quantile/first/last).
+VECTOR_AGGS = ("sum", "min", "max", "avg", "count")
 
 # Loki's max resolution per query (11000 points); the grid is
 # driver-validated against it before any job starts.
@@ -223,6 +243,12 @@ def range_query(
     extra: list[Column] = []
     if needs_unwrap:
         extra = [field_resolver(unwrap).try_cast("bigint").alias("uv")]
+        if agg in ("first_over_time", "last_over_time"):
+            # event-time micros: the primary ordering key for the
+            # earliest/latest sample (exact BIGINT on both engines)
+            extra.append(
+                F.expr(f"unix_micros(`{time_column}`)").alias("us")
+            )
     elif agg in ("bytes_over_time", "bytes_rate"):
         # message byte length (UTF-8): octet_length here, strlen in the twin
         extra = [F.octet_length("message").alias("bv")]
@@ -267,6 +293,12 @@ def range_query(
         val = F.min("uv")
     elif agg == "max_over_time":
         val = F.max("uv")
+    elif agg == "first_over_time":
+        # deterministic: value of the lexicographically smallest
+        # (micros, value) pair — a timestamp tie breaks on the value
+        val = F.min_by("uv", F.struct(F.col("us"), F.col("uv")))
+    elif agg == "last_over_time":
+        val = F.max_by("uv", F.struct(F.col("us"), F.col("uv")))
     else:  # avg_over_time: exact BIGINT sums, one IEEE division
         val = F.sum("uv").cast("double") / F.count("uv").cast("double")
     cells = base.groupBy(*label_names, "bucket").agg(
@@ -371,6 +403,15 @@ FROM win GROUP BY {cell}"""
             "CAST(sum(TRY_CAST({u} AS BIGINT)) AS DOUBLE)"
             " / CAST(count(*) AS DOUBLE)"
         ).format(u=field_sql(unwrap))
+    elif agg in ("first_over_time", "last_over_time"):
+        # ordered aggregate over the same lexicographic (micros, value)
+        # key as min_by/max_by over the struct on the Spark side
+        fn = "first" if agg == "first_over_time" else "last"
+        u = f"TRY_CAST({field_sql(unwrap)} AS BIGINT)"
+        val = (
+            f"CAST({fn}({u} ORDER BY epoch_us({time_column}), {u})"
+            f" AS BIGINT)"
+        )
     else:
         fn = {"sum_over_time": "sum", "min_over_time": "min",
               "max_over_time": "max"}[agg]
@@ -412,3 +453,152 @@ filled AS (
   FROM grid g LEFT JOIN cells c ON {on}
 )
 SELECT {', '.join([*label_names, 'bucket'])}, {vexpr} AS v FROM filled"""
+
+
+# -- vector stage -----------------------------------------------------
+#
+# PromQL/LogQL's second evaluation stage: operators over an ALREADY
+# EVALUATED matrix (labels..., bucket BIGINT, v).  Two members:
+#
+# - vector_agg: regroup the series onto a label subset
+#   (``sum by (level) (count_over_time by (level, source))``).  The
+#   input is cell-scale (series x buckets, dashboard cardinality),
+#   never corpus-scale, so the shuffle is metadata-sized; composing it
+#   over a COMMITTED recording table (streaming/recordings.py) serves
+#   a coarser dashboard without any corpus scan — record once at the
+#   finest useful granularity, regroup at read time.
+# - vector_topk / bottomk: per bucket keep the k extreme series.  A
+#   row_number window partitioned by bucket — partition count = grid
+#   buckets, partition size = series count, both dashboard-scale.
+#
+# Determinism: topk ties break on the label columns ascending
+# (NULLS FIRST on both engines — Spark's ASC default, made explicit in
+# the twin because DuckDB's ASC default is NULLS LAST); ``v`` is
+# non-NULL by the range-stage contract (cells exist only where data
+# does; fill writes zeros).  See VECTOR_AGGS for the float-sum caveat.
+
+
+def _matrix_labels(matrix: DataFrame) -> list[str]:
+    cols = list(matrix.columns)
+    if "bucket" not in cols or "v" not in cols:
+        raise QueryValidationError(
+            "vector stage expects a range matrix (labels..., bucket, v)"
+        )
+    return [c for c in cols if c not in ("bucket", "v")]
+
+
+def _check_vector_by(by: Sequence[str], labels: list[str]) -> list[str]:
+    by = list(by)
+    if len(set(by)) != len(by):
+        raise QueryValidationError("vector by: duplicate label")
+    for c in by:
+        if c not in labels:
+            raise QueryValidationError(
+                f"vector by: {c!r} is not a label of the matrix"
+                f" (labels: {labels})"
+            )
+    return by
+
+
+def vector_agg(
+    matrix: DataFrame, op: str, by: Sequence[str] = ()
+) -> DataFrame:
+    """Regroup a range matrix onto a label subset: per (``by``...,
+    bucket), aggregate ``v`` with ``op`` (one of :data:`VECTOR_AGGS`).
+
+    ``by`` names are the matrix's OUTPUT label columns (the flattened
+    ``_label_name`` form, e.g. ``m_service``).  ``avg`` is the exact
+    BIGINT-sum / count IEEE division when the input matrix is integer-
+    valued; ``sum``/``avg`` over a DOUBLE matrix are order-dependent
+    float additions (documented at VECTOR_AGGS)."""
+    labels = _matrix_labels(matrix)
+    if op not in VECTOR_AGGS:
+        raise QueryValidationError(
+            f"unknown vector aggregation {op!r}; one of {sorted(VECTOR_AGGS)}"
+        )
+    by = _check_vector_by(by, labels)
+    if op == "count":
+        val = F.count("v").alias("v")
+    elif op == "avg":
+        val = (
+            F.sum("v").cast("double") / F.count("v").cast("double")
+        ).alias("v")
+    elif op == "sum":
+        val = F.sum("v").alias("v")
+    elif op == "min":
+        val = F.min("v").alias("v")
+    else:
+        val = F.max("v").alias("v")
+    return matrix.groupBy(*by, "bucket").agg(val).select(*by, "bucket", "v")
+
+
+def vector_topk(matrix: DataFrame, k: int, *, bottom: bool = False) -> DataFrame:
+    """Per bucket, keep the ``k`` series with the largest ``v``
+    (``bottom=True``: smallest).  Ties break on the label columns
+    ascending NULLS FIRST — fully deterministic, so the result is a
+    pure function of the matrix."""
+    from pyspark.sql import Window
+
+    labels = _matrix_labels(matrix)
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise QueryValidationError("vector topk: k must be an integer >= 1")
+    order = [F.col("v").asc() if bottom else F.col("v").desc()]
+    order += [F.col(c).asc_nulls_first() for c in labels]
+    w = Window.partitionBy("bucket").orderBy(*order)
+    return (
+        matrix.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def vector_agg_sql(
+    inner: str,
+    op: str,
+    by: Sequence[str] = (),
+    *,
+    value_type: str = "BIGINT",
+) -> str:
+    """DuckDB twin of :func:`vector_agg` over the matrix SQL ``inner``
+    (normally a :func:`range_query_sql` string).  ``value_type`` is the
+    matrix's ``v`` type (``BIGINT``/``DOUBLE``) — DuckDB's sum over
+    BIGINT widens to HUGEINT, so the twin casts back to the Spark
+    result type."""
+    by = list(by)
+    if op == "count":
+        val = "CAST(count(v) AS BIGINT)"
+    elif op == "avg":
+        val = "CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)"
+    elif op == "sum":
+        val = f"CAST(sum(v) AS {value_type})"
+    else:
+        val = f"{op}(v)"
+    sel = ", ".join([*by, "bucket", f"{val} AS v"])
+    grp = ", ".join(str(i + 1) for i in range(len(by) + 1))
+    return f"WITH _m AS (\n{inner}\n)\nSELECT {sel} FROM _m GROUP BY {grp}"
+
+
+def vector_topk_sql(
+    inner: str,
+    k: int,
+    label_names: Sequence[str],
+    *,
+    bottom: bool = False,
+) -> str:
+    """DuckDB twin of :func:`vector_topk` — identical total order
+    (v DESC NULLS LAST / ASC NULLS FIRST matches Spark's defaults,
+    labels ASC NULLS FIRST made explicit against DuckDB's ASC
+    NULLS LAST default)."""
+    labels = list(label_names)
+    vorder = "v ASC NULLS FIRST" if bottom else "v DESC NULLS LAST"
+    ties = "".join(f", {c} ASC NULLS FIRST" for c in labels)
+    sel = ", ".join([*labels, "bucket", "v"])
+    return f"""WITH _m AS (
+{inner}
+),
+_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket ORDER BY {vorder}{ties}
+  ) AS _rk FROM _m
+)
+SELECT {sel} FROM _r WHERE _rk <= {int(k)}"""
