@@ -33,6 +33,7 @@ pagination instead of the stub ``Cursor: ""``
 from __future__ import annotations
 
 import json
+import re
 from datetime import datetime, timezone
 from typing import Any
 
@@ -665,4 +666,154 @@ def context_request(records: DataFrame, body: str | bytes) -> dict:
         "message": "",
         "data": [r.asDict() for r in rows],
         "metadata": {"count": len(rows), "anchor": anchor},
+    }
+
+
+# -- live tail over the committed catalog ----------------------------------
+
+_TAIL_FIELDS = {"table", "cursor", "limit", "node"}
+_TAIL_CURSOR_FIELDS = {"from", "to", "after"}
+_TABLE_PATTERN = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,63}$")
+
+
+def _node_fields(node: QueryNode) -> list[str]:
+    """Every comparison field referenced by a node tree."""
+    if isinstance(node, ComparisonNode):
+        return [node.field_name]
+    if isinstance(node, NotNode):
+        return _node_fields(node.child)
+    return [f for c in node.children for f in _node_fields(c)]
+
+
+def tail_request(tail, body: str | bytes) -> dict:
+    """``POST /api/logs/tail``: follow a committed catalog table —
+    the reference's tail -f loop (tailer/tail.go seek-to-end
+    semantics, O2) re-expressed over snapshots: the cursor is a
+    snapshot position, the delta is the CDC insert feed
+    (catalog.inserts_between), so a poll is delta-sized I/O on the
+    append-only fast path and EXACTLY-ONCE across compactions and
+    upsert rewrites (a pure compaction yields an empty poll, an
+    updated row arrives once as its new version).
+
+    Body: ``table`` (required); ``cursor`` — absent/null seeks to end
+    (no rows, just the position, exactly like SEEK_END on open);
+    ``{"from": N}`` drains inserts committed after snapshot N;
+    ``{"from": N, "to": M, "after": tok}`` continues a pinned page
+    walk. ``limit`` in [1, 1000] (default 100) bounds a page; a full
+    page pins the head and returns a keyset continuation, a short
+    page advances ``from`` to the drained head. ``node`` is the
+    search endpoint's filter tree, applied to the delta (fields must
+    exist on the table). Page order is (timestamp, id) — exactly-once
+    paging relies on ids being unique within a delta, which the
+    parser's deterministic url#pos ids guarantee."""
+    from .operators.query import decode_cursor, default_field_resolver
+
+    try:
+        if tail is None:
+            raise BadInputError("tail is not configured on this server")
+        cat, spark = tail
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:  # cap BEFORE parsing (helper.go:22)
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        unknown = set(obj) - _TAIL_FIELDS
+        if unknown:
+            raise BadInputError(f"unknown field: {sorted(unknown)[0]!r}")
+        table = obj.get("table")
+        if not isinstance(table, str) or not _TABLE_PATTERN.match(table):
+            raise BadInputError("table: Field is required (identifier).")
+        if not cat.exists(table):
+            raise BadInputError(f"table: no such table {table!r}")
+        limit = obj.get("limit", 100)
+        if isinstance(limit, bool) or not isinstance(limit, int) or not (
+            1 <= limit <= 1000
+        ):
+            raise BadInputError("limit: expected an int in [1, 1000]")
+        node = decode_node(obj["node"]) if obj.get("node") is not None else None
+
+        head = cat.last_snapshot_id(table) or 0
+        cursor = obj.get("cursor")
+        if cursor is None:
+            # seek-to-end: report the position, deliver nothing
+            return {
+                "success": True,
+                "message": "",
+                "data": [],
+                "metadata": {"cursor": {"from": head}, "count": 0},
+            }
+        if not isinstance(cursor, dict) or set(cursor) - _TAIL_CURSOR_FIELDS:
+            raise BadInputError("cursor: expected {from[, to, after]}")
+        snaps = set(cat.snapshot_ids(table))
+        frm = cursor.get("from")
+        if isinstance(frm, bool) or not isinstance(frm, int) or (
+            frm != 0 and frm not in snaps
+        ):
+            raise BadInputError(
+                "cursor.from: expected 0 or a live snapshot id"
+            )
+        pinned = "to" in cursor
+        to = cursor["to"] if pinned else head
+        if pinned and (
+            isinstance(to, bool) or not isinstance(to, int) or to not in snaps
+        ):
+            raise BadInputError("cursor.to: expected a live snapshot id")
+        if to < frm:
+            raise BadInputError("cursor: to precedes from")
+        after = None
+        if cursor.get("after") is not None:
+            if not pinned:
+                raise BadInputError("cursor.after: requires a pinned to")
+            after = decode_cursor(cursor["after"])
+
+        if to == frm or to == 0:
+            return {
+                "success": True,
+                "message": "",
+                "data": [],
+                "metadata": {"cursor": {"from": to}, "count": 0},
+            }
+        delta = cat.inserts_between(spark, table, frm, to)
+        if "timestamp" not in delta.columns or "id" not in delta.columns:
+            raise BadInputError(
+                "table: tail needs (timestamp, id) columns for paging"
+            )
+        if node is not None:
+            # whitelist first (ComparisonNode._check), THEN existence
+            # on this table — both are client errors, never a 500
+            user = node.to_column(default_field_resolver)
+            missing = [
+                f for f in _node_fields(node)
+                if f.split(".", 1)[0] not in delta.columns
+            ]
+            if missing:
+                raise BadInputError(f"node: no such column {missing[0]!r}")
+            if user is not None:
+                delta = delta.filter(user)
+        if after is not None:
+            a_ts, a_id = after
+            from pyspark.sql import functions as F
+
+            tc, ic = F.col("timestamp"), F.col("id")
+            delta = delta.filter(
+                (tc > F.lit(a_ts)) | ((tc == F.lit(a_ts)) & (ic > a_id))
+            )
+        rows = delta.orderBy("timestamp", "id").limit(limit).collect()
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    if len(rows) == limit:
+        nxt = {"from": frm, "to": to, "after": next_cursor(rows)}
+    else:
+        nxt = {"from": to}
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict(recursive=True) for r in rows],
+        "metadata": {"cursor": nxt, "count": len(rows)},
     }

@@ -51,6 +51,7 @@ class _Handler(BaseHTTPRequestHandler):
     records: DataFrame  # bound by make_server
     alerts: DataFrame | None = None  # bound by make_server (optional)
     recordings = None  # LocalCatalog with rec_* tables (optional)
+    tail = None  # (LocalCatalog, SparkSession) for /api/logs/tail (optional)
     trusted_origins: tuple[str, ...] = ()  # bound by make_server
     # Per-connection socket timeout (BaseRequestHandler.setup applies
     # it to the accepted socket). Without it a client that connects
@@ -133,6 +134,13 @@ class _Handler(BaseHTTPRequestHandler):
             handler = lambda records, b: query_range_request(  # noqa: E731
                 records, type(self).recordings, b
             )
+        elif self.path == "/api/logs/tail":
+            from logzilla_spark.api import tail_request
+
+            # bound to a (catalog, spark) pair, not the records frame
+            handler = lambda _records, b: tail_request(  # noqa: E731
+                type(self).tail, b
+            )
         elif self.path == "/api/alerts":
             from logzilla_spark.api import alerts_request
 
@@ -179,6 +187,7 @@ def make_server(
     handler_timeout: float = 30.0,
     alerts: DataFrame | None = None,
     recordings=None,
+    tail=None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server bound to a records DataFrame.
 
@@ -189,8 +198,10 @@ def make_server(
     never-completing TLS handshake) may hold its handler thread.
     ``alerts`` (optional) binds the alert-ledger frame behind
     ``POST /api/alerts``; ``recordings`` (optional) binds a catalog
-    whose ``rec_*`` tables serve ``{"rule": ...}`` query_range bodies.
-    Without either, those routes answer with client envelope errors."""
+    whose ``rec_*`` tables serve ``{"rule": ...}`` query_range bodies;
+    ``tail`` (optional) binds a ``(LocalCatalog, SparkSession)`` pair
+    behind ``POST /api/logs/tail``. Without a binding, those routes
+    answer with client envelope errors."""
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -198,6 +209,7 @@ def make_server(
             "records": records,
             "alerts": alerts,
             "recordings": recordings,
+            "tail": tail,
             "trusted_origins": tuple(trusted_origins),
             "timeout": handler_timeout,
         },
@@ -228,13 +240,14 @@ def serve_background(
     trusted_origins: tuple[str, ...] = (),
     alerts: DataFrame | None = None,
     recordings=None,
+    tail=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the serve loop on a daemon thread; returns (server, thread).
 
     Shut down with ``server.shutdown()`` (joins the loop)."""
     srv = make_server(
         records, host, port, cert_file, key_file, trusted_origins,
-        alerts=alerts, recordings=recordings,
+        alerts=alerts, recordings=recordings, tail=tail,
     )
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="logzilla-http")

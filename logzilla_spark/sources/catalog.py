@@ -1620,13 +1620,92 @@ class LocalCatalog:
             added = base.limit(0)
         if removed is None:
             removed = base.limit(0)
+        # exceptAll rejects MAP columns (maps are unordered, so Spark
+        # refuses to hash them in set ops). Canonicalize top-level map
+        # columns to key-sorted entry arrays around the diff — equal
+        # maps become byte-equal arrays regardless of entry order —
+        # and restore the map type afterward. Maps nested inside
+        # structs/arrays stay unsupported, as in Spark itself.
+        from pyspark.sql.types import MapType
+
+        map_cols = [
+            f.name for f in base.schema.fields if isinstance(f.dataType, MapType)
+        ]
+
+        def _to_entries(df: DataFrame) -> DataFrame:
+            for c in map_cols:
+                df = df.withColumn(c, F.array_sort(F.map_entries(F.col(c))))
+            return df
+
+        def _to_maps(df: DataFrame) -> DataFrame:
+            for c in map_cols:
+                df = df.withColumn(c, F.map_from_entries(F.col(c)))
+            return df.select(*cols, "_change_type")
+
+        added, removed = _to_entries(added), _to_entries(removed)
         inserts = added.exceptAll(removed).withColumn(
             "_change_type", F.lit("insert")
         )
         deletes = removed.exceptAll(added).withColumn(
             "_change_type", F.lit("delete")
         )
-        return inserts.unionByName(deletes)
+        return _to_maps(inserts.unionByName(deletes))
+
+    def inserts_between(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Insert side of the change feed, with an append-only fast path.
+
+        ``from_snapshot_id=0`` means "before the first snapshot" (the
+        whole TO state is new). When no file present at FROM was
+        removed by TO — pure appends, the standing shape of a streamed
+        records table — every row of the added files IS an insert, so
+        the result is a plain scan of the new files: no exceptAll, no
+        shuffle, delta-sized I/O (this is the tail -f hot loop). Any
+        file churn (compaction, DML rewrite, partition drop) falls
+        back to the full multiset diff of ``changes_between``, which
+        is what keeps a tail exactly-once across maintenance: a pure
+        compaction's feed is EMPTY, never a re-delivery."""
+        to_sid = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.last_snapshot_id(name)
+        )
+        if to_sid is None:
+            raise SnapshotError(f"table {name!r} has no committed snapshot")
+        from_files = (
+            set()
+            if from_snapshot_id == 0
+            else {
+                f
+                for g in self._groups(name, from_snapshot_id)
+                for f in g["files"]
+            }
+        )
+        to_groups = self._groups(name, to_sid)
+        to_files = {f for g in to_groups for f in g["files"]}
+        if not from_files <= to_files:
+            return (
+                self.changes_between(spark, name, from_snapshot_id, to_sid)
+                .filter(F.col("_change_type") == "insert")
+                .drop("_change_type")
+            )
+        new_groups = [
+            {
+                "base": g["base"],
+                "files": [f for f in g["files"] if f not in from_files],
+            }
+            for g in to_groups
+        ]
+        new_groups = [g for g in new_groups if g["files"]]
+        schema = self._schema_json_at(name, to_sid)
+        if not new_groups:
+            return self.read(spark, name, snapshot_id=to_sid).limit(0)
+        return self._read_groups(spark, new_groups, schema)
 
     def drop(self, name: str) -> None:
         with _COMMIT_LOCK:
