@@ -220,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             trusted_origins=tuple(args.cors_origin),
             alerts=alerts,
             recordings=pipe.cat,  # {"rule": ...} query_range bodies
+            tail=(pipe.cat, spark),  # POST /api/logs/tail cursor polls
         )
         print(json.dumps({"serving": list(srv.server_address)}), flush=True)
         srv.serve_forever()
