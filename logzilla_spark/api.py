@@ -671,7 +671,7 @@ def context_request(records: DataFrame, body: str | bytes) -> dict:
 
 # -- live tail over the committed catalog ----------------------------------
 
-_TAIL_FIELDS = {"table", "cursor", "limit", "node"}
+_TAIL_FIELDS = {"table", "cursor", "limit", "node", "q"}
 _TAIL_CURSOR_FIELDS = {"from", "to", "after"}
 _TABLE_PATTERN = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,63}$")
 
@@ -703,7 +703,9 @@ def tail_request(tail, body: str | bytes) -> dict:
     page pins the head and returns a keyset continuation, a short
     page advances ``from`` to the drained head. ``node`` is the
     search endpoint's filter tree, applied to the delta (fields must
-    exist on the table). Page order is (timestamp, id) — exactly-once
+    exist on the table); ``q`` is its T55 DSL string form (filter
+    only — time/sort/limit directives rejected, the cursor is the
+    time dimension), mutually exclusive with ``node``. Page order is (timestamp, id) — exactly-once
     paging relies on ids being unique within a delta, which the
     parser's deterministic url#pos ids guarantee."""
     from .operators.query import decode_cursor, default_field_resolver
@@ -737,6 +739,17 @@ def tail_request(tail, body: str | bytes) -> dict:
         ):
             raise BadInputError("limit: expected an int in [1, 1000]")
         node = decode_node(obj["node"]) if obj.get("node") is not None else None
+        if obj.get("q") is not None:
+            # T55 DSL string, filter part only: the tail's time
+            # dimension IS the cursor, so since:/until:/limit:/sort:
+            # directives are rejected (parse_dsl), like recording rules
+            from .operators.dsl import parse_dsl
+
+            if not isinstance(obj["q"], str):
+                raise BadInputError("q: expected a string")
+            if node is not None:
+                raise BadInputError("'q' and 'node' are mutually exclusive")
+            node = parse_dsl(obj["q"])
 
         head = cat.last_snapshot_id(table) or 0
         cursor = obj.get("cursor")

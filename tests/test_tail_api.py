@@ -226,3 +226,36 @@ def test_churned_delta_falls_back_to_the_multiset_diff(
     assert canon_rows(_canon_maps(delta.toPandas())) == canon_rows(
         _canon_maps(batches[1].toPandas())
     )
+
+
+def test_dsl_filter_matches_the_node_form(live, cat, batches):
+    _, resp = _tail(live, {"table": "records"})
+    cur = resp["metadata"]["cursor"]
+    cat.append(batches[1].coalesce(1), "records")
+    pick = sorted({r.level for r in batches[1].collect()})[0]
+    _, via_q = _tail(live, {
+        "table": "records", "cursor": cur, "q": f"level:{pick}",
+    })
+    _, via_node = _tail(live, {
+        "table": "records", "cursor": cur,
+        "node": {"field": "level", "op": "eq", "value": pick},
+    })
+    assert _ids(via_q) == _ids(via_node) != []
+
+
+def test_dsl_directives_and_node_conflict_are_client_errors(live):
+    import urllib.error
+
+    for payload, frag in [
+        ({"table": "records", "cursor": {"from": 0},
+          "q": "level:ERROR since:2024-01-01T00:00:00Z"}, "directive"),
+        ({"table": "records", "cursor": {"from": 0}, "q": "level:ERROR",
+          "node": {"field": "level", "op": "eq", "value": "ERROR"}},
+         "mutually exclusive"),
+        ({"table": "records", "cursor": {"from": 0}, "q": 7}, "q:"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _tail(live, payload)
+        assert exc.value.code == 400
+        body = json.loads(exc.value.read())
+        assert not body["success"] and frag in body["message"], payload
