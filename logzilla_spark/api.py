@@ -830,3 +830,25 @@ def tail_request(tail, body: str | bytes) -> dict:
         "data": [r.asDict(recursive=True) for r in rows],
         "metadata": {"cursor": nxt, "count": len(rows)},
     }
+
+
+def tables_request(tail) -> dict:
+    """``GET /api/tables``: the warehouse at a glance — one
+    metadata-only status row per committed table (head snapshot,
+    snapshot/file/byte counts, head operation, committed-map keys).
+    No Spark job runs; everything comes from manifests plus one stat
+    per live file. Bound to the same ``(catalog, spark)`` pair as the
+    tail route; unbound servers answer a client envelope error."""
+    try:
+        if tail is None:
+            raise BadInputError("tail is not configured on this server")
+        cat, _spark = tail
+        data = [cat.table_status(t) for t in cat.tables()]
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        "data": data,
+        "metadata": {"count": len(data)},
+    }

@@ -113,6 +113,15 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/healthcheck":
             # reference returns the bare OK envelope (healthcheck.go:5-10)
             self._write(200, _envelope(True, "healthy"))
+        elif self.path == "/api/tables":
+            from logzilla_spark.api import tables_request
+
+            try:
+                resp = tables_request(type(self).tail)
+                self._write(200 if resp["success"] else 400, resp)
+            except Exception as e:  # noqa: BLE001 — the recover middleware
+                log.exception("panic recovered in tables handler")
+                self._write(500, _envelope(False, f"internal error: {type(e).__name__}"))
         else:
             self._write(404, _envelope(False, f"no route: GET {self.path}"))
 

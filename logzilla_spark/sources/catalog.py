@@ -1479,6 +1479,46 @@ class LocalCatalog:
     def snapshot_summary(self, name: str, snapshot_id: int) -> dict:
         return self._load_snapshot(name, snapshot_id).get("summary", {})
 
+    def tables(self) -> list[str]:
+        """Names of tables with at least one committed snapshot."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.warehouse)
+            if os.path.isdir(self._snap_dir(n))
+            and self.last_snapshot_id(n) is not None
+        )
+
+    def table_status(self, name: str) -> dict:
+        """Metadata-only table summary (no Spark job): head snapshot,
+        snapshot count, head operation, live file count/bytes, and the
+        exactly-once committed-map keys. Bytes come from one stat per
+        LIVE file — driver-side manifest-walk cost, O(files); a real
+        Iceberg deployment reads file sizes straight out of manifests,
+        which is where these would live at 100 TB."""
+        sid = self.last_snapshot_id(name)
+        if sid is None:
+            raise SnapshotError(f"table {name!r} has no committed snapshot")
+        manifest = self._load_snapshot(name, sid)
+        files = [f for g in self._groups(name, sid) for f in g["files"]]
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+        summary = manifest.get("summary") or {}
+        return {
+            "table": name,
+            "head_snapshot_id": sid,
+            "snapshots": len(self.snapshot_ids(name)),
+            "operation": manifest.get("operation"),
+            "files": len(files),
+            "bytes": total,
+            "committed_queries": sorted(summary.get("committed", {})),
+        }
+
     def rollback(self, name: str, to_snapshot_id: int) -> int:
         """Publish a new snapshot whose state equals ``to_snapshot_id``
         (Iceberg rollback analog). Used by checkpoint-resume to drop

@@ -259,3 +259,44 @@ def test_dsl_directives_and_node_conflict_are_client_errors(live):
         assert exc.value.code == 400
         body = json.loads(exc.value.read())
         assert not body["success"] and frag in body["message"], payload
+
+
+# -- GET /api/tables: warehouse observability ------------------------------
+
+
+def _get_tables(base):
+    with urllib.request.urlopen(f"{base}/api/tables") as r:
+        return json.loads(r.read())
+
+
+def test_tables_status_reflects_commits_and_compaction(
+    spark, live, cat, batches
+):
+    cat.append(batches[1].coalesce(1), "records")
+    resp = _get_tables(live)
+    assert resp["success"] and resp["metadata"]["count"] == 1
+    st = resp["data"][0]
+    assert st["table"] == "records"
+    assert st["head_snapshot_id"] == cat.last_snapshot_id("records")
+    assert st["snapshots"] == 2 and st["files"] == 2
+    assert st["operation"] == "append" and st["bytes"] > 0
+
+    cat.compact(spark, "records")  # commits via overwrite
+    st = _get_tables(live)["data"][0]
+    assert st["operation"] == "overwrite" and st["files"] == 1
+    assert st["snapshots"] == 3
+
+
+def test_tables_unbound_is_a_client_envelope_error(spark, records_sf0001):
+    import urllib.error
+
+    from logzilla_spark.server import serve_background as _sb
+
+    srv, _t = _sb(records_sf0001)  # no catalog binding
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get_tables(base)
+        assert exc.value.code == 400
+    finally:
+        srv.shutdown()
