@@ -28,8 +28,11 @@ from logzilla_spark.operators.aggregate import windowed_counts, windowed_counts_
 from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.fulltext import (
     build_inverted_index,
+    build_positional_index,
+    full_text_phrase,
     full_text_search,
     search_index,
+    search_phrase_index,
 )
 from logzilla_spark.operators.multiline import reassemble_multiline
 from logzilla_spark.operators import parsers as parser_registry
@@ -110,6 +113,21 @@ def _q_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = persist_tracked(_records(spark, sf_dir))
     return _flat_records(
         search_index(build_inverted_index(rec), rec, "disk svc3")
+    )
+
+
+def _q_fulltext_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase tier over ONE persisted records frame
+    (same materialization story as _q_fulltext_index). The phrase
+    '1 200' is the adjacency probe: at sf0.01 the AND tiers match 610
+    records (tokens '1' and '200' anywhere) while the phrase matches 8
+    (consecutive '1 200') — the gate result hash therefore PROVES the
+    adjacency semantics, not just token containment."""
+    from logzilla_spark.functions.caching import persist_tracked
+
+    rec = persist_tracked(_records(spark, sf_dir))
+    return _flat_records(
+        search_phrase_index(build_positional_index(rec), rec, "1 200")
     )
 
 
@@ -1453,6 +1471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_fulltext_index": _q_fulltext_index,
         "q_fulltext_served": _q_fulltext_served,
+        # --- T63 phrase search: token adjacency, scan + positional-index tiers ---
+        "q_fulltext_phrase": lambda s, d: _flat_records(
+            full_text_phrase(_records(s, d), "timeout contacting upstream")
+        ),
+        "q_fulltext_phrase_index": _q_fulltext_phrase_index,
         # --- T50 BM25 relevance tier (OR semantics, scored top-k) ---
         "q_fulltext_bm25": lambda s, d: __import__(
             "logzilla_spark.operators.fulltext", fromlist=["bm25_topk"]
@@ -1634,6 +1657,8 @@ SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_fulltext_scan": oracle.fulltext_sql(p, "disk svc3"),
         "q_fulltext_index": oracle.fulltext_sql(p, "disk svc3"),
         "q_fulltext_served": oracle.fulltext_sql(p, "disk svc3"),
+        "q_fulltext_phrase": oracle.phrase_sql(p, "timeout contacting upstream"),
+        "q_fulltext_phrase_index": oracle.phrase_sql(p, "1 200"),
         "q_fulltext_bm25": (
             f"WITH {oracle.records_cte(p)},\n"
             + __import__(

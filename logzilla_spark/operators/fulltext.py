@@ -189,6 +189,141 @@ def serve_fulltext(
 
 
 # --------------------------------------------------------------------------
+# Phrase search — token-adjacency semantics over the searchable text
+# --------------------------------------------------------------------------
+#
+# "Full-text search across all log fields" (reference README.md:28-31)
+# in every real search engine comes with quoted-phrase queries; the
+# boolean tiers above are AND-of-tokens, this tier requires the query
+# tokens to appear CONSECUTIVELY, in order. Two tiers again:
+#
+# 1. ``full_text_phrase`` — scan tier: the record's token array joined
+#    by single spaces contains the space-joined phrase with token
+#    delimiters. One codegen'd string `contains` per record — no
+#    explode, no shuffle. Adjacency is over the concatenated
+#    searchable text, so a phrase may deliberately span a field
+#    boundary (message's last token followed by source's first) —
+#    that IS the "across all fields" contract, and the DuckDB twin
+#    (oracle.phrase_sql) mirrors it exactly.
+#
+# 2. ``build_positional_index`` / ``search_phrase_index`` — the 100 TB
+#    tier: a positional posting table (id, pos, token). A k-token
+#    phrase query joins the postings of the query's tokens (token
+#    lookups — bucket/file-prunable like the boolean index) against a
+#    k-row broadcast (j, token) table and groups on (id, pos - j): a
+#    group holding all k offsets j is a phrase occurrence starting at
+#    pos - j. Work is proportional to the query tokens' posting lists,
+#    never the corpus; the one shuffle is on that small intermediate.
+
+PHRASE_POSTINGS_SUFFIX = "__postings_pos"
+
+
+def phrase_tokens(query: str) -> list[str]:
+    """The phrase's tokens in order, duplicates kept — same tokenizer
+    as :func:`query_tokens` but position-preserving."""
+    return [t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t]
+
+
+def full_text_phrase(records: DataFrame, phrase: str) -> DataFrame:
+    """Scan-tier phrase search: records whose searchable tokens contain
+    the phrase's tokens consecutively, in order."""
+    toks = phrase_tokens(phrase)
+    if not toks:
+        return records
+    haystack = F.concat(
+        F.lit(" "),
+        F.array_join(_tokens(searchable_text(records)), " "),
+        F.lit(" "),
+    )
+    return records.filter(haystack.contains(" " + " ".join(toks) + " "))
+
+
+def build_positional_index(records: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, pos, token) positional postings — one row per token
+    OCCURRENCE (no distinct: positions are the payload). Same
+    at-scale layout story as :func:`build_inverted_index` — write
+    clustered/bucketed by token so query-token lookups are pruned
+    scans; ~dl rows per record instead of ~distinct(dl), the standard
+    positional-index size trade."""
+    return records.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tokens(searchable_text(records))).alias("pos", "token"),
+    )
+
+
+def search_phrase_index(
+    index: DataFrame, records: DataFrame, phrase: str, id_col: str = "id"
+) -> DataFrame:
+    """Index-tier phrase search over positional postings.
+
+    Plan: prune the index to the phrase's distinct tokens (pushed
+    isin — partition/bucket/file prunable), broadcast-join the k-row
+    (j, token) offsets table, group by (id, pos - j) and demand all k
+    offsets. Ids with >= 1 phrase start semi-join back to records.
+    Duplicate phrase tokens are handled by construction: offset j is
+    only satisfied by token toks[j] at pos = base + j.
+    """
+    toks = phrase_tokens(phrase)
+    if not toks:
+        return records
+    spark = index.sparkSession
+    offsets = spark.createDataFrame(
+        list(enumerate(toks)), "j int, token string"
+    )
+    hits = (
+        index.filter(F.col("token").isin(sorted(set(toks))))
+        .join(F.broadcast(offsets), "token")
+        .groupBy(F.col("id"), (F.col("pos") - F.col("j")).alias("_base"))
+        .agg(F.countDistinct("j").alias("_k"))
+        .filter(F.col("_k") == len(toks))
+        .select("id")
+        .distinct()
+    )
+    return records.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+
+
+def build_phrase_index_table(
+    records: DataFrame, catalog, name: str, id_col: str = "id"
+) -> int:
+    """Commit the positional postings as ``<name>__postings_pos``,
+    CLUSTERED BY token — identical serving/pruning story to
+    :func:`build_fulltext_index_table` (file-level manifest token
+    ranges), with positions riding along in the same files."""
+    return catalog.overwrite(
+        build_positional_index(records, id_col),
+        name + PHRASE_POSTINGS_SUFFIX,
+        cluster_by=["token"],
+        summary={"kind": "phrase_postings", "id_col": id_col},
+    )
+
+
+def serve_phrase(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    records: DataFrame,
+    phrase: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Phrase search served from the COMMITTED positional index:
+    manifest-stats file pruning on the phrase's tokens, then the
+    offset-join intersection, then the records semi-join. Row-identical
+    to ``search_phrase_index(build_positional_index(records), ...)``
+    over the records the index was built from."""
+    toks = phrase_tokens(phrase)
+    if not toks:
+        return records
+    postings = catalog.read_stats_pruned(
+        spark, name + PHRASE_POSTINGS_SUFFIX, "token", sorted(set(toks))
+    )
+    if postings is None:
+        return records.filter(F.lit(False))
+    return search_phrase_index(postings, records, phrase, id_col)
+
+
+# --------------------------------------------------------------------------
 # BM25 relevance ranking (Robertson '94) — the scored tier above the
 # boolean AND search
 # --------------------------------------------------------------------------

@@ -220,6 +220,31 @@ def fulltext_sql(pages_path: str, query: str) -> str:
     )
 
 
+def phrase_sql(pages_path: str, phrase: str) -> str:
+    """Twin of operators.fulltext.full_text_phrase: the phrase's tokens
+    appear CONSECUTIVELY, in order, in the record's searchable token
+    sequence — space-joined tokens with sentinel delimiters on both
+    engines, so adjacency (including across field boundaries) agrees
+    exactly."""
+    import re as _re
+
+    toks = [t for t in _re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    meta_cols = ", ".join(
+        f"coalesce(m_{k}, '')"
+        for k in ("service", "request_id", "attempt", "ip", "method", "path",
+                  "status", "size")
+    )
+    tok_expr = (
+        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
+        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    needle = " " + " ".join(toks) + " "
+    pred = f"contains(' ' || array_to_string({tok_expr}, ' ') || ' ', '{needle}')"
+    return (
+        f"WITH {records_cte(pages_path)}\n{RECORDS_SELECT}\nWHERE {pred}"
+    )
+
+
 def multiline_sql(
     pages_path: str, start_re: str = r"^\s*\{|^[0-9]"
 ) -> str:
