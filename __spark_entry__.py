@@ -29,9 +29,11 @@ from logzilla_spark.operators.enrich import enrich_records
 from logzilla_spark.operators.fulltext import (
     build_inverted_index,
     build_positional_index,
+    full_text_near,
     full_text_phrase,
     full_text_search,
     search_index,
+    search_near_index,
     search_phrase_index,
 )
 from logzilla_spark.operators.multiline import reassemble_multiline
@@ -128,6 +130,20 @@ def _q_fulltext_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = persist_tracked(_records(spark, sf_dir))
     return _flat_records(
         search_phrase_index(build_positional_index(rec), rec, "1 200")
+    )
+
+
+def _q_fulltext_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index proximity tier over ONE persisted records frame.
+    'get 200' at slop=3 matches 751 records at sf0.01 vs 416 at slop=2,
+    760 under plain AND and 0 under phrase — the gate hash therefore
+    pins the exact per-gap window, the token ORDER, and that the slop
+    parameter flows through the index chain join."""
+    from logzilla_spark.functions.caching import persist_tracked
+
+    rec = persist_tracked(_records(spark, sf_dir))
+    return _flat_records(
+        search_near_index(build_positional_index(rec), rec, "get 200", slop=3)
     )
 
 
@@ -1476,6 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             full_text_phrase(_records(s, d), "timeout contacting upstream")
         ),
         "q_fulltext_phrase_index": _q_fulltext_phrase_index,
+        # --- T64 proximity search: in-order tokens, bounded per-gap slop ---
+        "q_fulltext_near": lambda s, d: _flat_records(
+            full_text_near(_records(s, d), "get 200", slop=2)
+        ),
+        "q_fulltext_near_index": _q_fulltext_near_index,
         # --- T50 BM25 relevance tier (OR semantics, scored top-k) ---
         "q_fulltext_bm25": lambda s, d: __import__(
             "logzilla_spark.operators.fulltext", fromlist=["bm25_topk"]
@@ -1659,6 +1680,8 @@ SELECT DISTINCT source FROM records WHERE category = 'access'""",
         "q_fulltext_served": oracle.fulltext_sql(p, "disk svc3"),
         "q_fulltext_phrase": oracle.phrase_sql(p, "timeout contacting upstream"),
         "q_fulltext_phrase_index": oracle.phrase_sql(p, "1 200"),
+        "q_fulltext_near": oracle.near_sql(p, "get 200", slop=2),
+        "q_fulltext_near_index": oracle.near_sql(p, "get 200", slop=3),
         "q_fulltext_bm25": (
             f"WITH {oracle.records_cte(p)},\n"
             + __import__(

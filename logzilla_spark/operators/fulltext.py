@@ -324,6 +324,125 @@ def serve_phrase(
 
 
 # --------------------------------------------------------------------------
+# Proximity (slop) search — "these words near each other, in order"
+# --------------------------------------------------------------------------
+#
+# The tier between AND (tokens anywhere) and phrase (tokens adjacent):
+# the query tokens must appear IN ORDER with at most ``slop``
+# non-matching tokens between each consecutive pair (per-gap slop, the
+# "within N words of each other" reading; slop=0 degenerates to the
+# phrase semantics exactly). Same two-tier story as the phrase layer:
+#
+# 1. ``full_text_near`` — scan tier: ONE regexp over the
+#    sentinel-delimited space-joined token string. Tokens are
+#    [a-z0-9]+ by the shared tokenizer, so the gap is the literal
+#    pattern ``(?: [a-z0-9]+){0,slop}`` — no escaping hazard, and the
+#    pattern text is byte-identical on Spark (Java regex) and DuckDB
+#    (RE2): both support bounded quantifiers and non-capturing groups.
+#
+# 2. ``search_near_index`` — the 100 TB tier over the SAME committed
+#    positional postings table the phrase tier serves from: prune the
+#    postings to the query's tokens (file-prunable token lookups),
+#    then chain k-1 id-keyed equi-joins, each keeping positions whose
+#    gap to the previous token's position is in [1, slop+1], with a
+#    distinct per step so a token repeated m times in one document
+#    contributes one row per distinct reachable position, never m^k
+#    blowup. Work is proportional to the query tokens' posting lists;
+#    the corpus is only touched by the final semi join.
+
+
+def full_text_near(records: DataFrame, query: str, slop: int = 1) -> DataFrame:
+    """Scan-tier proximity search: query tokens in order, at most
+    ``slop`` intervening tokens between each consecutive pair."""
+    if slop < 0:
+        raise ValueError("full_text_near: slop must be >= 0")
+    toks = phrase_tokens(query)
+    if not toks:
+        return records
+    haystack = F.concat(
+        F.lit(" "),
+        F.array_join(_tokens(searchable_text(records)), " "),
+        F.lit(" "),
+    )
+    return records.filter(haystack.rlike(near_pattern(toks, slop)))
+
+
+def near_pattern(toks: list[str], slop: int) -> str:
+    """The shared scan-tier regex: `` tok1(?: [a-z0-9]+){0,slop} tok2
+    … `` over the sentinel-delimited token string. Identical pattern
+    text on both engines (Java regex / RE2)."""
+    gap = "(?: [a-z0-9]+){0,%d} " % slop
+    return " " + gap.join(toks) + " "
+
+
+def search_near_index(
+    index: DataFrame,
+    records: DataFrame,
+    query: str,
+    slop: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """Index-tier proximity search over positional postings.
+
+    Plan: prune postings to the query's distinct tokens (pushed isin),
+    then a left-to-right chain — candidate (id, position-of-token-j)
+    pairs joined to token j+1's postings on id, keeping positions with
+    gap in [1, slop+1]. Each step is a codegen'd equi-join on id over
+    posting-list-sized frames with a distinct to bound repeated-token
+    fan-out. slop=0 is row-identical to ``search_phrase_index``."""
+    if slop < 0:
+        raise ValueError("search_near_index: slop must be >= 0")
+    toks = phrase_tokens(query)
+    if not toks:
+        return records
+    pruned = index.filter(F.col("token").isin(sorted(set(toks))))
+    cand = (
+        pruned.filter(F.col("token") == toks[0])
+        .select("id", F.col("pos").alias("_p"))
+        .distinct()
+    )
+    for t in toks[1:]:
+        nxt = pruned.filter(F.col("token") == t).select(
+            F.col("id"), F.col("pos").alias("_q")
+        )
+        gap = F.col("_q") - F.col("_p")
+        cand = (
+            cand.join(nxt, "id")
+            .filter((gap >= 1) & (gap <= slop + 1))
+            .select("id", F.col("_q").alias("_p"))
+            .distinct()
+        )
+    hits = cand.select("id").distinct()
+    return records.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+
+
+def serve_near(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    records: DataFrame,
+    query: str,
+    slop: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """Proximity search served from the SAME committed positional
+    postings table the phrase tier uses (``<name>__postings_pos``) —
+    manifest-stats file pruning on the query's tokens, then the chain
+    join. One committed index serves phrase AND near queries."""
+    toks = phrase_tokens(query)
+    if not toks:
+        return records
+    postings = catalog.read_stats_pruned(
+        spark, name + PHRASE_POSTINGS_SUFFIX, "token", sorted(set(toks))
+    )
+    if postings is None:
+        return records.filter(F.lit(False))
+    return search_near_index(postings, records, query, slop, id_col)
+
+
+# --------------------------------------------------------------------------
 # BM25 relevance ranking (Robertson '94) — the scored tier above the
 # boolean AND search
 # --------------------------------------------------------------------------

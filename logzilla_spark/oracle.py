@@ -245,6 +245,34 @@ def phrase_sql(pages_path: str, phrase: str) -> str:
     )
 
 
+def near_sql(pages_path: str, query: str, slop: int = 1) -> str:
+    """Twin of operators.fulltext.full_text_near: query tokens in
+    order with at most ``slop`` intervening tokens per gap — the SAME
+    regex text (fulltext.near_pattern) over the same sentinel-delimited
+    token string; Java regex and RE2 agree on bounded quantifiers and
+    non-capturing groups over this alphabet."""
+    from logzilla_spark.operators.fulltext import near_pattern, phrase_tokens
+
+    toks = phrase_tokens(query)
+    meta_cols = ", ".join(
+        f"coalesce(m_{k}, '')"
+        for k in ("service", "request_id", "attempt", "ip", "method", "path",
+                  "status", "size")
+    )
+    tok_expr = (
+        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
+        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    pat = near_pattern(toks, slop)
+    pred = (
+        f"regexp_matches(' ' || array_to_string({tok_expr}, ' ') || ' ', "
+        f"'{pat}')"
+    )
+    return (
+        f"WITH {records_cte(pages_path)}\n{RECORDS_SELECT}\nWHERE {pred}"
+    )
+
+
 def multiline_sql(
     pages_path: str, start_re: str = r"^\s*\{|^[0-9]"
 ) -> str:
