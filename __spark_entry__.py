@@ -288,6 +288,22 @@ def _q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q)
 
 
+# T65 phrase terms in the DSL/tree: a proximity phrase ("get 200"~2 —
+# 416 of 760 AND-matching records at sf0.01, see T64) composed with a
+# NOT comparison inside the sealed tree; the oracle renders through
+# PhraseNode.to_sql, so the twin pins the node's SQL rendering too.
+_PHRASE_DSL_TEXT = (
+    '"get 200"~2 NOT level:ERROR '
+    "since:2024-01-01 until:2024-01-08 limit:1000"
+)
+
+
+def _q_search_phrase_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _records(spark, sf_dir)
+    q = parse_dsl_query(_PHRASE_DSL_TEXT, select_columns=list(_SEARCH_COLS))
+    return search(rec, q)
+
+
 # T56 metric range queries: the dashboard surface (Loki query_range).
 # q_range_rate exercises the DSL front-end, per-label zero-filled grid
 # and the count/step IEEE division; q_range_unwrap_avg exercises the
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_alerts"] = _q_alerts  # T47 alert-rule evaluation
     q["q_search_context"] = _q_search_context  # T52 context view
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
+    q["q_search_phrase_dsl"] = _q_search_phrase_dsl  # T65 phrase terms in the DSL
     q["q_range_rate"] = _q_range_rate  # T56 metric range query (rate)
     q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
     q["q_range_quantile"] = _q_range_quantile  # T56 exact p95 over time
@@ -1737,6 +1754,7 @@ GROUP BY 1""",
     sql["q_alerts"] = _alerts_sql(p)
     sql["q_search_context"] = _search_context_sql(p)
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
+    sql["q_search_phrase_dsl"] = _search_sql(parse_dsl_query(_PHRASE_DSL_TEXT), p)
     sql["q_range_rate"] = _range_rate_sql(p)
     sql["q_range_unwrap_avg"] = _range_unwrap_sql(p)
     sql["q_range_quantile"] = _range_quantile_sql(p)

@@ -42,8 +42,14 @@ Grammar (EBNF; keywords are case-insensitive):
   insensitive substring containment (ILIKE ``%value%``), with the same
   wildcard expansion inside the value.
 - A bare value term (no field) searches the message text:
-  ``timeout`` ≡ ``message~timeout``.  Quoted phrases work:
-  ``"disk full"``.
+  ``timeout`` ≡ ``message~timeout``.  A bare quoted string is message
+  SUBSTRING containment: ``"disk full"``.
+- A bare quoted string with an adjacent ``~N`` suffix is a true
+  phrase/proximity term (Lucene/ES syntax): ``"disk full"~0`` demands
+  the tokens adjacent in order, ``"get 200"~2`` allows up to 2
+  intervening tokens per gap — over the FULL searchable text
+  (message, source, level, metadata values; T63/T64 semantics),
+  compiled to a :class:`PhraseNode` in the sealed tree.
 - Directives ``since:``/``until:`` (RFC3339), ``limit:N`` and
   ``sort:[-]f1,[-]f2`` may appear anywhere at any nesting level; they
   are GLOBAL query parameters, not filter terms (they are extracted
@@ -71,6 +77,7 @@ from .query import (
     ComparisonNode,
     NotNode,
     OrNode,
+    PhraseNode,
     Query,
     QueryNode,
     QueryValidationError,
@@ -129,6 +136,17 @@ def _lex(s: str) -> list[_Tok]:
                 raise DslSyntaxError("unterminated quoted string", start)
             i += 1  # closing quote
             toks.append(_Tok("QUOTED", "".join(out), start))
+            # Lucene/ES proximity suffix, adjacent to the closing quote:
+            # "disk full"~2 -> SLOP token (phrase term with slop 2)
+            if i < n and s[i] == "~":
+                tpos = i
+                i += 1
+                dstart = i
+                while i < n and s[i].isdigit():
+                    i += 1
+                if i == dstart:
+                    raise DslSyntaxError("'~' slop needs a number", tpos)
+                toks.append(_Tok("SLOP", s[tpos:i], tpos))
             continue
         start = i
         while i < n and s[i] not in _WORD_END:
@@ -320,7 +338,17 @@ class _Parser:
     def term(self) -> QueryNode | None:
         t = self.next()
         if t.kind == "QUOTED":
-            # bare quoted phrase: message containment
+            if self.peek().kind == "SLOP":
+                # "a b"~N: true phrase/proximity semantics over the full
+                # searchable text (T63/T64) — tokens in order, <= N
+                # intervening tokens per gap
+                s = self.next()
+                from logzilla_spark.operators.fulltext import phrase_tokens
+
+                if not phrase_tokens(t.text):
+                    raise DslSyntaxError("empty phrase", t.pos)
+                return PhraseNode(t.text, int(s.text[1:]))
+            # bare quoted string: message containment (substring)
             return ComparisonNode("message", f"%{t.text}%", "ilike")
         word = t.text
         if word.lower() in _KEYWORDS:
@@ -337,6 +365,10 @@ class _Parser:
                 ):
                     raise DslSyntaxError(f"operator {op!r} needs a value", t.pos)
                 value = self.next().text
+            if self.peek().kind == "SLOP":
+                raise DslSyntaxError(
+                    "slop only applies to a bare quoted phrase", self.peek().pos
+                )
             node = _comparison(fieldname, op, value, t.pos)
             return NotNode(node) if op == "!~" else node
         # field IN (a, b, c)

@@ -44,9 +44,11 @@ def query_tokens(query: str) -> list[str]:
     return sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
 
 
-def searchable_text(df: DataFrame) -> Column:
+def searchable_text(df: DataFrame | None = None) -> Column:
     """One searchable string per record: message, source, level, and
-    every metadata value ('across all log fields', README.md:29)."""
+    every metadata value ('across all log fields', README.md:29).
+    Pure column construction — ``df`` is accepted for call-site
+    readability but unused (the expression binds by column name)."""
     return F.concat_ws(
         " ",
         F.col("message"),

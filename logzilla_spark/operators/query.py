@@ -188,6 +188,63 @@ class ComparisonNode(QueryNode):
         return f"{lhs} {_OP_SQL[self.op]} {_sql_lit(self.value)}"
 
 
+@dataclass
+class PhraseNode(QueryNode):
+    """T65: quoted-phrase / proximity term in the sealed tree —
+    ``"disk full"~N`` in the DSL. The T63/T64 scan semantics (query
+    tokens in order over the FULL searchable text — message, source,
+    level, metadata values — with at most ``slop`` intervening tokens
+    per gap; slop=0 = exact adjacency) as a composable filter node, so
+    phrases participate in AND/OR/NOT alongside comparisons on every
+    search surface (search page, facets, range queries, live tail)
+    with zero new code paths there.
+
+    ``to_sql`` renders against the oracle records twin's flattened
+    shape (metadata values as m_* columns) like
+    :func:`default_field_sql` — the phrase spans all fields, so the
+    per-field ``field_sql`` hook does not apply."""
+
+    phrase: str
+    slop: int = 0
+
+    def _check(self):
+        if self.slop < 0:
+            raise QueryValidationError("phrase slop must be >= 0")
+
+    def to_column(self, field_resolver):
+        from logzilla_spark.operators.fulltext import (
+            _tokens,
+            near_pattern,
+            phrase_tokens,
+            searchable_text,
+        )
+
+        self._check()
+        toks = phrase_tokens(self.phrase)
+        if not toks:
+            return None  # no tokens -> no constraint (empty-node collapse)
+        hay = F.concat(
+            F.lit(" "), F.array_join(_tokens(searchable_text()), " "), F.lit(" ")
+        )
+        if self.slop == 0:
+            return hay.contains(" " + " ".join(toks) + " ")
+        return hay.rlike(near_pattern(toks, self.slop))
+
+    def to_sql(self, field_sql):
+        from logzilla_spark.operators.fulltext import near_pattern, phrase_tokens
+        from logzilla_spark.oracle import searchable_tokens_sql
+
+        self._check()
+        toks = phrase_tokens(self.phrase)
+        if not toks:
+            return None
+        hay = f"' ' || array_to_string({searchable_tokens_sql()}, ' ') || ' '"
+        # tokens are [a-z0-9]+ by construction — no quoting hazard
+        if self.slop == 0:
+            return f"contains({hay}, ' {' '.join(toks)} ')"
+        return f"regexp_matches({hay}, '{near_pattern(toks, self.slop)}')"
+
+
 # --------------------------------------------------------------------------
 # Query params (reference: querier/querier.go:34-94)
 # --------------------------------------------------------------------------

@@ -198,6 +198,22 @@ LEFT JOIN read_parquet('{dim_severity_path}') s ON r.level = s.level
 GROUP BY 1, 2, 3, 4, 5, 6"""
 
 
+# the oracle records relation flattens metadata to these m_* columns
+META_KEYS = ("service", "request_id", "attempt", "ip", "method", "path",
+             "status", "size")
+
+
+def searchable_tokens_sql() -> str:
+    """DuckDB expression for the record's searchable token list —
+    twin of operators.fulltext.searchable_text + _tokens over the
+    flattened records relation (metadata values as m_* columns)."""
+    meta_cols = ", ".join(f"coalesce(m_{k}, '')" for k in META_KEYS)
+    return (
+        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
+        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
 def fulltext_sql(pages_path: str, query: str) -> str:
     """Twin of operators.fulltext: every query token must appear among
     the record's searchable tokens (message, source, level, metadata
@@ -205,15 +221,7 @@ def fulltext_sql(pages_path: str, query: str) -> str:
     import re as _re
 
     toks = sorted({t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t})
-    meta_cols = ", ".join(
-        f"coalesce(m_{k}, '')"
-        for k in ("service", "request_id", "attempt", "ip", "method", "path",
-                  "status", "size")
-    )
-    tok_expr = (
-        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
-        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
-    )
+    tok_expr = searchable_tokens_sql()
     preds = " AND ".join(f"list_contains({tok_expr}, '{t}')" for t in toks)
     return (
         f"WITH {records_cte(pages_path)}\n{RECORDS_SELECT}\nWHERE {preds}"
@@ -229,15 +237,7 @@ def phrase_sql(pages_path: str, phrase: str) -> str:
     import re as _re
 
     toks = [t for t in _re.split(r"[^a-z0-9]+", phrase.lower()) if t]
-    meta_cols = ", ".join(
-        f"coalesce(m_{k}, '')"
-        for k in ("service", "request_id", "attempt", "ip", "method", "path",
-                  "status", "size")
-    )
-    tok_expr = (
-        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
-        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
-    )
+    tok_expr = searchable_tokens_sql()
     needle = " " + " ".join(toks) + " "
     pred = f"contains(' ' || array_to_string({tok_expr}, ' ') || ' ', '{needle}')"
     return (
@@ -254,15 +254,7 @@ def near_sql(pages_path: str, query: str, slop: int = 1) -> str:
     from logzilla_spark.operators.fulltext import near_pattern, phrase_tokens
 
     toks = phrase_tokens(query)
-    meta_cols = ", ".join(
-        f"coalesce(m_{k}, '')"
-        for k in ("service", "request_id", "attempt", "ip", "method", "path",
-                  "status", "size")
-    )
-    tok_expr = (
-        "list_filter(string_split_regex(lower(concat_ws(' ', message, source, "
-        f"level, {meta_cols})), '[^a-z0-9]+'), t -> t <> '')"
-    )
+    tok_expr = searchable_tokens_sql()
     pat = near_pattern(toks, slop)
     pred = (
         f"regexp_matches(' ' || array_to_string({tok_expr}, ' ') || ' ', "
