@@ -52,6 +52,7 @@ from logzilla_spark.operators.query import (
     SortField,
     encode_cursor,
     next_cursor,
+    predicate_oracle_sql,
     search,
     search_oracle_sql,
 )
@@ -145,6 +146,27 @@ def _q_fulltext_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flat_records(
         search_near_index(build_positional_index(rec), rec, "get 200", slop=3)
     )
+
+
+# T66 significant terms: the triage aggregate over the search slice.
+# Foreground = the ERROR/FATAL slice of the standard window; expected
+# winners are the failure-message vocabulary (timeout/contacting/
+# upstream/disk/full/…) — the gate hash pins doc-frequency counting,
+# the exact-count JLH dag, and the (score, token) cut on both engines.
+_SIGTERMS_QUERY_KW = dict(
+    start=datetime(2024, 1, 1), end=datetime(2024, 1, 8), limit=1000
+)
+_SIGTERMS_KW = dict(k=25, min_fg=10)
+
+
+def _q_search_sigterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.fulltext import significant_terms
+
+    q = Query(
+        node=ComparisonNode("level", ["ERROR", "FATAL"], "in"),
+        **_SIGTERMS_QUERY_KW,
+    )
+    return significant_terms(_records(spark, sf_dir), q, **_SIGTERMS_KW)
 
 
 def _q_fulltext_served(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_context"] = _q_search_context  # T52 context view
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
     q["q_search_phrase_dsl"] = _q_search_phrase_dsl  # T65 phrase terms in the DSL
+    q["q_search_sigterms"] = _q_search_sigterms  # T66 significant terms
     q["q_range_rate"] = _q_range_rate  # T56 metric range query (rate)
     q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
     q["q_range_quantile"] = _q_range_quantile  # T56 exact p95 over time
@@ -1755,6 +1778,15 @@ GROUP BY 1""",
     sql["q_search_context"] = _search_context_sql(p)
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
     sql["q_search_phrase_dsl"] = _search_sql(parse_dsl_query(_PHRASE_DSL_TEXT), p)
+    sql["q_search_sigterms"] = oracle.sigterms_sql(
+        p,
+        predicate_oracle_sql(
+            Query(node=ComparisonNode("level", ["ERROR", "FATAL"], "in"),
+                  **_SIGTERMS_QUERY_KW),
+            time_column='"timestamp"',
+        ),
+        **_SIGTERMS_KW,
+    )
     sql["q_range_rate"] = _range_rate_sql(p)
     sql["q_range_unwrap_avg"] = _range_unwrap_sql(p)
     sql["q_range_quantile"] = _range_quantile_sql(p)

@@ -19,6 +19,7 @@ queries). This engine completes it with an explicit tagged encoding:
     {"or":  [node, ...]}            -> OrNode
     {"not": node}                   -> NotNode
     {"field": "level", "op": "eq", "value": "ERROR"}  -> ComparisonNode
+    {"phrase": "disk full", "slop": 2}                -> PhraseNode (T65)
 
 ``op`` is one of eq ne gt lt gte lte like ilike in
 (reference: querier/node.go:40-59).
@@ -47,6 +48,7 @@ from .operators.query import (
     ComparisonNode,
     NotNode,
     OrNode,
+    PhraseNode,
     Query,
     QueryNode,
     QueryValidationError,
@@ -83,6 +85,19 @@ def decode_node(obj: Any) -> QueryNode:
         if len(obj) != 1:
             raise BadInputError("not node must have exactly one key")
         return NotNode(decode_node(obj["not"]))
+    if "phrase" in obj:
+        # T65: {"phrase": "disk full", "slop": 2} — the JSON form of
+        # the DSL's "disk full"~2
+        if set(obj) - {"phrase", "slop"}:
+            raise BadInputError(
+                f"unknown node key: {sorted(set(obj) - {'phrase', 'slop'})[0]!r}"
+            )
+        if not isinstance(obj["phrase"], str):
+            raise BadInputError("phrase: expected string")
+        slop = obj.get("slop", 0)
+        if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
+            raise BadInputError("slop: expected an int >= 0")
+        return PhraseNode(obj["phrase"], slop)
     unknown = set(obj) - _COMPARISON_FIELDS
     if unknown:
         # DisallowUnknownFields analog (api/helper.go:26)
@@ -279,6 +294,48 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
         rows = search_facets(
             records, q, facet_fields=fields, histogram=unit, top_k=top_k
         ).collect()
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict() for r in rows],
+        "metadata": {"count": len(rows)},
+    }
+
+
+def sigterms_request(records: DataFrame, body: str | bytes) -> dict:
+    """``POST /api/logs/significant``: significant-terms triage over
+    the search slice (T66) — same query body as /search (sort, limit
+    and cursor are meaningless here and ignored; the ``q`` DSL string
+    works, including T65 phrase terms), plus optional ``k`` (result
+    count) and ``min_fg`` (minimum foreground doc frequency). One
+    exploded corpus pass + a totals row
+    (operators/fulltext.significant_terms)."""
+    from .operators.fulltext import significant_terms
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        k = obj.pop("k", 20)
+        min_fg = obj.pop("min_fg", 2)
+        if not isinstance(k, int) or isinstance(k, bool) or not (
+            1 <= k <= 1000
+        ):
+            raise BadInputError("k: expected an int in [1, 1000]")
+        if not isinstance(min_fg, int) or isinstance(min_fg, bool) or min_fg < 1:
+            raise BadInputError("min_fg: expected an int >= 1")
+        q = decode_query(json.dumps(obj))
+        rows = significant_terms(records, q, k=k, min_fg=min_fg).collect()
     except QueryValidationError as e:
         return {"success": False, "message": str(e), "data": None, "metadata": None}
     return {

@@ -326,6 +326,94 @@ def serve_phrase(
 
 
 # --------------------------------------------------------------------------
+# Significant terms — "what is unusual about this slice" (ES
+# significant_terms class)
+# --------------------------------------------------------------------------
+
+
+def significant_terms(
+    records: DataFrame,
+    query,
+    k: int = 20,
+    min_fg: int = 2,
+    time_column: str = "timestamp",
+    field_resolver=None,
+) -> DataFrame:
+    """Tokens OVERREPRESENTED in the query's result slice relative to
+    the whole records frame — the triage primitive above facets: facets
+    show the distribution of fields you name, significant terms
+    surface the words you didn't know to ask for ("all the ERROR spike
+    docs mention 'upstream'").
+
+    Semantics (ES significant_terms with the JLH heuristic): for each
+    token, foreground doc frequency fg (docs matching the query's
+    assembled predicate — the SAME time-range + node filter the hits
+    page uses, so the slice can never drift from what the user sees)
+    and background doc frequency bg (all docs in the frame, a superset
+    of the foreground); keep tokens with fg >= min_fg and foreground
+    share strictly above background share; score
+
+        jlh = (fg% - bg%) * (fg% / bg%)
+
+    (absolute lift x relative lift). The dag is the division/multiply
+    of exact BIGINT counts in one fixed order — bit-identical in the
+    DuckDB twin — and the cut is (score DESC, token ASC), a total
+    order, so top-k is deterministic.
+
+    Plan shape (scale): ONE exploded pass over the corpus computing
+    per-token (fg, bg) via conditional aggregation — the token-keyed
+    shuffle carries one row per (doc, distinct token); plus one
+    column-pruned count-only pass for the two totals, broadcast back
+    via crossJoin (1 row). No corpus re-scan per slice side, no window
+    functions, TakeOrderedAndProject for the cut.
+
+    Output: (token, fg_docs, bg_docs, score).
+    """
+    from logzilla_spark.operators.query import (
+        _assemble_predicate,
+        default_field_resolver,
+    )
+
+    if k < 1:
+        raise ValueError("significant_terms: k must be >= 1")
+    query.validate()
+    pred, _backward, _tc = _assemble_predicate(
+        query, time_column, field_resolver or default_field_resolver
+    )
+    totals = records.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(pred.cast("bigint")).alias("_n_fg"),
+    )
+    per_token = (
+        records.select(
+            pred.cast("bigint").alias("_fg"),
+            F.explode(
+                F.array_distinct(_tokens(searchable_text(records)))
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("_fg").alias("fg_docs"),
+            F.count(F.lit(1)).alias("bg_docs"),
+        )
+    )
+    fgp = F.col("fg_docs").cast("double") / F.col("_n_fg").cast("double")
+    bgp = F.col("bg_docs").cast("double") / F.col("_n").cast("double")
+    return (
+        per_token.crossJoin(F.broadcast(totals))
+        .filter((F.col("fg_docs") >= min_fg) & (fgp > bgp))
+        .select(
+            "token",
+            "fg_docs",
+            "bg_docs",
+            ((fgp - bgp) * (fgp / bgp)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
 # Proximity (slop) search — "these words near each other, in order"
 # --------------------------------------------------------------------------
 #

@@ -515,6 +515,28 @@ def search_facets(
     )
 
 
+def predicate_oracle_sql(
+    query: Query,
+    time_column: str = "timestamp",
+    field_sql=default_field_sql,
+) -> str:
+    """Render ONLY the assembled WHERE predicate (mandatory time range
+    with auto-swap + the node tree) — the oracle twin of
+    ``_assemble_predicate`` for operators that aggregate over the
+    search slice (significant terms, facets) rather than paging it."""
+    start, end = query.start, query.end
+    if end is not None and end < start:
+        start, end = end, start
+    where = [f"{time_column} >= {_sql_lit(start)}"]
+    if end is not None:
+        where.append(f"{time_column} <= {_sql_lit(end)}")
+    if query.node is not None:
+        s = query.node.to_sql(field_sql)
+        if s is not None:
+            where.append(s)
+    return " AND ".join(where)
+
+
 def search_oracle_sql(
     relation: str,
     query: Query,

@@ -265,6 +265,42 @@ def near_sql(pages_path: str, query: str, slop: int = 1) -> str:
     )
 
 
+def sigterms_sql(
+    pages_path: str, where_sql: str, k: int = 20, min_fg: int = 2
+) -> str:
+    """Twin of operators.fulltext.significant_terms: per-token
+    foreground/background doc frequencies from one exploded pass plus
+    a totals row, the SAME JLH dag (exact BIGINT counts through one
+    fixed order of IEEE divisions/multiply), same (score DESC, token)
+    cut. ``where_sql`` is the rendered foreground predicate
+    (query.predicate_oracle_sql)."""
+    toks = searchable_tokens_sql()
+    fgp = "(CAST(fg_docs AS DOUBLE) / CAST(n_fg AS DOUBLE))"
+    bgp = "(CAST(bg_docs AS DOUBLE) / CAST(n AS DOUBLE))"
+    return f"""WITH {records_cte(pages_path)},
+tok AS (
+  SELECT CASE WHEN {where_sql} THEN 1 ELSE 0 END AS fg,
+         unnest(list_distinct({toks})) AS token
+  FROM records
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN {where_sql} THEN 1 ELSE 0 END) AS BIGINT) AS n_fg
+  FROM records
+),
+pt AS (
+  SELECT token, CAST(sum(fg) AS BIGINT) AS fg_docs,
+         CAST(count(*) AS BIGINT) AS bg_docs
+  FROM tok GROUP BY token
+)
+SELECT token, fg_docs, bg_docs,
+       ({fgp} - {bgp}) * ({fgp} / {bgp}) AS score
+FROM pt, totals
+WHERE fg_docs >= {int(min_fg)} AND {fgp} > {bgp}
+ORDER BY score DESC, token
+LIMIT {int(k)}"""
+
+
 def multiline_sql(
     pages_path: str, start_re: str = r"^\s*\{|^[0-9]"
 ) -> str:

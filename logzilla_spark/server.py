@@ -136,6 +136,10 @@ class _Handler(BaseHTTPRequestHandler):
             from logzilla_spark.api import context_request
 
             handler = context_request
+        elif self.path == "/api/logs/significant":
+            from logzilla_spark.api import sigterms_request
+
+            handler = sigterms_request
         elif self.path == "/api/logs/query_range":
             from logzilla_spark.api import query_range_request
 
