@@ -1645,6 +1645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
     q["q_search_phrase_dsl"] = _q_search_phrase_dsl  # T65 phrase terms in the DSL
     q["q_search_sigterms"] = _q_search_sigterms  # T66 significant terms
+    # T67 typeahead completion (scan tier; the committed tier is
+    # pruning-tested in tests/test_complete.py)
+    q["q_search_complete"] = lambda s, d: __import__(
+        "logzilla_spark.operators.fulltext", fromlist=["complete_prefix"]
+    ).complete_prefix(_records(s, d), "1", k=12)
     q["q_range_rate"] = _q_range_rate  # T56 metric range query (rate)
     q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
     q["q_range_quantile"] = _q_range_quantile  # T56 exact p95 over time
@@ -1778,6 +1783,7 @@ GROUP BY 1""",
     sql["q_search_context"] = _search_context_sql(p)
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
     sql["q_search_phrase_dsl"] = _search_sql(parse_dsl_query(_PHRASE_DSL_TEXT), p)
+    sql["q_search_complete"] = oracle.complete_sql(p, "1", k=12)
     sql["q_search_sigterms"] = oracle.sigterms_sql(
         p,
         predicate_oracle_sql(

@@ -346,6 +346,37 @@ def sigterms_request(records: DataFrame, body: str | bytes) -> dict:
     }
 
 
+def complete_request(records: DataFrame, path: str) -> dict:
+    """``GET /api/logs/complete?prefix=<p>&k=<n>``: typeahead token
+    completions over the bound records frame (T67) — (token, n_docs)
+    by doc frequency. ``prefix`` must be one [a-z0-9]+ token (the
+    operator validates); ``k`` defaults to 10, capped at 100."""
+    from urllib.parse import parse_qs, urlparse
+
+    from .operators.fulltext import complete_prefix
+
+    try:
+        qs = parse_qs(urlparse(path).query)
+        prefix = qs.get("prefix", [""])[0]
+        raw_k = qs.get("k", ["10"])[0]
+        if not (raw_k.isascii() and raw_k.isdigit()) or not (
+            1 <= int(raw_k) <= 100
+        ):
+            raise BadInputError("k: expected an int in [1, 100]")
+        try:
+            rows = complete_prefix(records, prefix, k=int(raw_k)).collect()
+        except ValueError as e:
+            raise BadInputError(str(e)) from e
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict() for r in rows],
+        "metadata": {"count": len(rows)},
+    }
+
+
 # -- metric range queries -------------------------------------------------
 
 # driver-side collect cap for a matrix response: the grid is already

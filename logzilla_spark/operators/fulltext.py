@@ -326,6 +326,82 @@ def serve_phrase(
 
 
 # --------------------------------------------------------------------------
+# Typeahead completion — token-prefix suggestions (ES completion
+# suggester / Loki label-values class)
+# --------------------------------------------------------------------------
+#
+# "What tokens start with what the user typed so far", ranked by doc
+# frequency. Two tiers: a corpus scan (explode distinct tokens,
+# prefix filter, count) for index-less frames, and the committed
+# boolean postings table (token, id) — where a prefix is a RANGE over
+# the token-clustered layout, so manifest min/max stats prune to just
+# the files whose token range overlaps [prefix, prefix+0xFFFF): a
+# keystroke's suggestions cost one or two posting files, never the
+# index, never the corpus.
+
+_PREFIX_RE = re.compile(r"[a-z0-9]+")
+
+
+def _check_prefix(prefix: str) -> str:
+    p = prefix.lower()
+    if not _PREFIX_RE.fullmatch(p):
+        raise ValueError(
+            "complete_prefix: prefix must be one [a-z0-9]+ token"
+        )
+    return p
+
+
+def complete_prefix(records: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Scan-tier completion: (token, n_docs) for tokens extending
+    ``prefix``, top-k by (n_docs DESC, token ASC) — doc frequency via
+    the same per-doc-distinct tokenization as the boolean index, so
+    the scan tier and the postings tier can never disagree."""
+    p = _check_prefix(prefix)
+    return (
+        records.select(
+            F.explode(
+                F.array_distinct(_tokens(searchable_text(records)))
+            ).alias("token")
+        )
+        .filter(F.col("token").startswith(p))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def complete_prefix_index(index: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Completion from a (token, id) posting table — postings are
+    distinct per (token, doc), so doc frequency is a plain count."""
+    p = _check_prefix(prefix)
+    return (
+        index.filter(F.col("token").startswith(p))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def serve_complete(
+    spark: SparkSession, catalog, name: str, prefix: str, k: int = 10
+) -> DataFrame:
+    """Completion served from the COMMITTED postings table with
+    file-level prefix-range pruning: the token-clustered layout means
+    tokens extending ``prefix`` live only in files whose manifest
+    [min, max] overlaps [prefix, prefix + U+FFFF] (tokens are
+    [a-z0-9]+, so the sentinel upper bound is unreachable)."""
+    p = _check_prefix(prefix)
+    postings = catalog.read_stats_pruned(
+        spark, name + POSTINGS_SUFFIX, "token", ranges=[(p, p + "￿")]
+    )
+    if postings is None:
+        return spark.createDataFrame([], "token string, n_docs bigint")
+    return complete_prefix_index(postings, prefix, k)
+
+
+# --------------------------------------------------------------------------
 # Significant terms — "what is unusual about this slice" (ES
 # significant_terms class)
 # --------------------------------------------------------------------------

@@ -301,6 +301,24 @@ ORDER BY score DESC, token
 LIMIT {int(k)}"""
 
 
+def complete_sql(pages_path: str, prefix: str, k: int = 10) -> str:
+    """Twin of operators.fulltext.complete_prefix: per-doc-distinct
+    token doc frequencies, prefix filter, (n_docs DESC, token) cut.
+    ``prefix`` is validated [a-z0-9]+ by the operator — no LIKE
+    metacharacter hazard."""
+    toks = searchable_tokens_sql()
+    return f"""WITH {records_cte(pages_path)},
+tok AS (
+  SELECT unnest(list_distinct({toks})) AS token FROM records
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_docs
+FROM tok
+WHERE token LIKE '{prefix.lower()}%'
+GROUP BY token
+ORDER BY n_docs DESC, token
+LIMIT {int(k)}"""
+
+
 def multiline_sql(
     pages_path: str, start_re: str = r"^\s*\{|^[0-9]"
 ) -> str:
