@@ -1341,6 +1341,12 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.ngram_jaccard_pairs(_docs(s, d)),
             textstats.quality_score(_docs(s, d)).select("id", "quality"),
         ),
+        # --- T68 training-run materializer: keep-best -> curate ->
+        # pack -> shard as ONE composed pipeline (committed-table side
+        # covered by tests/test_trainrun.py) ---
+        "q_train_examples": lambda s, d: __import__(
+            "logzilla_spark.operators.trainrun", fromlist=["training_examples"]
+        ).training_examples(_docs(s, d), n_shards=8, seed="run1"),
         # --- BPE merge-step pair counting (tokenizer training core) ---
         "q_text_bpe_pairs": lambda s, d: textstats.bpe_pair_counts(_docs(s, d)),
         # --- cross-doc duplicated-passage stats (Lee et al. 2021) ---
@@ -1448,6 +1454,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
             docs, gopher_min_words=20, gopher_min_stop_hits=1
         ),
         "q_dedup_keep_best": oracle_dataops.neardup_keep_best_sql(docs),
+        "q_train_examples": oracle_dataops.training_examples_sql(
+            docs, n_shards=8, seed="run1"
+        ),
         "q_text_bpe_pairs": oracle_dataops.bpe_pair_counts_sql(docs),
         "q_text_dup_passages": oracle_dataops.dup_passage_stats_sql(docs),
         "q_text_substring_dedup": oracle_dataops.substring_dedup_sql(docs),

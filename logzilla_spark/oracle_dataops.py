@@ -92,10 +92,16 @@ def _wordgrams(t: str, n: int, strict: bool = False) -> str:
     )
 
 
-def _docs_cte(docs_path: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+def _docs_cte(
+    docs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where: str | None = None,
+) -> str:
+    w = f" WHERE {where}" if where else ""
     return (
         f"docs AS (SELECT {id_col} AS id, {_norm(text_col)} AS n "
-        f"FROM {_rel(docs_path)})"
+        f"FROM {_rel(docs_path)}{w})"
     )
 
 
@@ -674,7 +680,10 @@ FROM base LEFT JOIN top ON base.id = top.id"""
 
 
 def curate_corpus_sql(
-    docs_path: str, lang: str = "en", min_quality: float = 0.4
+    docs_path: str,
+    lang: str = "en",
+    min_quality: float = 0.4,
+    where: str | None = None,
 ) -> str:
     """Twin of textstats.curate_corpus: language gate + quality gate +
     exact-dedup keep-first in one statement. The quality/pred_lang
@@ -687,7 +696,7 @@ def curate_corpus_sql(
         "CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5"
         " + stop_ratio * 0.3 + (1.0 - digit_ratio) * 0.2"
     )
-    return f"""WITH {_docs_cte(docs_path)},
+    return f"""WITH {_docs_cte(docs_path, where=where)},
 toks AS (SELECT id, n, string_split(n, ' ') AS t FROM docs),
 feat AS (
   SELECT id, n, {hit_cols},
@@ -962,12 +971,15 @@ FROM (
 
 
 def pack_sequences_sql(
-    docs_path: str, budget: int = PACK_BUDGET, n_groups: int = PACK_GROUPS
+    docs_path: str,
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+    where: str | None = None,
 ) -> str:
     """Twin of textstats.pack_sequences: same hash-group split, same
     per-group id-ordered running sum over PRECEDING rows."""
     h = md5_long_sql("CAST(id AS VARCHAR)")
-    return f"""WITH {_docs_cte(docs_path)},
+    return f"""WITH {_docs_cte(docs_path, where=where)},
 toks AS (
   SELECT id, CAST(len(string_split(n, ' ')) AS INT) AS n_tokens,
          CAST(({h} % {int(n_groups)} + {int(n_groups)}) % {int(n_groups)} AS INT) AS grp
@@ -1252,6 +1264,48 @@ win AS (
 )
 SELECT s.id, s.cluster_id, s.quality, s.id = w.keep AS is_kept
 FROM scored s JOIN win w ON s.cluster_id = w.cluster_id"""
+
+
+def training_examples_sql(
+    docs_path: str,
+    lang: str = "en",
+    min_quality: float = 0.4,
+    n_shards: int = 1024,
+    seed: str = "",
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+) -> str:
+    """Twin of trainrun.training_examples: the composed macro pipeline
+    — near-dup keep-best over the full corpus, curation gates + exact
+    dedup restricted to the winners, packing and shard placement over
+    the curated survivors, all as nested CTEs of the already-verified
+    per-stage twins (restriction via the _docs_cte where= hook, so
+    each nested statement stays byte-reusable)."""
+    from logzilla_spark.operators.shards import shard_manifest_sql
+
+    kb = neardup_keep_best_sql(docs_path)
+    cur = curate_corpus_sql(
+        docs_path, lang, min_quality,
+        where="doc_id IN (SELECT id FROM kb WHERE is_kept)",
+    )
+    pk = pack_sequences_sql(
+        docs_path, budget, n_groups,
+        where="doc_id IN (SELECT id FROM cur)",
+    )
+    sh = shard_manifest_sql(
+        "(SELECT id AS doc_id FROM cur)", n_shards, seed
+    )
+    return f"""WITH kb AS ({kb}),
+cur AS (SELECT id, quality, bpe_tokens FROM ({cur})),
+pk AS ({pk}),
+sh AS ({sh})
+SELECT cur.id AS id, cur.quality AS quality, cur.bpe_tokens AS bpe_tokens,
+       pk.grp AS grp, pk.n_tokens AS n_tokens,
+       pk.seq_no AS seq_no, pk.seq_off AS seq_off,
+       sh.skey AS skey, sh.shard AS shard, sh.pos AS pos
+FROM cur
+JOIN pk ON cur.id = pk.id
+JOIN sh ON cur.id = sh.id"""
 
 
 def dup_passage_stats_sql(docs_path: str, window: int = DUP_WINDOW) -> str:
