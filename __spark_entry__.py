@@ -476,6 +476,76 @@ def _range_unwrap_sql(pages: str | None = None) -> str:
     )
 
 
+# T69 query-time extraction (LogQL | pattern / | regexp + label-filter
+# stage): q_range_extract groups on a pattern-extracted method label
+# with a non-empty-path filter (non-access messages extract '' and are
+# dropped by the filter — both engines agree); q_range_extract_regexp
+# exercises the portable-regex validator path, positional group
+# binding, and a string-equality label filter.
+_EXTRACT_PATTERN = "<method> /<path>"
+_EXTRACT_KW = dict(
+    agg="count_over_time", step=86400, by=["extracted.method"],
+    extract_where=[("extracted.path", "!=", "")],
+)
+_EXTRACT_RE = (r"^([A-Z]+) /([a-z0-9]+)", ["method", "seg"])
+_EXTRACT_RE_KW = dict(
+    agg="count_over_time", step=86400, by=["extracted.seg"],
+    extract_where=[("extracted.method", "==", "GET")],
+)
+
+
+def _q_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.extract import Extraction
+    from logzilla_spark.operators.range_query import range_query
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return range_query(
+        _records(spark, sf_dir), q,
+        extract=Extraction.pattern(_EXTRACT_PATTERN), **_EXTRACT_KW,
+    )
+
+
+def _q_range_extract_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.extract import Extraction
+    from logzilla_spark.operators.range_query import range_query
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return range_query(
+        _records(spark, sf_dir), q,
+        extract=Extraction.regexp(*_EXTRACT_RE), **_EXTRACT_RE_KW,
+    )
+
+
+def _range_extract_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.extract import Extraction
+    from logzilla_spark.operators.range_query import range_query_sql
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sql(
+            "records", q, extract=Extraction.pattern(_EXTRACT_PATTERN),
+            **_EXTRACT_KW,
+        )
+        + "\n) SELECT * FROM q"
+    )
+
+
+def _range_extract_regexp_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.extract import Extraction
+    from logzilla_spark.operators.range_query import range_query_sql
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sql(
+            "records", q, extract=Extraction.regexp(*_EXTRACT_RE),
+            **_EXTRACT_RE_KW,
+        )
+        + "\n) SELECT * FROM q"
+    )
+
+
 def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = _records(spark, sf_dir)
@@ -1663,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_range_unwrap_avg"] = _q_range_unwrap_avg  # T56 unwrap agg
     q["q_range_quantile"] = _q_range_quantile  # T56 exact p95 over time
     q["q_range_topk"] = _q_range_topk  # T60 vector topk per bucket
+    q["q_range_extract"] = _q_range_extract  # T69 pattern-stage extraction
+    q["q_range_extract_regexp"] = _q_range_extract_regexp  # T69 regexp stage
     q["q_range_regroup"] = _q_range_regroup  # T60 sum by label subset
     q["q_range_last"] = _q_range_last  # T60 last_over_time
     q.update(_dataops_queries())
@@ -1806,6 +1878,8 @@ GROUP BY 1""",
     sql["q_range_unwrap_avg"] = _range_unwrap_sql(p)
     sql["q_range_quantile"] = _range_quantile_sql(p)
     sql["q_range_topk"] = _range_topk_sql(p)
+    sql["q_range_extract"] = _range_extract_sql(p)
+    sql["q_range_extract_regexp"] = _range_extract_regexp_sql(p)
     sql["q_range_regroup"] = _range_regroup_sql(p)
     sql["q_range_last"] = _range_last_sql(p)
     sql.update(_dataops_oracle_sql(media))

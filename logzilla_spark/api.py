@@ -523,6 +523,32 @@ def recorded_range_request(recordings, spark, body: str | bytes) -> dict:
     return _matrix_envelope(df, rows)
 
 
+def _decode_extract(obj):
+    """``extract`` body field -> Extraction: ``{"pattern": "..."}``
+    (Loki pattern stage) or ``{"regexp": "...", "names": [...]}``
+    (portable-subset regex, positional group names)."""
+    from .operators.extract import Extraction
+
+    if not isinstance(obj, dict):
+        raise BadInputError("extract: expected an object")
+    keys = set(obj)
+    if keys == {"pattern"}:
+        if not isinstance(obj["pattern"], str):
+            raise BadInputError("extract.pattern: expected a string")
+        return Extraction.pattern(obj["pattern"])
+    if keys == {"regexp", "names"}:
+        if not isinstance(obj["regexp"], str):
+            raise BadInputError("extract.regexp: expected a string")
+        if not isinstance(obj["names"], list) or not all(
+            isinstance(n, str) for n in obj["names"]
+        ):
+            raise BadInputError("extract.names: expected a list of strings")
+        return Extraction.regexp(obj["regexp"], obj["names"])
+    raise BadInputError(
+        'extract: expected {"pattern": ...} or {"regexp": ..., "names": [...]}'
+    )
+
+
 def range_request(records: DataFrame, body: str | bytes) -> dict:
     """``POST /api/logs/query_range``: the dashboard sibling of
     search_request (Loki's query_range) — same query body (q/node,
@@ -533,7 +559,11 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
     the *_over_time value aggs), ``fill`` (zero-fill the grid) and
     ``vector`` (the PromQL second stage — ``{"op": "topk", "k": 3}`` /
     ``{"op": "sum", "by": ["level"]}`` applied to the evaluated
-    matrix; vector ``by`` names must be range-level ``by`` fields).
+    matrix; vector ``by`` names must be range-level ``by`` fields),
+    ``extract`` (the LogQL parser stage — ``{"pattern": "<m> /<p>"}``
+    or ``{"regexp": ..., "names": [...]}`` making ``extracted.<name>``
+    valid in by/unwrap) and ``extract_where`` (the label-filter stage,
+    ``[["extracted.ms", ">", 100], ...]``).
 
     Response data is the Loki matrix shape: one entry per label set,
     ``{"labels": {...}, "values": [[bucket_epoch_s, v], ...]}`` with
@@ -565,6 +595,17 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         fill = obj.pop("fill", False)
         quantile = obj.pop("quantile", None)
         vector = obj.pop("vector", None)
+        extract = obj.pop("extract", None)
+        extract_where = obj.pop("extract_where", [])
+        if extract is not None:
+            extract = _decode_extract(extract)
+        if not isinstance(extract_where, list) or not all(
+            isinstance(t, list) and len(t) == 3 for t in extract_where
+        ):
+            raise BadInputError(
+                "extract_where: expected a list of [field, op, value]"
+            )
+        extract_where = [tuple(t) for t in extract_where]
         if quantile is not None:
             if (
                 not isinstance(quantile, list)
@@ -592,7 +633,7 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         q = decode_query(json.dumps(obj))
         df = range_query(
             records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill,
-            quantile=quantile,
+            quantile=quantile, extract=extract, extract_where=extract_where,
         )
         if vector is not None:
             from .operators.range_query import _label_name

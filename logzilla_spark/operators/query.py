@@ -339,6 +339,12 @@ def default_field_sql(name: str) -> str:
     if name.startswith("metadata."):
         key = name[len("metadata."):].strip('"')
         return f"m_{key}"  # oracle records relation flattens metadata to m_*
+    if name.startswith("extracted."):
+        # query-time extraction fields (operators/extract.py) — output
+        # column naming only; FIELD_PATTERN keeps them out of the
+        # sealed node tree, so this fires solely from extraction-aware
+        # call sites (range_query by/unwrap)
+        return f"x_{name[len('extracted.'):]}"
     return name
 
 

@@ -130,9 +130,19 @@ def _epoch_seconds(dt: datetime) -> int:
     return us // 1_000_000
 
 
+def _field_ok(name: str, extract) -> bool:
+    """A by/unwrap field is valid if the sealed whitelist admits it OR
+    an extraction stage defines it (operators/extract.py)."""
+    if FIELD_PATTERN.match(name):
+        return True
+    if extract is not None and name.startswith("extracted."):
+        return name[len("extracted."):] in extract.names
+    return False
+
+
 def _validate(
     query: Query, agg: str, step: int, by: Sequence[str], unwrap: str | None,
-    fill: bool, quantile: tuple[int, int] | None = None,
+    fill: bool, quantile: tuple[int, int] | None = None, extract=None,
 ) -> tuple[datetime, datetime, int, int]:
     """Shared driver-side validation; returns (start, end, lo, hi)
     with the auto-swap applied and the grid bounds as bucket seconds."""
@@ -146,10 +156,10 @@ def _validate(
         raise QueryValidationError(f"{agg} requires an unwrap field")
     if not needs_unwrap and unwrap is not None:
         raise QueryValidationError(f"{agg} does not take an unwrap field")
-    if unwrap is not None and not FIELD_PATTERN.match(unwrap):
+    if unwrap is not None and not _field_ok(unwrap, extract):
         raise QueryValidationError(f"unwrap field not allowed: {unwrap!r}")
     for f in by:
-        if not FIELD_PATTERN.match(f):
+        if not _field_ok(f, extract):
             raise QueryValidationError(f"by field not allowed: {f!r}")
     if len(set(by)) != len(list(by)):
         raise QueryValidationError("duplicate by field")
@@ -202,11 +212,21 @@ def range_query(
     unwrap: str | None = None,
     fill: bool = False,
     quantile: tuple[int, int] | None = None,
+    extract=None,
+    extract_where: Sequence[tuple[str, str, object]] = (),
     time_column: str = "timestamp",
     field_resolver=default_field_resolver,
 ) -> DataFrame:
     """Evaluate a metric range query; returns the long-form matrix
     ``<label columns...>, bucket (BIGINT epoch seconds), v``.
+
+    ``extract`` (an :class:`~.extract.Extraction`) adds a query-time
+    parser stage: ``extracted.<name>`` fields become valid in ``by`` /
+    ``unwrap`` (labels ``x_<name>``), and ``extract_where`` applies
+    the LogQL label-filter stage ``[(field, op, value), ...]`` on the
+    same scan.  Extraction is a codegen projection over ``message`` —
+    the pushed time+node predicate and the one-scan plan are
+    unchanged.
 
     ``quantile_over_time`` takes the exact rational ``quantile=(num,
     den)`` and applies the discrete rank rule of operators/metrics.py
@@ -228,8 +248,18 @@ def range_query(
     """
     step = parse_step(step)
     _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill,
-                                     quantile)
+                                     quantile, extract)
+    if extract is not None:
+        field_resolver = extract.resolver(field_resolver)
+    elif extract_where:
+        raise QueryValidationError("extract_where requires extract")
     pred, _backward, _tc = _assemble_predicate(query, time_column, field_resolver)
+    if extract_where:
+        from .extract import extract_where_column
+
+        ew = extract_where_column(extract_where, extract)
+        if ew is not None:
+            pred = pred & ew
     needs_unwrap, rate_like = AGGS[agg]
 
     labels = [
@@ -341,6 +371,8 @@ def range_query_sql(
     unwrap: str | None = None,
     fill: bool = False,
     quantile: tuple[int, int] | None = None,
+    extract=None,
+    extract_where: Sequence[tuple[str, str, object]] = (),
     time_column: str = '"timestamp"',
     field_sql=default_field_sql,
 ) -> str:
@@ -348,7 +380,11 @@ def range_query_sql(
     arithmetic, identical aggregation, identical division dag."""
     step = parse_step(step)
     _start, _end, lo, hi = _validate(query, agg, step, by, unwrap, fill,
-                                     quantile)
+                                     quantile, extract)
+    if extract is not None:
+        field_sql = extract.field_sql(field_sql)
+    elif extract_where:
+        raise QueryValidationError("extract_where requires extract")
     needs_unwrap, rate_like = AGGS[agg]
 
     # same WHERE assembly as query.search_oracle_sql (auto-swap + node)
@@ -362,6 +398,10 @@ def range_query_sql(
         s = query.node.to_sql(field_sql)
         if s is not None:
             where.append(s)
+    if extract_where:
+        from .extract import extract_where_sql
+
+        where.extend(extract_where_sql(extract_where, extract))
     if needs_unwrap:
         where.append(f"TRY_CAST({field_sql(unwrap)} AS BIGINT) IS NOT NULL")
 
