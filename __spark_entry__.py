@@ -546,6 +546,74 @@ def _range_extract_regexp_sql(pages: str | None = None) -> str:
     )
 
 
+# T70 binary matrix operations (PromQL's a/b between range vectors):
+# q_range_ratio is the error-share panel — ERROR+FATAL counts divided
+# by all-level counts per (source, 6h bucket), zero denominators
+# dropped, one IEEE division of exact BIGINTs; q_range_dod is the
+# day-over-day delta via the offset modifier (same matrix joined to
+# itself shifted one day — exact BIGINT subtraction).
+_BINOP_KW = dict(agg="count_over_time", step=21600, by=["source"])
+_DOD_KW = dict(agg="count_over_time", step=86400, by=["level"])
+
+
+def _q_range_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query, vector_binop
+
+    rec = _records(spark, sf_dir)
+    left = range_query(rec, parse_dsl_query(_RANGE_DSL), **_BINOP_KW)
+    right = range_query(
+        rec, Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8)),
+        **_BINOP_KW,
+    )
+    return vector_binop(left, right, "div")
+
+
+def _q_range_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query, vector_binop
+
+    rec = _records(spark, sf_dir)
+    m = range_query(
+        rec, Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8)),
+        **_DOD_KW,
+    )
+    return vector_binop(m, m, "sub", offset=86400)
+
+
+def _range_ratio_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import (
+        range_query_sql,
+        vector_binop_sql,
+    )
+
+    left = range_query_sql("records", parse_dsl_query(_RANGE_DSL), **_BINOP_KW)
+    right = range_query_sql(
+        "records", Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8)),
+        **_BINOP_KW,
+    )
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + vector_binop_sql(left, right, "div", ["source"])
+        + "\n) SELECT * FROM q"
+    )
+
+
+def _range_dod_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import (
+        range_query_sql,
+        vector_binop_sql,
+    )
+
+    m = range_query_sql(
+        "records", Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8)),
+        **_DOD_KW,
+    )
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + vector_binop_sql(m, m, "sub", ["level"], offset=86400)
+        + "\n) SELECT * FROM q"
+    )
+
+
 def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = _records(spark, sf_dir)
@@ -1735,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_range_topk"] = _q_range_topk  # T60 vector topk per bucket
     q["q_range_extract"] = _q_range_extract  # T69 pattern-stage extraction
     q["q_range_extract_regexp"] = _q_range_extract_regexp  # T69 regexp stage
+    q["q_range_ratio"] = _q_range_ratio  # T70 binary div (error share)
+    q["q_range_dod"] = _q_range_dod  # T70 offset sub (day-over-day)
     q["q_range_regroup"] = _q_range_regroup  # T60 sum by label subset
     q["q_range_last"] = _q_range_last  # T60 last_over_time
     q.update(_dataops_queries())
@@ -1880,6 +1950,8 @@ GROUP BY 1""",
     sql["q_range_topk"] = _range_topk_sql(p)
     sql["q_range_extract"] = _range_extract_sql(p)
     sql["q_range_extract_regexp"] = _range_extract_regexp_sql(p)
+    sql["q_range_ratio"] = _range_ratio_sql(p)
+    sql["q_range_dod"] = _range_dod_sql(p)
     sql["q_range_regroup"] = _range_regroup_sql(p)
     sql["q_range_last"] = _range_last_sql(p)
     sql.update(_dataops_oracle_sql(media))

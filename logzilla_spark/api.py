@@ -549,6 +549,72 @@ def _decode_extract(obj):
     )
 
 
+def _apply_binary(records, left_df, spec, outer_q, *, step, by):
+    """``binary`` body field: PromQL's binary operation —
+    ``{"op": "div", "right": {...}, "offset": "1d"}``.  ``right`` is a
+    second range spec (q/node/start/end, agg, unwrap, fill, quantile,
+    extract/extract_where); its ``by`` must equal the outer ``by``
+    (identical label sets — PromQL one-to-one matching), its step IS
+    the outer step (the grids must align), and start/end default to
+    the outer range.  ``offset`` (seconds or a duration string) shifts
+    the right matrix back in time (PromQL's offset modifier)."""
+    from .operators.range_query import parse_step, range_query, vector_binop
+
+    if not isinstance(spec, dict):
+        raise BadInputError("binary: expected an object")
+    unknown = set(spec) - {"op", "offset", "right"}
+    if unknown:
+        raise BadInputError(f"binary: unknown field {sorted(unknown)[0]!r}")
+    op = spec.get("op")
+    offset = spec.get("offset", 0)
+    if isinstance(offset, str):
+        offset = parse_step(offset)
+    right = spec.get("right")
+    if not isinstance(right, dict):
+        raise BadInputError("binary.right: expected an object")
+    r = dict(right)
+    ragg = r.pop("agg", "count_over_time")
+    rby = r.pop("by", list(by))
+    if list(rby) != list(by):
+        raise BadInputError(
+            f"binary.right.by must equal the outer by {list(by)}"
+            " (regroup semantics need identical label sets)"
+        )
+    runwrap = r.pop("unwrap", None)
+    rfill = r.pop("fill", False)
+    rquantile = r.pop("quantile", None)
+    if rquantile is not None:
+        if not (isinstance(rquantile, list) and len(rquantile) == 2):
+            raise BadInputError("binary.right.quantile: expected [num, den]")
+        rquantile = tuple(rquantile)
+    rextract = r.pop("extract", None)
+    if rextract is not None:
+        rextract = _decode_extract(rextract)
+    rextract_where = r.pop("extract_where", [])
+    if not isinstance(rextract_where, list) or not all(
+        isinstance(t, list) and len(t) == 3 for t in rextract_where
+    ):
+        raise BadInputError(
+            "binary.right.extract_where: expected [field, op, value] items"
+        )
+    rextract_where = [tuple(t) for t in rextract_where]
+    if "step" in r:
+        raise BadInputError("binary.right.step: the outer step applies")
+    # start/end default to the outer resolved range (offset handles
+    # time shifting; an explicit right q/start wins)
+    if "q" not in r:
+        if "start" not in r and outer_q.start is not None:
+            r["start"] = outer_q.start.isoformat()
+        if "end" not in r and outer_q.end is not None:
+            r["end"] = outer_q.end.isoformat()
+    rq = decode_query(json.dumps(r))
+    rdf = range_query(
+        records, rq, agg=ragg, step=step, by=rby, unwrap=runwrap, fill=rfill,
+        quantile=rquantile, extract=rextract, extract_where=rextract_where,
+    )
+    return vector_binop(left_df, rdf, op, offset=offset)
+
+
 def range_request(records: DataFrame, body: str | bytes) -> dict:
     """``POST /api/logs/query_range``: the dashboard sibling of
     search_request (Loki's query_range) — same query body (q/node,
@@ -563,7 +629,9 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
     ``extract`` (the LogQL parser stage — ``{"pattern": "<m> /<p>"}``
     or ``{"regexp": ..., "names": [...]}`` making ``extracted.<name>``
     valid in by/unwrap) and ``extract_where`` (the label-filter stage,
-    ``[["extracted.ms", ">", 100], ...]``).
+    ``[["extracted.ms", ">", 100], ...]``), and ``binary`` (PromQL's
+    binary operation against a second range spec — error ratios,
+    day-over-day deltas via ``offset``; see :func:`_apply_binary`).
 
     Response data is the Loki matrix shape: one entry per label set,
     ``{"labels": {...}, "values": [[bucket_epoch_s, v], ...]}`` with
@@ -595,6 +663,7 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         fill = obj.pop("fill", False)
         quantile = obj.pop("quantile", None)
         vector = obj.pop("vector", None)
+        binary = obj.pop("binary", None)
         extract = obj.pop("extract", None)
         extract_where = obj.pop("extract_where", [])
         if extract is not None:
@@ -635,6 +704,12 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
             records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill,
             quantile=quantile, extract=extract, extract_where=extract_where,
         )
+        if binary is not None:
+            if vector is not None:
+                raise BadInputError(
+                    "binary and vector are mutually exclusive"
+                )
+            df = _apply_binary(records, df, binary, q, step=step, by=by)
         if vector is not None:
             from .operators.range_query import _label_name
 

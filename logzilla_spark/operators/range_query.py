@@ -61,6 +61,8 @@ __all__ = [
     "range_query_sql",
     "vector_agg",
     "vector_agg_sql",
+    "vector_binop",
+    "vector_binop_sql",
     "vector_topk",
     "vector_topk_sql",
     "parse_step",
@@ -590,6 +592,123 @@ def vector_topk(matrix: DataFrame, k: int, *, bottom: bool = False) -> DataFrame
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def vector_binop(
+    left: DataFrame, right: DataFrame, op: str, *, offset: int = 0
+) -> DataFrame:
+    """PromQL's binary operation between two evaluated matrices:
+    ``left <op> right`` per (labels, bucket) — the error-ratio /
+    week-over-week dashboard panel (``errors / total``,
+    ``count - count offset 1d``).
+
+    Matching is PromQL one-to-one: both matrices must carry the SAME
+    label columns (for ``on(subset)`` semantics, regroup a side with
+    :func:`vector_agg` first — that IS what on() means), and cells
+    join on exact (labels..., bucket) equality; unmatched cells drop
+    (inner join, PromQL's behavior).  ``offset`` (seconds, multiple of
+    the shared step) shifts the RIGHT matrix forward so left at time t
+    meets right at t − offset — the PromQL ``offset`` modifier.
+
+    ``div`` cells with a zero denominator are DROPPED (no sample — the
+    portable stand-in for PromQL's ±Inf, which would not round-trip
+    exactly); its result is one IEEE division of the two cell values.
+    ``add``/``sub``/``mul`` stay exact BIGINT when both inputs are
+    BIGINT matrices.  Input is cell-scale, so the join shuffle is
+    dashboard-sized, never corpus-sized."""
+    from pyspark.sql.types import LongType
+
+    ops = ("add", "sub", "mul", "div")
+    if op not in ops:
+        raise QueryValidationError(f"binary op {op!r}; one of {list(ops)}")
+    if isinstance(offset, bool) or not isinstance(offset, int):
+        raise QueryValidationError("binary offset: expected seconds (int)")
+    lab_l = _matrix_labels(left)
+    lab_r = _matrix_labels(right)
+    if sorted(lab_l) != sorted(lab_r):
+        raise QueryValidationError(
+            f"binary: label columns differ ({sorted(lab_l)} vs"
+            f" {sorted(lab_r)}); regroup with vector_agg first"
+        )
+    import functools as _ft
+
+    rs = right.select(
+        *lab_r,
+        (F.col("bucket") + F.lit(offset)).alias("bucket"),
+        F.col("v").alias("_rv"),
+    ).alias("_r")
+    ls = left.alias("_l")
+    # null-safe label equality — a NULL label is a real series key
+    # (the twin matches with IS NOT DISTINCT FROM)
+    cond = _ft.reduce(
+        lambda a, b: a & b,
+        [F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}")) for c in lab_l]
+        + [F.col("_l.bucket") == F.col("_r.bucket")],
+    )
+    j = ls.join(rs, cond, "inner")
+    both_long = isinstance(left.schema["v"].dataType, LongType) and isinstance(
+        right.schema["v"].dataType, LongType
+    )
+    lv, rv = F.col("_l.v"), F.col("_r._rv")
+    if op == "div":
+        j = j.filter(rv != 0)
+        v = lv.cast("double") / rv.cast("double")
+    else:
+        l_, r_ = (lv, rv) if both_long else (lv.cast("double"), rv.cast("double"))
+        v = {"add": l_ + r_, "sub": l_ - r_, "mul": l_ * r_}[op]
+        if both_long:
+            v = v.cast("bigint")
+    return j.select(
+        *[F.col(f"_l.{c}") for c in lab_l], F.col("_l.bucket").alias("bucket"),
+        v.alias("v"),
+    )
+
+
+def vector_binop_sql(
+    left_inner: str,
+    right_inner: str,
+    op: str,
+    label_names: Sequence[str],
+    *,
+    offset: int = 0,
+    value_type: str = "BIGINT",
+) -> str:
+    """DuckDB twin of :func:`vector_binop` over two matrix SQL strings
+    (normally :func:`range_query_sql` outputs).  ``value_type`` is the
+    INPUT matrices' ``v`` type; the twin reproduces the Spark result
+    type rule (BIGINT for add/sub/mul over BIGINT inputs, DOUBLE
+    otherwise, DOUBLE always for div)."""
+    ops = ("add", "sub", "mul", "div")
+    if op not in ops:
+        raise QueryValidationError(f"binary op {op!r}; one of {list(ops)}")
+    labels = list(label_names)
+    on = " AND ".join(
+        [f"l.{c} IS NOT DISTINCT FROM r.{c}" for c in labels]
+        + ["l.bucket = r.bucket"]
+    )
+    sel_labels = "".join(f"l.{c}, " for c in labels)
+    if op == "div":
+        expr = "CAST(l.v AS DOUBLE) / CAST(r.v AS DOUBLE)"
+        guard = "\nWHERE r.v <> 0"
+    else:
+        sym = {"add": "+", "sub": "-", "mul": "*"}[op]
+        if value_type == "BIGINT":
+            expr = f"CAST(l.v {sym} r.v AS BIGINT)"
+        else:
+            expr = f"CAST(l.v AS DOUBLE) {sym} CAST(r.v AS DOUBLE)"
+        guard = ""
+    return f"""WITH _bl AS (
+{left_inner}
+),
+_br AS (
+{right_inner}
+),
+_bro AS (
+  SELECT {', '.join([*label_names, ''])}bucket + {int(offset)} AS bucket, v
+  FROM _br
+)
+SELECT {sel_labels}l.bucket, {expr} AS v
+FROM _bl l JOIN _bro r ON {on}{guard}"""
 
 
 def vector_agg_sql(
