@@ -614,6 +614,33 @@ def _range_dod_sql(pages: str | None = None) -> str:
     )
 
 
+# T71 absence detection (PromQL absent() / "host stopped logging"):
+# keys with baseline activity and zero rows since the pivot — one
+# conditional aggregation over one scan, exact BIGINT outputs
+# (n_baseline + last_seen_us), metadata.service exercises the map
+# label path.
+_ABSENT_KW = dict(by=["source", "metadata.service"],
+                  pivot=datetime(2024, 1, 6))
+
+
+def _q_absent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.anomaly import absent_keys
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return absent_keys(_records(spark, sf_dir), q, **_ABSENT_KW)
+
+
+def _absent_keys_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.anomaly import absent_keys_sql
+
+    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + absent_keys_sql("records", q, **_ABSENT_KW)
+        + "\n) SELECT * FROM q"
+    )
+
+
 def _mk_search_query(q: Query) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = _records(spark, sf_dir)
@@ -1805,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_range_extract_regexp"] = _q_range_extract_regexp  # T69 regexp stage
     q["q_range_ratio"] = _q_range_ratio  # T70 binary div (error share)
     q["q_range_dod"] = _q_range_dod  # T70 offset sub (day-over-day)
+    q["q_absent_keys"] = _q_absent_keys  # T71 silence detection
     q["q_range_regroup"] = _q_range_regroup  # T60 sum by label subset
     q["q_range_last"] = _q_range_last  # T60 last_over_time
     q.update(_dataops_queries())
@@ -1952,6 +1980,7 @@ GROUP BY 1""",
     sql["q_range_extract_regexp"] = _range_extract_regexp_sql(p)
     sql["q_range_ratio"] = _range_ratio_sql(p)
     sql["q_range_dod"] = _range_dod_sql(p)
+    sql["q_absent_keys"] = _absent_keys_sql(p)
     sql["q_range_regroup"] = _range_regroup_sql(p)
     sql["q_range_last"] = _range_last_sql(p)
     sql.update(_dataops_oracle_sql(media))

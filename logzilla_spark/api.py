@@ -346,6 +346,61 @@ def sigterms_request(records: DataFrame, body: str | bytes) -> dict:
     }
 
 
+def absent_request(records: DataFrame, body: str | bytes) -> dict:
+    """``POST /api/logs/absent``: silence detection (T71) — keys with
+    baseline activity and no rows since ``pivot`` (RFC3339, inside
+    the range). Body: the /search query body (q/node, start/end; sort,
+    limit, cursor ignored) plus ``pivot``, ``by`` (whitelisted label
+    fields) and optional ``limit`` (int in [1, 1000], default 100).
+    Rows are (labels..., n_baseline, last_seen_us), most recently
+    seen first (the key that died last tops the triage list), label
+    tie-break."""
+    from .operators.anomaly import absent_keys
+
+    try:
+        raw = body.encode() if isinstance(body, str) else body
+        if len(raw) > MAX_BODY_BYTES:
+            raise BadInputError(
+                f"Body must not be larger than {MAX_BODY_BYTES} bytes."
+            )
+        try:
+            obj = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise BadInputError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise BadInputError("body must be a JSON object")
+        if "pivot" not in obj:
+            raise BadInputError("pivot: Field is required.")
+        pivot = _parse_ts(obj.pop("pivot"), "pivot")
+        by = obj.pop("by", [])
+        if not isinstance(by, list) or not all(isinstance(f, str) for f in by):
+            raise BadInputError("by: expected a list of field names")
+        limit = obj.pop("limit", 100)
+        if isinstance(limit, bool) or not isinstance(limit, int) or not (
+            1 <= limit <= 1000
+        ):
+            raise BadInputError("limit: expected an int in [1, 1000]")
+        q = decode_query(json.dumps(obj))
+        from pyspark.sql import functions as F
+
+        df = absent_keys(records, q, by=by, pivot=pivot)
+        label_cols = [c for c in df.columns
+                      if c not in ("n_baseline", "last_seen_us")]
+        rows = (
+            df.orderBy(F.col("last_seen_us").desc(), *label_cols)
+            .limit(limit)  # TakeOrderedAndProject: top-k, never a full sort
+            .collect()
+        )
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+    return {
+        "success": True,
+        "message": "",
+        "data": [r.asDict() for r in rows],
+        "metadata": {"count": len(rows)},
+    }
+
+
 def complete_request(records: DataFrame, path: str) -> dict:
     """``GET /api/logs/complete?prefix=<p>&k=<n>``: typeahead token
     completions over the bound records frame (T67) — (token, n_docs)

@@ -38,6 +38,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "absent_keys",
+    "absent_keys_from_counts",
+    "absent_keys_sql",
     "rate_anomalies",
     "rate_anomalies_from_counts",
     "rate_anomalies_sql",
@@ -211,3 +214,168 @@ SELECT key, bucket, x, n_hist, {z} AS z,
        coalesce(({z}) > CAST({float(threshold)} AS DOUBLE), FALSE)
          AS is_anomaly
 FROM win"""
+
+
+# -- absence detection -------------------------------------------------
+#
+# The OTHER alerting direction: rate_anomalies fires when a key goes
+# LOUD; absent_keys fires when a key goes SILENT (PromQL's absent() /
+# "host stopped sending logs" — dead agent, broken shipper, wedged
+# service). A key is absent when it has activity in the baseline
+# half of the range ([start, pivot)) and NO rows in the current half
+# ([pivot, end]). One conditional aggregation over one scan — the
+# corpus is never touched twice — and the filter predicate is the
+# SAME assembled time+node predicate as the hits page, so "absent
+# among what?" can never drift from what search shows.
+
+
+def absent_keys(
+    df: DataFrame,
+    query,
+    *,
+    by,
+    pivot,
+    time_column: str = "timestamp",
+    field_resolver=None,
+) -> DataFrame:
+    """Keys seen before ``pivot`` but silent since.
+
+    ``query`` scopes the scan (mandatory time range + optional node
+    tree — operators/query.py discipline; ``end`` is required: an
+    open-ended "current half" has no honest emptiness claim).
+    ``by`` is the key shape (whitelisted fields, same rules as
+    range-query labels). Output: one row per absent key — label
+    columns (``_label_name`` form), ``n_baseline`` (BIGINT rows before
+    pivot) and ``last_seen_us`` (BIGINT epoch-micros of the key's last
+    row) — deterministic content, exact integers, so the oracle hash
+    covers everything.
+
+    100 TB shape: one scan with pushed predicates, one groupBy on the
+    key labels (map-side partials collapse to one row per key per
+    partition before the shuffle); the output is key-cardinality.
+    """
+    from .query import QueryValidationError, _assemble_predicate
+    from .query import default_field_resolver as _dfr
+    from .range_query import _field_ok, _label_name
+
+    if field_resolver is None:
+        field_resolver = _dfr
+    query.validate()
+    if query.end is None:
+        raise QueryValidationError("absent_keys requires end (or until:)")
+    if not by:
+        raise QueryValidationError("absent_keys: by must be non-empty")
+    for f in by:
+        if not _field_ok(f, None):
+            raise QueryValidationError(f"by field not allowed: {f!r}")
+    if len(set(by)) != len(list(by)):
+        raise QueryValidationError("duplicate by field")
+    start, end = query.start, query.end
+    if end < start:
+        start, end = end, start
+    if not (start < pivot <= end):
+        raise QueryValidationError(
+            "absent_keys: pivot must lie inside the time range"
+        )
+    pred, _bk, tc = _assemble_predicate(query, time_column, field_resolver)
+    labels = [
+        field_resolver(f).cast("string").alias(_label_name(f)) for f in by
+    ]
+    label_names = [_label_name(f) for f in by]
+    cur = tc >= pivot
+    base = df.filter(pred).select(
+        *labels,
+        F.when(cur, 1).otherwise(0).alias("_c"),
+        F.expr(f"unix_micros(`{time_column}`)").alias("_us"),
+    )
+    agg = base.groupBy(*label_names).agg(
+        F.sum(F.lit(1) - F.col("_c")).cast("bigint").alias("n_baseline"),
+        F.sum("_c").cast("bigint").alias("_n_current"),
+        F.max("_us").alias("last_seen_us"),
+    )
+    return agg.filter(F.col("_n_current") == 0).select(
+        *label_names, "n_baseline", "last_seen_us"
+    )
+
+
+def absent_keys_from_counts(
+    counts: DataFrame,
+    pivot,
+    key_cols=("key",),
+    bucket_col: str = "bucket",
+    x_col: str = "x",
+) -> DataFrame:
+    """Absence over a PRE-AGGREGATED (key..., bucket, count) series —
+    the production shape: read the continuously-maintained agg table
+    (exactly-once ``stream_agg`` sink / rollup cascade), never rescan
+    the corpus. Output: key columns, ``n_baseline`` (sum of counts
+    before pivot), ``last_bucket`` (the key's newest bucket)."""
+    key_cols = list(key_cols)
+    cur = F.col(bucket_col) >= pivot
+    agg = counts.groupBy(*key_cols).agg(
+        F.sum(F.when(~cur, F.col(x_col)).otherwise(0))
+        .cast("bigint").alias("n_baseline"),
+        F.sum(F.when(cur, F.col(x_col)).otherwise(0))
+        .cast("bigint").alias("_n_current"),
+        F.max(bucket_col).alias("last_bucket"),
+    )
+    return agg.filter(
+        (F.col("_n_current") == 0) & (F.col("n_baseline") > 0)
+    ).select(*key_cols, "n_baseline", "last_bucket")
+
+
+def absent_keys_sql(
+    relation: str,
+    query,
+    *,
+    by,
+    pivot,
+    time_column: str = '"timestamp"',
+    field_sql=None,
+) -> str:
+    """DuckDB twin of :func:`absent_keys` — identical WHERE assembly,
+    identical conditional aggregation, exact BIGINT outputs."""
+    from .query import QueryValidationError, _sql_lit
+    from .query import default_field_sql as _dfs
+    from .range_query import _field_ok, _label_name
+
+    if field_sql is None:
+        field_sql = _dfs
+    query.validate()
+    if query.end is None:
+        raise QueryValidationError("absent_keys requires end (or until:)")
+    if not by:
+        raise QueryValidationError("absent_keys: by must be non-empty")
+    for f in by:
+        if not _field_ok(f, None):
+            raise QueryValidationError(f"by field not allowed: {f!r}")
+    start, end = query.start, query.end
+    if end < start:
+        start, end = end, start
+    if not (start < pivot <= end):
+        raise QueryValidationError(
+            "absent_keys: pivot must lie inside the time range"
+        )
+    where = [f"{time_column} >= {_sql_lit(start)}",
+             f"{time_column} <= {_sql_lit(end)}"]
+    if query.node is not None:
+        s = query.node.to_sql(field_sql)
+        if s is not None:
+            where.append(s)
+    label_sel = [
+        f"CAST({field_sql(f)} AS VARCHAR) AS {_label_name(f)}" for f in by
+    ]
+    label_names = [_label_name(f) for f in by]
+    cur = f"{time_column} >= {_sql_lit(pivot)}"
+    grp = ", ".join(str(i + 1) for i in range(len(by)))
+    return f"""WITH _a AS (
+  SELECT {', '.join(label_sel)},
+         CAST(sum(CASE WHEN {cur} THEN 0 ELSE 1 END) AS BIGINT) AS n_baseline,
+         CAST(sum(CASE WHEN {cur} THEN 1 ELSE 0 END) AS BIGINT) AS _n_current,
+         CAST(max(epoch_us({time_column})) AS BIGINT) AS last_seen_us
+  FROM {relation}
+  WHERE {' AND '.join(where)}
+  GROUP BY {grp}
+)
+SELECT {', '.join([*label_names, 'n_baseline', 'last_seen_us'])}
+FROM _a WHERE _n_current = 0"""

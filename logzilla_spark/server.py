@@ -149,6 +149,10 @@ class _Handler(BaseHTTPRequestHandler):
             from logzilla_spark.api import sigterms_request
 
             handler = sigterms_request
+        elif self.path == "/api/logs/absent":
+            from logzilla_spark.api import absent_request
+
+            handler = absent_request
         elif self.path == "/api/logs/query_range":
             from logzilla_spark.api import query_range_request
 
