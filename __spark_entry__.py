@@ -1397,6 +1397,17 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": lambda s, d: cluster.neardup_clusters(
             _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d))
         ),
+        # T72 asymmetric near-dup: deterministic delta/corpus split
+        # (doc_id % 5) — the nightly-ingest-vs-committed-corpus shape;
+        # no corpus-corpus pairs are generated
+        "q_dedup_incremental": lambda s, d: dedup.minhash_lsh_pairs_against(
+            _docs(s, d).filter(F.col("doc_id") % 5 == 0),
+            _docs(s, d).filter(~(F.col("doc_id") % 5 == 0)),
+        ),
+        "q_dedup_incremental_filter": lambda s, d: dedup.neardup_filter_against(
+            _docs(s, d).filter(F.col("doc_id") % 5 == 0),
+            _docs(s, d).filter(~(F.col("doc_id") % 5 == 0)),
+        ),
         "q_dedup_simhash": lambda s, d: dedup.simhash_fingerprints(_docs(s, d)),
         "q_dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "q_dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -1576,6 +1587,15 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_dedup_minhash_sig": oracle_dataops.minhash_signatures_sql(docs),
         "q_dedup_minhash_pairs": oracle_dataops.minhash_lsh_pairs_sql(docs),
         "q_dedup_clusters": oracle_dataops.neardup_clusters_sql(docs),
+        "q_dedup_incremental": oracle_dataops.minhash_lsh_pairs_against_sql(
+            docs, "id % 5 = 0"
+        ),
+        "q_dedup_incremental_filter": (
+            f"SELECT * FROM {oracle_dataops._rel(docs)} WHERE doc_id % 5 = 0 "
+            "AND doc_id NOT IN (SELECT doc_new FROM (\n"
+            + oracle_dataops.minhash_lsh_pairs_against_sql(docs, "id % 5 = 0")
+            + "\n))"
+        ),
         "q_dedup_simhash": oracle_dataops.simhash_fingerprints_sql(docs),
         "q_dedup_simhash_pairs": oracle_dataops.simhash_pairs_sql(docs),
         "q_dedup_ngram_jaccard": oracle_dataops.ngram_jaccard_pairs_sql(docs),

@@ -410,6 +410,109 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_against(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est: float = MIN_EST_SIM,
+    min_jaccard: float = MIN_JACCARD,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+    cache_features: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: new docs (``delta``) vs an existing
+    reference corpus — the production recrawl/ingest-batch shape
+    (is this new page a near-copy of something we already keep?).
+
+    Same feature/band/verify pipeline as :func:`minhash_lsh_pairs`,
+    but the candidate stage is a band join BETWEEN the two sides, not
+    a corpus self-join: no corpus-corpus pairs are ever generated, so
+    the cost scales with |delta| x bucket overlap — at 100 TB the
+    committed corpus' features/bands are computed ONCE (or read from
+    a maintained band registry, the batch analog of
+    streaming/neardup.py's) and each nightly batch pays only its own
+    feature pass plus delta-sized joins. Ids must be disjoint across
+    the two frames (they identify different tables).
+
+    Returns (doc_new, doc_old, est_sim, inter_n, union_n, jaccard)
+    with jaccard >= min_jaccard. The max_bucket guard applies per
+    side (a boilerplate mega-bucket in EITHER table would otherwise
+    make the bucket join quadratic).
+    """
+    fd = _minhash_features(delta, id_col, text_col)
+    fc = _minhash_features(corpus, id_col, text_col)
+    if cache_features:
+        # each side's features feed its band stage AND its verify side
+        fd, fc = persist_tracked(fd), persist_tracked(fc)
+
+    def _guarded(bands: DataFrame) -> DataFrame:
+        if max_bucket is None:
+            return bands
+        w = Window.partitionBy("band_id", "band_hash")
+        return (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+
+    bd = _guarded(minhash_band_hashes(fd.select("id", "sig"))).select(
+        F.col("band_id").alias("_bi"),
+        F.col("band_hash").alias("_bh"),
+        F.col("id").alias("doc_new"),
+    )
+    bc = _guarded(minhash_band_hashes(fc.select("id", "sig"))).select(
+        F.col("band_id").alias("_bi"),
+        F.col("band_hash").alias("_bh"),
+        F.col("id").alias("doc_old"),
+    )
+    cand = bd.join(bc, ["_bi", "_bh"]).select("doc_new", "doc_old").distinct()
+    fa = fd.select(
+        F.col("id").alias("doc_new"), F.col("sig").alias("_sa"),
+        F.col("_sh").alias("_ga"),
+    )
+    fb = fc.select(
+        F.col("id").alias("doc_old"), F.col("sig").alias("_sb"),
+        F.col("_sh").alias("_gb"),
+    )
+    est = F.expr(
+        "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
+        f"/ {N_MINHASH}.0"
+    )
+    return (
+        cand.join(fa, "doc_new")
+        .join(fb, "doc_old")
+        .withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= min_est)
+        .withColumn("inter_n", F.expr("size(array_intersect(_ga, _gb))"))
+        .withColumn("union_n", F.expr("size(_ga) + size(_gb) - inter_n"))
+        .withColumn(
+            "jaccard",
+            F.col("inter_n").cast("double") / F.col("union_n").cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_new", "doc_old", "est_sim", "inter_n", "union_n", "jaccard")
+    )
+
+
+def neardup_filter_against(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The incremental-ingest dedup gate: delta rows that are NOT a
+    near-duplicate of anything in the reference corpus (left-anti on
+    the asymmetric pair set). Delta-INTERNAL duplicates are a separate
+    concern — compose with :func:`minhash_lsh_pairs` /
+    ``cluster.neardup_keep_best`` on the survivors."""
+    pairs = minhash_lsh_pairs_against(
+        delta, corpus, id_col=id_col, text_col=text_col, **kwargs
+    )
+    hits = pairs.select(F.col("doc_new").alias(id_col)).distinct()
+    return delta.join(hits, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # 3. SimHash
 # --------------------------------------------------------------------------

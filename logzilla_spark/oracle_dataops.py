@@ -117,18 +117,21 @@ SELECT md5(n) AS content_hash, CAST(min(id) AS BIGINT) AS keeper_id,
 FROM docs GROUP BY 1"""
 
 
-def _sig_cte(docs_path: str) -> str:
+def _sig_items() -> str:
     a, b = minhash_coeffs(N_MINHASH)
-    sig_items = ", ".join(
+    return ", ".join(
         f"list_aggregate(list_transform(hs, h -> ({a[j]} * h + {b[j]}) % {P31}), 'min')"
         for j in range(N_MINHASH)
     )
+
+
+def _sig_cte(docs_path: str) -> str:
     return f"""{_docs_cte(docs_path)},
 hashed AS (
   SELECT id, list_transform({_shingles('n')}, s -> {md5_long_sql('s')} % {P31}) AS hs
   FROM docs
 ),
-sigs AS (SELECT id, [{sig_items}] AS sig FROM hashed)"""
+sigs AS (SELECT id, [{_sig_items()}] AS sig FROM hashed)"""
 
 
 def minhash_signatures_sql(docs_path: str) -> str:
@@ -138,7 +141,7 @@ def minhash_signatures_sql(docs_path: str) -> str:
     return f"WITH {_sig_cte(docs_path)}\nSELECT id, {cols} FROM sigs"
 
 
-def _bands_cte() -> str:
+def _bands_cte(name: str = "bands", src: str = "sigs") -> str:
     bands = ", ".join(
         "{'band_id': %d, 'band_hash': %s}"
         % (
@@ -151,9 +154,9 @@ def _bands_cte() -> str:
         )
         for k in range(LSH_BANDS)
     )
-    return f"""bands AS (
+    return f"""{name} AS (
   SELECT id, u.band_id AS band_id, u.band_hash AS band_hash
-  FROM (SELECT id, unnest([{bands}]) AS u FROM sigs)
+  FROM (SELECT id, unnest([{bands}]) AS u FROM {src})
 )"""
 
 
@@ -197,6 +200,64 @@ verified AS (
 def minhash_lsh_pairs_sql(docs_path: str) -> str:
     return f"""WITH {_minhash_verified_ctes(docs_path)}
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, est_sim,
+       CAST(inter_n AS INT) AS inter_n, CAST(union_n AS INT) AS union_n,
+       CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) >= {MIN_JACCARD}"""
+
+
+def minhash_lsh_pairs_against_sql(docs_path: str, delta_where: str) -> str:
+    """Twin of dedup.minhash_lsh_pairs_against: the docs relation split
+    by ``delta_where`` into the new side (WHERE) and the reference
+    corpus (WHERE NOT), banded per side, joined across — no
+    corpus-corpus pairs; per-side QUALIFY bucket guard mirrors the
+    operator's per-side window count."""
+    est = (
+        f"len(list_filter(list_transform(range(1, {N_MINHASH + 1}), "
+        f"j -> sa.sig[j] = sb.sig[j]), x -> x)) / {N_MINHASH}.0"
+    )
+
+    def side(nm: str, where: str) -> str:
+        return f"""docs_{nm} AS (SELECT * FROM docs WHERE {where}),
+hashed_{nm} AS (
+  SELECT id, list_transform({_shingles('n')}, s -> {md5_long_sql('s')} % {P31}) AS hs
+  FROM docs_{nm}
+),
+sigs_{nm} AS (SELECT id, [{_sig_items()}] AS sig FROM hashed_{nm}),
+{_bands_cte(name=f'bands_{nm}', src=f'sigs_{nm}')},
+kept_{nm} AS (
+  SELECT * FROM bands_{nm}
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {MAX_LSH_BUCKET}
+),
+sh_{nm} AS (
+  SELECT id,
+         list_distinct(list_transform({_shingles('n')}, s -> {md5_long_sql('s')} % {P31})) AS g
+  FROM docs_{nm}
+)"""
+
+    return f"""WITH {_docs_cte(docs_path)},
+{side('new', delta_where)},
+{side('old', f'NOT ({delta_where})')},
+cand AS (
+  SELECT DISTINCT a.id AS doc_new, b.id AS doc_old
+  FROM kept_new a JOIN kept_old b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+),
+est AS (
+  SELECT doc_new, doc_old, {est} AS est_sim
+  FROM cand JOIN sigs_new sa ON cand.doc_new = sa.id
+            JOIN sigs_old sb ON cand.doc_old = sb.id
+),
+verified AS (
+  SELECT doc_new, doc_old, est_sim,
+         len(list_intersect(ga.g, gb.g)) AS inter_n,
+         len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS union_n
+  FROM est JOIN sh_new ga ON est.doc_new = ga.id
+           JOIN sh_old gb ON est.doc_old = gb.id
+  WHERE est_sim >= {MIN_EST_SIM}
+)
+SELECT CAST(doc_new AS BIGINT) AS doc_new, CAST(doc_old AS BIGINT) AS doc_old,
+       est_sim,
        CAST(inter_n AS INT) AS inter_n, CAST(union_n AS INT) AS union_n,
        CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
 FROM verified
