@@ -1338,6 +1338,36 @@ def _ann_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ann_serve_topk(spark, cat, "emb", _probes(_emb(spark, sf_dir)))
 
 
+_NEARDUP_IDX_VERSION = 1
+
+
+def _neardup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T73: build (once per sf, disk-cached) the committed near-dup
+    index over the corpus side (doc_id % 5 != 0) and serve the delta
+    (doc_id % 5 == 0) ENTIRELY from the catalog tables. Shared
+    _pairs_between core, so the result equals q_dedup_incremental
+    bit-for-bit and shares its DuckDB twin: the oracle match proves
+    index persistence perturbs nothing."""
+    import os
+
+    from logzilla_spark.sources.catalog import LocalCatalog
+    from logzilla_spark.testdata import REPO_ROOT
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    cat = LocalCatalog(
+        os.path.join(
+            REPO_ROOT, ".cache", "neardup_idx", f"{sf}_{_NEARDUP_IDX_VERSION}"
+        )
+    )
+    if dedup.NEARDUP_BANDS_TABLE not in cat.tables():
+        dedup.build_neardup_index(
+            _docs(spark, sf_dir).filter(~(F.col("doc_id") % 5 == 0)), cat
+        )
+    return dedup.neardup_pairs_against_index(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0), cat, spark
+    )
+
+
 def _rank_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank() over a count aggregate: top-3 sources per category.
 
@@ -1408,6 +1438,9 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).filter(F.col("doc_id") % 5 == 0),
             _docs(s, d).filter(~(F.col("doc_id") % 5 == 0)),
         ),
+        # served from the committed band/feature registry — shares the
+        # inline twin (persistence provably bit-transparent)
+        "q_dedup_incremental_served": _neardup_served,
         "q_dedup_simhash": lambda s, d: dedup.simhash_fingerprints(_docs(s, d)),
         "q_dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "q_dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -1588,6 +1621,9 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_dedup_minhash_pairs": oracle_dataops.minhash_lsh_pairs_sql(docs),
         "q_dedup_clusters": oracle_dataops.neardup_clusters_sql(docs),
         "q_dedup_incremental": oracle_dataops.minhash_lsh_pairs_against_sql(
+            docs, "id % 5 = 0"
+        ),
+        "q_dedup_incremental_served": oracle_dataops.minhash_lsh_pairs_against_sql(
             docs, "id % 5 = 0"
         ),
         "q_dedup_incremental_filter": (

@@ -444,6 +444,30 @@ def minhash_lsh_pairs_against(
     if cache_features:
         # each side's features feed its band stage AND its verify side
         fd, fc = persist_tracked(fd), persist_tracked(fc)
+    return _pairs_between(
+        fd, fc,
+        minhash_band_hashes(fd.select("id", "sig")),
+        minhash_band_hashes(fc.select("id", "sig")),
+        min_est=min_est, min_jaccard=min_jaccard, max_bucket=max_bucket,
+    )
+
+
+def _pairs_between(
+    fd: DataFrame,
+    fc: DataFrame,
+    bands_d: DataFrame,
+    bands_c: DataFrame,
+    *,
+    min_est: float,
+    min_jaccard: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Band-join + est + verify between a delta side (features ``fd``,
+    band rows ``bands_d``) and a corpus side (``fc``/``bands_c``) —
+    ONE definition shared by the inline path (bands computed from
+    features) and the committed-index path (bands read from the
+    registry table), so persistence is bit-transparent by
+    construction."""
 
     def _guarded(bands: DataFrame) -> DataFrame:
         if max_bucket is None:
@@ -455,12 +479,12 @@ def minhash_lsh_pairs_against(
             .drop("_bn")
         )
 
-    bd = _guarded(minhash_band_hashes(fd.select("id", "sig"))).select(
+    bd = _guarded(bands_d).select(
         F.col("band_id").alias("_bi"),
         F.col("band_hash").alias("_bh"),
         F.col("id").alias("doc_new"),
     )
-    bc = _guarded(minhash_band_hashes(fc.select("id", "sig"))).select(
+    bc = _guarded(bands_c).select(
         F.col("band_id").alias("_bi"),
         F.col("band_hash").alias("_bh"),
         F.col("id").alias("doc_old"),
@@ -508,6 +532,130 @@ def neardup_filter_against(
     ``cluster.neardup_keep_best`` on the survivors."""
     pairs = minhash_lsh_pairs_against(
         delta, corpus, id_col=id_col, text_col=text_col, **kwargs
+    )
+    hits = pairs.select(F.col("doc_new").alias(id_col)).distinct()
+    return delta.join(hits, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# 2b. committed near-dup index (build once, serve every ingest batch)
+# --------------------------------------------------------------------------
+
+NEARDUP_FEATURES_TABLE = "__neardup_features"
+NEARDUP_BANDS_TABLE = "__neardup_bands"
+
+
+def build_neardup_index(
+    corpus: DataFrame,
+    catalog,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Commit the corpus' near-dup artifacts as snapshot-versioned
+    catalog tables: ``__neardup_features`` (id, sig, sh — the
+    signature + hashed shingle set the verify stage needs) and
+    ``__neardup_bands`` (id, band_id, band_hash), CLUSTERED BY
+    band_hash.
+
+    This is the build-once/serve-many story T22 (ANN index) and T27
+    (fulltext postings) establish, applied to dedup: at 100 TB the
+    committed corpus' normalize+shingle+md5 pass — by far the
+    expensive half of :func:`minhash_lsh_pairs_against` — runs ONCE
+    per corpus build, and every nightly ingest batch joins against
+    the committed tables instead of recomputing them. The artifact is
+    a sketch of the corpus (a few KB/doc), not the corpus. Both
+    commits come from ONE persisted feature lineage. On a real
+    deployment the bands table is an Iceberg table bucketed by
+    band_hash so the per-batch join co-locates without a
+    registry-side shuffle (the same note as streaming/neardup.py's
+    registry; the local catalog's range-clustering stands in)."""
+    feat = persist_tracked(_minhash_features(corpus, id_col, text_col))
+    sid_f = catalog.overwrite(
+        feat.select("id", "sig", F.col("_sh").alias("sh")),
+        NEARDUP_FEATURES_TABLE,
+        summary={"kind": "neardup_features", "id_col": id_col},
+    )
+    sid_b = catalog.overwrite(
+        minhash_band_hashes(feat.select("id", "sig")),
+        NEARDUP_BANDS_TABLE,
+        cluster_by=["band_hash"],
+        summary={"kind": "neardup_bands", "id_col": id_col},
+    )
+    return {"features": sid_f, "bands": sid_b}
+
+
+def update_neardup_index(
+    new_docs: DataFrame,
+    catalog,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """APPEND newly-accepted docs' features + bands (after their
+    ingest batch passed :func:`neardup_filter_against_index`, its
+    survivors join the reference corpus for the NEXT batch). Appends
+    are batch-clustered by band_hash; ``catalog.compact(...,
+    cluster_by=['band_hash'])`` re-clusters a fragmented registry
+    without breaking readers."""
+    feat = persist_tracked(_minhash_features(new_docs, id_col, text_col))
+    sid_f = catalog.append(
+        feat.select("id", "sig", F.col("_sh").alias("sh")),
+        NEARDUP_FEATURES_TABLE,
+        summary={"kind": "neardup_features", "id_col": id_col},
+    )
+    sid_b = catalog.append(
+        minhash_band_hashes(feat.select("id", "sig")),
+        NEARDUP_BANDS_TABLE,
+        cluster_by=["band_hash"],
+        summary={"kind": "neardup_bands", "id_col": id_col},
+    )
+    return {"features": sid_f, "bands": sid_b}
+
+
+def neardup_pairs_against_index(
+    delta: DataFrame,
+    catalog,
+    spark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est: float = MIN_EST_SIM,
+    min_jaccard: float = MIN_JACCARD,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+    cache_features: bool = True,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_against` served from the COMMITTED
+    index: the corpus side's features and bands are read from the
+    catalog tables (snapshot-consistent pair — both read at their
+    current head), the delta pays only its own feature pass. Output
+    is bit-identical to the inline operator over the same corpus by
+    construction (shared :func:`_pairs_between` core; pinned by
+    test)."""
+    fd = _minhash_features(delta, id_col, text_col)
+    if cache_features:
+        fd = persist_tracked(fd)
+    fc = catalog.read(spark, NEARDUP_FEATURES_TABLE).select(
+        "id", "sig", F.col("sh").alias("_sh")
+    )
+    bands_c = catalog.read(spark, NEARDUP_BANDS_TABLE)
+    return _pairs_between(
+        fd, fc,
+        minhash_band_hashes(fd.select("id", "sig")),
+        bands_c,
+        min_est=min_est, min_jaccard=min_jaccard, max_bucket=max_bucket,
+    )
+
+
+def neardup_filter_against_index(
+    delta: DataFrame,
+    catalog,
+    spark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The served ingest gate: delta rows with no near-copy in the
+    committed corpus index (left-anti on the served pair set)."""
+    pairs = neardup_pairs_against_index(
+        delta, catalog, spark, id_col=id_col, text_col=text_col, **kwargs
     )
     hits = pairs.select(F.col("doc_new").alias(id_col)).distinct()
     return delta.join(hits, id_col, "left_anti")
