@@ -635,10 +635,24 @@ def neardup_pairs_against_index(
     fc = catalog.read(spark, NEARDUP_FEATURES_TABLE).select(
         "id", "sig", F.col("sh").alias("_sh")
     )
-    bands_c = catalog.read(spark, NEARDUP_BANDS_TABLE)
+    bands_d = persist_tracked(minhash_band_hashes(fd.select("id", "sig")))
+    # Restrict the registry read to the DELTA's band keys before the
+    # guard/join: a bucket the delta never probes can produce no pair,
+    # and for a probed key the matched rows ARE the whole bucket, so
+    # the per-side guard count is unchanged — output-identical (pinned
+    # by the served==inline test), but the guard window runs on the
+    # key overlap instead of the full corpus registry. The join keys
+    # are a distinct projection of the delta's bands (batch-scale);
+    # AQE turns this into a broadcast join when the delta is small —
+    # the operator's premise — which also dynamically prunes the
+    # band_hash-clustered registry files.
+    dkeys = bands_d.select("band_id", "band_hash").distinct()
+    bands_c = catalog.read(spark, NEARDUP_BANDS_TABLE).join(
+        dkeys, ["band_id", "band_hash"]
+    )
     return _pairs_between(
         fd, fc,
-        minhash_band_hashes(fd.select("id", "sig")),
+        bands_d,
         bands_c,
         min_est=min_est, min_jaccard=min_jaccard, max_bucket=max_bucket,
     )

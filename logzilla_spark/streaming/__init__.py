@@ -1,7 +1,9 @@
 from .alerts import (
     AlertRule,
+    absence_alert_batch,
     alert_batch,
     evaluate_alerts,
+    start_absence_alert_stream,
     start_alert_stream,
     start_logfile_alert_stream,
 )
@@ -45,7 +47,9 @@ __all__ = [
     "read_hll_distinct",
     "AlertRule",
     "evaluate_alerts",
+    "absence_alert_batch",
     "alert_batch",
+    "start_absence_alert_stream",
     "start_alert_stream",
     "start_logfile_alert_stream",
     "read_templates",

@@ -353,3 +353,125 @@ def start_anomaly_alert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- absence alerts ----------------------------------------------------
+
+ABSENCE_ALERT_KEYS = ["rule_name", "category", "level", "last_window"]
+
+
+def absence_alert_batch(
+    cat: LocalCatalog,
+    batch: DataFrame,
+    batch_id: int,
+    rule_name: str = "absence",
+    silence_hours: int = 2,
+    query_id: str = "absence_alerts",
+    table: str = "stream_absence_alerts",
+    agg_table: str = "stream_agg",
+) -> bool:
+    """The third alerting direction (threshold = T47, spike = T54):
+    fire when a key STOPS — its newest window in the maintained agg
+    table trails the table's event-time frontier by more than
+    ``silence_hours`` (the dead-agent / broken-shipper alert,
+    Grafana's "no data" condition; batch analog =
+    operators/anomaly.absent_keys).
+
+    Runs AFTER the agg sink merged the epoch (compose in one
+    foreachBatch). Unlike the anomaly pass, evaluation CANNOT restrict
+    to the epoch's changed keys — absence is precisely about keys the
+    epoch did NOT carry — so it reads the whole agg table: key x
+    window cells, metadata-scale, collapsed to one row per key by the
+    max/sum aggregation. The frontier is the agg HEAD's max
+    window_start (event time, not wall clock: an idle stream ages
+    nobody; a replay reads the same head and converges).
+
+    Alert identity is (rule, key, last_window): a key that dies, is
+    resurrected by later data, then dies again fires AGAIN with the
+    new last_window — while the ledger anti-join keeps one death
+    firing at-most-once across epochs. A late-data revision that
+    ADVANCES a dead key's last_window within the silence horizon
+    simply un-deads it (nothing retracts — standard alert
+    semantics)."""
+    from .stream_pipeline import _committed_map, _summary_at_publish, _upsert_lock
+
+    spark = batch.sparkSession
+    with _upsert_lock(cat, table):
+        committed = _committed_map(cat, table)
+        if committed.get(query_id, -1) >= batch_id:
+            return False
+        agg = cat.read(spark, agg_table).select(
+            "category", "level", "window_start", "n"
+        )
+        per_key = agg.groupBy("category", "level").agg(
+            F.max("window_start").alias("last_window"),
+            F.sum("n").cast("bigint").alias("n_total"),
+        )
+        frontier = agg.agg(F.max("window_start").alias("_frontier"))
+        fired = (
+            # 1-row build side: BroadcastNestedLoopJoin, never a
+            # shuffling CartesianProduct (the sigterms/range-grid shape)
+            per_key.join(F.broadcast(frontier))
+            .filter(
+                F.col("last_window")
+                < F.col("_frontier") - F.expr(f"interval {int(silence_hours)} hours")
+            )
+            .select(
+                F.lit(rule_name).alias("rule_name"),
+                "category",
+                "level",
+                "last_window",
+                "n_total",
+                F.col("_frontier").alias("frontier"),
+            )
+        )
+        if cat.exists(table) and cat.last_snapshot_id(table) is not None:
+            ledger = cat.read(spark, table).select(*ABSENCE_ALERT_KEYS)
+            fired = fired.join(ledger, ABSENCE_ALERT_KEYS, "left_anti")
+        cat.append(
+            fired,
+            table,
+            summary=_summary_at_publish(cat, table, query_id, batch_id),
+        )
+        return True
+
+
+def start_absence_alert_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    silence_hours: int = 2,
+    watermark: str = "10 minutes",
+    parse_impl: str = "arrow",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """pages stream -> windowed counts -> agg sink + absence alerts in
+    ONE foreachBatch (the start_anomaly_alert_stream composition; a
+    crash between the two commits heals on replay the same way)."""
+    from ..operators.parse import parse_records
+    from .stream_pipeline import (
+        stream_pages,
+        streaming_windowed_counts,
+        upsert_agg_batch,
+    )
+
+    cat = LocalCatalog(warehouse)
+    records = parse_records(
+        stream_pages(spark, pages_dir, max_files_per_trigger), impl=parse_impl
+    )
+    agg = streaming_windowed_counts(records, watermark=watermark)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        upsert_agg_batch(batch.sparkSession, cat, batch, batch_id)
+        absence_alert_batch(cat, batch, batch_id, silence_hours=silence_hours)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Incremental-dedup probe: does per-batch cost track the DELTA?
+
+T72/T73's scale claim is that deduping a fixed ingest batch against a
+growing committed corpus costs ~the batch, not the corpus: the corpus'
+feature pass is paid once at index build, and the per-batch work is
+the delta's own features + delta-keyed joins. This probe measures, at
+corpus sizes 1x / 10x / 40x (sf0.1 synthesis, the dedup_scale_probe
+corpus) with a FIXED ~5k-doc delta:
+
+- inline  — minhash_lsh_pairs_against(delta, corpus): recomputes the
+            corpus features every batch (the no-index baseline; should
+            grow ~linearly with the corpus)
+- build   — build_neardup_index(corpus): the once-per-corpus cost
+- served  — neardup_pairs_against_index(delta, catalog): the per-batch
+            cost with a committed index (should grow far slower than
+            inline — residual growth is the registry join + verify
+            rows against more matches)
+
+Writes BENCH/DEDUP_INCREMENTAL.md and prints one JSON line.
+
+Usage: python scripts/incremental_dedup_probe.py [--max-mult 40]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logzilla_spark.operators import dedup as D  # noqa: E402
+from logzilla_spark.session import get_spark  # noqa: E402
+from logzilla_spark.sources.catalog import LocalCatalog  # noqa: E402
+
+from dedup_scale_probe import SRC, synth  # noqa: E402
+
+CACHE = os.path.join(REPO, ".cache", "incr_dedup")
+
+
+def delta_frame(spark):
+    """Fixed batch: every sf0.1 doc, id-offset, every 5th one lightly
+    perturbed (a near-dup of its corpus original at every mult —
+    planted matches so the verify stage has real work)."""
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    light = (
+        "array_join(transform(split(text, ' '), (t, i) -> "
+        "IF(i = 3, 'batchmark', t)), ' ')"
+    )
+    fresh = (
+        "array_join(transform(split(text, ' '), (t, i) -> "
+        "concat('b', cast(doc_id % 89 as string), 'w', t)), ' ')"
+    )
+    return docs.select(
+        (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.expr(light))
+        .otherwise(F.expr(fresh))
+        .alias("text"),
+    )
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return out, round(time.monotonic() - t0, 2)
+
+
+def main(max_mult: int = 40) -> None:
+    spark = get_spark(cores=32)
+    delta = delta_frame(spark)
+    delta.count()  # materialize the source cache out of the timings
+    rows = []
+    for mult in (1, 10, max_mult):
+        path = synth(spark, mult)
+        corpus = spark.read.parquet(path)
+        n_corpus = corpus.count()
+        spark.catalog.clearCache()
+        (n_inline,), t_inline = timed(
+            lambda: (D.minhash_lsh_pairs_against(delta, corpus).count(),)
+        )
+        spark.catalog.clearCache()
+        wh = os.path.join(CACHE, f"wh_x{mult}")
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = LocalCatalog(wh)
+        _, t_build = timed(lambda: D.build_neardup_index(corpus, cat))
+        spark.catalog.clearCache()
+        (n_served,), t_served = timed(
+            lambda: (D.neardup_pairs_against_index(delta, cat, spark).count(),)
+        )
+        spark.catalog.clearCache()
+        assert n_served == n_inline, (n_served, n_inline)
+        rows.append(
+            dict(mult=mult, n_corpus=n_corpus, pairs=n_inline,
+                 inline_s=t_inline, build_s=t_build, served_s=t_served)
+        )
+        print(json.dumps(rows[-1]))
+    md = [
+        "# Incremental dedup at growing corpus scale (fixed ~5k-doc batch)",
+        "",
+        f"Reproduce: `python scripts/incremental_dedup_probe.py"
+        f" --max-mult {max_mult}` (corpus = dedup_scale_probe synthesis of"
+        f" {SRC}; delta = the sf0.1 docs id-offset, 1/5 planted near-dups).",
+        "",
+        "| corpus mult | corpus docs | pairs | inline s | index build s |"
+        " served s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['mult']}x | {r['n_corpus']:,} | {r['pairs']:,} |"
+            f" {r['inline_s']} | {r['build_s']} | {r['served_s']} |"
+        )
+    md += [
+        "",
+        "`inline` recomputes the corpus' feature pass per batch and"
+        " tracks corpus size; `served` reads the committed band/feature"
+        " registry (restricted to the delta's band keys before the"
+        " guard) and its growth reflects only the registry join +"
+        " verify fan-in. `build` is paid once per corpus build and"
+        " amortizes across every subsequent batch (update_neardup_index"
+        " appends are batch-sized).",
+    ]
+    out = os.path.join(REPO, "BENCH", "DEDUP_INCREMENTAL.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"report": out, "rows": rows}))
+
+
+if __name__ == "__main__":
+    mm = 40
+    if "--max-mult" in sys.argv:
+        mm = int(sys.argv[sys.argv.index("--max-mult") + 1])
+    main(mm)
