@@ -219,10 +219,43 @@ def search_request(records: DataFrame, body: str | bytes) -> dict:
     collected records and a real continuation cursor (None at end of
     results — the reference stubs this as "" forever,
     storage/clickhouse.go:211).
+
+    Optional ``extract`` (the T69 parser stage, same forms as
+    query_range's) adds the extracted fields as ``x_<name>`` columns
+    on every hit — Loki's per-line extracted labels. Extraction runs
+    AFTER the top-k cut (a pure projection on page-sized rows — the
+    filter/sort plan is untouched) and requires ``message`` among the
+    selected columns.
     """
     try:
+        raw = body.encode() if isinstance(body, str) else body
+        extract = None
+        if len(raw) <= MAX_BODY_BYTES and raw.strip():
+            try:
+                obj = json.loads(raw.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                obj = None  # decode_query raises the canonical error
+            if isinstance(obj, dict) and "extract" in obj:
+                extract = _decode_extract(obj.pop("extract"))
+                body = json.dumps(obj)
         q = decode_query(body)
-        rows = search(records, q).collect()
+        df = search(records, q)
+        if extract is not None:
+            if "message" not in df.columns:
+                raise BadInputError(
+                    "extract requires 'message' among select_columns"
+                )
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                "*",
+                *[
+                    F.regexp_extract("message", extract.regex, i + 1)
+                    .alias(f"x_{n}")
+                    for i, n in enumerate(extract.names)
+                ],
+            )
+        rows = df.collect()
     except QueryValidationError as e:
         return {"success": False, "message": str(e), "data": None, "metadata": None}
     # A continuation cursor is only sound when (a) the page was produced

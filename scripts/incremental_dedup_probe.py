@@ -65,10 +65,17 @@ def delta_frame(spark):
     )
 
 
-def timed(fn):
-    t0 = time.monotonic()
-    out = fn()
-    return out, round(time.monotonic() - t0, 2)
+def timed(fn, trials: int = 1):
+    """Best-of-``trials`` wall (cache cleared between trials) — the
+    bench.py steady-state convention; HotSpot C2 promotion otherwise
+    charges JIT compile cost to whichever cell runs first."""
+    best, out = None, None
+    for _ in range(trials):
+        t0 = time.monotonic()
+        out = fn()
+        w = time.monotonic() - t0
+        best = w if best is None or w < best else best
+    return out, round(best, 2)
 
 
 def main(max_mult: int = 40) -> None:
@@ -80,19 +87,22 @@ def main(max_mult: int = 40) -> None:
         path = synth(spark, mult)
         corpus = spark.read.parquet(path)
         n_corpus = corpus.count()
-        spark.catalog.clearCache()
-        (n_inline,), t_inline = timed(
-            lambda: (D.minhash_lsh_pairs_against(delta, corpus).count(),)
-        )
+        def _inline():
+            spark.catalog.clearCache()
+            return (D.minhash_lsh_pairs_against(delta, corpus).count(),)
+
+        (n_inline,), t_inline = timed(_inline, trials=2)
         spark.catalog.clearCache()
         wh = os.path.join(CACHE, f"wh_x{mult}")
         shutil.rmtree(wh, ignore_errors=True)
         cat = LocalCatalog(wh)
         _, t_build = timed(lambda: D.build_neardup_index(corpus, cat))
-        spark.catalog.clearCache()
-        (n_served,), t_served = timed(
-            lambda: (D.neardup_pairs_against_index(delta, cat, spark).count(),)
-        )
+
+        def _served():
+            spark.catalog.clearCache()
+            return (D.neardup_pairs_against_index(delta, cat, spark).count(),)
+
+        (n_served,), t_served = timed(_served, trials=2)
         spark.catalog.clearCache()
         assert n_served == n_inline, (n_served, n_inline)
         rows.append(

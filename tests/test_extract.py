@@ -295,3 +295,50 @@ def test_api_extract_errors(records_sf0001, patch, msg):
     }
     resp = range_request(records_sf0001, json.dumps(body))
     assert not resp["success"] and msg in resp["message"], resp["message"]
+
+
+def test_search_page_extracted_columns(records_sf0001):
+    from logzilla_spark.api import search_request
+
+    body = {
+        "start": "2024-01-01T00:00:00",
+        "end": "2024-01-08T00:00:00",
+        "limit": 20,
+        "extract": {"pattern": "<method> /<path>"},
+    }
+    resp = search_request(records_sf0001, json.dumps(body))
+    assert resp["success"], resp["message"]
+    assert resp["data"], "expected hits"
+    for hit in resp["data"]:
+        assert "x_method" in hit and "x_path" in hit
+        if hit["message"].startswith(("GET /", "POST /", "PUT /")):
+            assert hit["x_method"] == hit["message"].split(" ")[0]
+        else:
+            assert hit["x_method"] == ""  # no-match extracts ''
+    # cursor contract untouched by the projection
+    assert resp["metadata"]["cursor"] is not None
+
+
+def test_search_page_extract_needs_message(records_sf0001):
+    from logzilla_spark.api import search_request
+
+    body = {
+        "start": "2024-01-01T00:00:00",
+        "end": "2024-01-08T00:00:00",
+        "select_columns": ["id", "timestamp"],
+        "extract": {"pattern": "<m> x"},
+    }
+    resp = search_request(records_sf0001, json.dumps(body))
+    assert not resp["success"] and "message" in resp["message"]
+
+
+def test_search_page_bad_extract_enveloped(records_sf0001):
+    from logzilla_spark.api import search_request
+
+    body = {
+        "start": "2024-01-01T00:00:00",
+        "end": "2024-01-02T00:00:00",
+        "extract": {"regexp": "(?=x)(y)", "names": ["y"]},
+    }
+    resp = search_request(records_sf0001, json.dumps(body))
+    assert not resp["success"] and "only" in resp["message"]
