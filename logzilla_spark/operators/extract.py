@@ -39,6 +39,14 @@ both engines when the pattern misses, so a non-matching row carries
 and NULL after the numeric ``TRY_CAST`` (so unwrap/numeric filters
 exclude it, matching "a row without the field is not a 0-valued
 sample").
+
+Known newline caveat (documented, not defended): Java's ``$`` also
+matches just before a TRAILING newline where RE2's matches only at
+end-of-string, and ``.`` excludes ``\n`` in both.  The record
+``message`` is produced by line splitting (O3) and therefore never
+contains a newline, so neither difference is reachable through the
+query surfaces; extraction over a frame with embedded newlines is
+outside the portability contract.
 """
 
 from __future__ import annotations
