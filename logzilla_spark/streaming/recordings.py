@@ -68,6 +68,12 @@ class RecordingRule:
     by: tuple[str, ...] = field(default_factory=tuple)
     unwrap: str | None = None
     quantile: tuple[int, int] | None = None
+    # T69 parser stage: record series over QUERY-TIME extracted labels
+    # (`extracted.<name>` valid in by/unwrap; pattern XOR regexp+names)
+    pattern: str | None = None
+    regexp: str | None = None
+    names: tuple[str, ...] = field(default_factory=tuple)
+    extract_where: tuple = field(default_factory=tuple)
 
     def __post_init__(self):
         if not _NAME_RE.match(self.name):
@@ -77,6 +83,32 @@ class RecordingRule:
             )
         self.step = parse_step(self.step)
         self.node = parse_dsl(self.q)  # directives raise here
+        from logzilla_spark.operators.extract import Extraction
+
+        if self.pattern is not None and self.regexp is not None:
+            raise QueryValidationError(
+                f"rule {self.name!r}: pattern and regexp are exclusive"
+            )
+        if self.pattern is not None:
+            self.extract = Extraction.pattern(self.pattern)
+        elif self.regexp is not None:
+            self.extract = Extraction.regexp(self.regexp, list(self.names))
+        else:
+            if self.names:
+                raise QueryValidationError(
+                    f"rule {self.name!r}: names requires regexp"
+                )
+            self.extract = None
+        # TOML arrays arrive as lists; the filter stage validates the
+        # triples at evaluation time (extract required, ops, types)
+        self.extract_where = tuple(
+            tuple(t) if isinstance(t, (list, tuple)) else t
+            for t in self.extract_where
+        )
+        if self.extract_where and self.extract is None:
+            raise QueryValidationError(
+                f"rule {self.name!r}: extract_where requires pattern/regexp"
+            )
 
 
 def recording_table(rule_name: str) -> str:
@@ -111,7 +143,8 @@ def record_rule_window(
     q = Query(start=start, end=end, node=rule.node)
     fresh = range_query(
         records, q, agg=rule.agg, step=rule.step, by=list(rule.by),
-        unwrap=rule.unwrap, quantile=rule.quantile,
+        unwrap=rule.unwrap, quantile=rule.quantile, extract=rule.extract,
+        extract_where=list(rule.extract_where),
     ).withColumn(_MONTH, F.from_unixtime("bucket", "yyyyMM"))
     n_fresh = fresh.count()
 
@@ -158,7 +191,8 @@ def recording_rules_from_config(cfg) -> list[RecordingRule]:
     for e in getattr(cfg, "recordings", None) or []:
         if "name" not in e:
             raise QueryValidationError("recordings[].name is required")
-        known = {"name", "q", "step", "agg", "by", "unwrap", "quantile"}
+        known = {"name", "q", "step", "agg", "by", "unwrap", "quantile",
+                 "pattern", "regexp", "names", "extract_where"}
         unknown = set(e) - known
         if unknown:
             raise QueryValidationError(
@@ -175,6 +209,10 @@ def recording_rules_from_config(cfg) -> list[RecordingRule]:
                 by=tuple(e.get("by") or ()),
                 unwrap=e.get("unwrap"),
                 quantile=tuple(quantile) if quantile else None,
+                pattern=e.get("pattern"),
+                regexp=e.get("regexp"),
+                names=tuple(e.get("names") or ()),
+                extract_where=tuple(e.get("extract_where") or ()),
             )
         )
     names = [r.name for r in rules]

@@ -289,3 +289,71 @@ by   = ["level"]
     cfg = load_config(str(p))
     rules = recording_rules_from_config(cfg)
     assert rules[0].name == "error_rate_6h" and rules[0].agg == "rate"
+
+
+# -- T69 extraction stage in rules -------------------------------------
+
+
+def test_extract_rule_records_extracted_labels(spark, tmp_path):
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    rows = [
+        (f"u{h}{i}", T0 + dt.timedelta(hours=h), "INFO",
+         f"GET /seg{i % 2} done" if i < 3 else "cache miss")
+        for h in range(3)
+        for i in range(4)
+    ]
+    rec = spark.createDataFrame(
+        rows, "id string, timestamp timestamp, level string, message string"
+    )
+    rule = RecordingRule(
+        name="by_path", step="1h", pattern="<method> /<seg> done",
+        by=("extracted.seg",),
+        extract_where=(("extracted.method", "==", "GET"),),
+    )
+    end = T0 + dt.timedelta(hours=3)
+    record_rule_window(spark, cat, rec, rule, T0, end)
+    got = read_recording(spark, cat, "by_path").toPandas()
+    assert set(got.columns) == {"x_seg", "bucket", "v"}
+    assert set(got.x_seg) == {"seg0", "seg1"}
+    # per hour: i in {0,2} -> seg0 twice, i=1 -> seg1 once (i=3 no match)
+    assert got.groupby("x_seg").v.sum().to_dict() == {"seg0": 6.0, "seg1": 3.0}
+    # re-evaluation of the same window converges (no double count)
+    record_rule_window(spark, cat, rec, rule, T0, end)
+    assert read_recording(spark, cat, "by_path").count() == len(got)
+
+
+def test_extract_rule_validation():
+    with pytest.raises(QueryValidationError, match="exclusive"):
+        RecordingRule(name="r", pattern="<a> x", regexp="(b)", names=("b",))
+    with pytest.raises(QueryValidationError, match="names requires regexp"):
+        RecordingRule(name="r", names=("a",))
+    with pytest.raises(QueryValidationError, match="requires pattern"):
+        RecordingRule(name="r", extract_where=(("extracted.a", "==", "x"),))
+    with pytest.raises(QueryValidationError, match="consecutive"):
+        RecordingRule(name="r", pattern="<a><b>")
+
+
+def test_extract_rule_from_config(tmp_path):
+    import textwrap
+
+    from logzilla_spark.config import load_config
+    from logzilla_spark.streaming.recordings import recording_rules_from_config
+
+    p = tmp_path / "c.toml"
+    p.write_text(textwrap.dedent("""
+        [pipeline]
+        warehouse = "/tmp/wh"
+        pages_dir = "/tmp/pages"
+
+        [[recordings]]
+        name = "lat"
+        step = "1h"
+        pattern = "<_> took <ms>ms"
+        agg = "avg_over_time"
+        unwrap = "extracted.ms"
+        extract_where = [["extracted.ms", ">", 0]]
+    """))
+    rules = recording_rules_from_config(load_config(str(p)))
+    assert rules[0].extract is not None
+    assert rules[0].extract.names == ("ms",)
+    assert rules[0].extract_where == (("extracted.ms", ">", 0),)
