@@ -465,6 +465,83 @@ def complete_request(records: DataFrame, path: str) -> dict:
     }
 
 
+def labels_request(records: DataFrame, path: str) -> dict:
+    """The Loki labels API, typed for this engine's data model.
+
+    ``GET /api/logs/labels[?start=&end=]`` — the queryable label
+    names: the whitelisted envelope fields plus every
+    ``metadata.<key>`` observed in the (optional) time range — one
+    column-pruned scan over the map keys, distinct at key cardinality.
+
+    ``GET /api/logs/labels/<field>/values[?start=&end=&k=]`` — the
+    field's distinct values ranked (count DESC, value ASC), ``k``
+    capped at 1000. Same field whitelist as comparison nodes; one
+    scan + one value-keyed groupBy (map-side partials), a
+    TakeOrderedAndProject cut."""
+    from urllib.parse import parse_qs, unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    from .operators.query import FIELD_PATTERN, default_field_resolver
+
+    try:
+        u = urlparse(path)
+        qs = parse_qs(u.query)
+
+        def _ts(name):
+            v = qs.get(name, [None])[0]
+            return None if v is None else _parse_ts(unquote(v), name)
+
+        start, end = _ts("start"), _ts("end")
+        df = records
+        if start is not None:
+            df = df.filter(F.col("timestamp") >= start)
+        if end is not None:
+            df = df.filter(F.col("timestamp") <= end)
+
+        parts = [p for p in u.path.split("/") if p]
+        # ['api', 'logs', 'labels'] or ['api', 'logs', 'labels', f, 'values']
+        if len(parts) == 3:
+            keys = [
+                r.k for r in df.select(
+                    F.explode(F.map_keys("metadata")).alias("k")
+                ).distinct().collect()
+            ]
+            data = ["id", "level", "message", "source", "timestamp"] + sorted(
+                f"metadata.{k}" for k in keys
+            )
+            return {
+                "success": True, "message": "", "data": data,
+                "metadata": {"count": len(data)},
+            }
+        if len(parts) == 5 and parts[4] == "values":
+            field = unquote(parts[3])
+            if not FIELD_PATTERN.match(field):
+                raise BadInputError(f"field not allowed: {field!r}")
+            raw_k = qs.get("k", ["100"])[0]
+            if not (raw_k.isascii() and raw_k.isdigit()) or not (
+                1 <= int(raw_k) <= 1000
+            ):
+                raise BadInputError("k: expected an int in [1, 1000]")
+            rows = (
+                df.select(default_field_resolver(field).cast("string").alias("v"))
+                .where(F.col("v").isNotNull())
+                .groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("v").asc())
+                .limit(int(raw_k))  # TakeOrderedAndProject, no full sort
+                .collect()
+            )
+            return {
+                "success": True,
+                "message": "",
+                "data": [{"value": r.v, "n": r.n} for r in rows],
+                "metadata": {"count": len(rows)},
+            }
+        raise BadInputError(f"no route: GET {u.path}")
+    except QueryValidationError as e:
+        return {"success": False, "message": str(e), "data": None, "metadata": None}
+
+
 # -- metric range queries -------------------------------------------------
 
 # driver-side collect cap for a matrix response: the grid is already

@@ -122,6 +122,15 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001 — the recover middleware
                 log.exception("panic recovered in tables handler")
                 self._write(500, _envelope(False, f"internal error: {type(e).__name__}"))
+        elif self.path.startswith("/api/logs/labels"):
+            from logzilla_spark.api import labels_request
+
+            try:
+                resp = labels_request(type(self).records, self.path)
+                self._write(200 if resp["success"] else 400, resp)
+            except Exception as e:  # noqa: BLE001 — the recover middleware
+                log.exception("panic recovered in labels handler")
+                self._write(500, _envelope(False, f"internal error: {type(e).__name__}"))
         elif self.path.startswith("/api/logs/complete"):
             from logzilla_spark.api import complete_request
 
