@@ -870,10 +870,9 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
             quantile=quantile, extract=extract, extract_where=extract_where,
         )
         if binary is not None:
-            if vector is not None:
-                raise BadInputError(
-                    "binary and vector are mutually exclusive"
-                )
+            # evaluation order: range -> binary -> vector (PromQL's
+            # sum by (..) (a / b) shape — the vector stage regroups or
+            # cuts the COMPOSED matrix)
             df = _apply_binary(records, df, binary, q, step=step, by=by)
         if vector is not None:
             from .operators.range_query import _label_name

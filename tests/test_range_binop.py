@@ -212,14 +212,24 @@ def test_api_binary_errors(records_sf0001, binary, msg):
     assert not resp["success"] and msg in resp["message"], resp["message"]
 
 
-def test_api_binary_excludes_vector(records_sf0001):
+def test_api_vector_composes_after_binary(records_sf0001):
+    # PromQL's topk(2, a / b): the vector stage cuts the COMPOSED
+    # matrix — at most 2 series points per bucket survive
     body = {
-        "start": "2024-01-01T00:00:00",
-        "end": "2024-01-02T00:00:00",
-        "step": 3600,
+        "q": "level in (ERROR, FATAL)"
+             " since:2024-01-01 until:2024-01-08",
+        "step": "1d",
         "by": ["source"],
         "binary": {"op": "div", "right": {}},
         "vector": {"op": "topk", "k": 2},
     }
     resp = range_request(records_sf0001, json.dumps(body))
-    assert not resp["success"] and "mutually exclusive" in resp["message"]
+    assert resp["success"], resp["message"]
+    from collections import Counter
+
+    per_bucket = Counter(
+        b for s in resp["data"] for b, _ in s["values"]
+    )
+    assert per_bucket and max(per_bucket.values()) <= 2
+    vs = [v for s in resp["data"] for _, v in s["values"]]
+    assert all(0 < v <= 1 for v in vs)
