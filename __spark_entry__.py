@@ -617,26 +617,33 @@ def _range_dod_sql(pages: str | None = None) -> str:
 # T71 absence detection (PromQL absent() / "host stopped logging"):
 # keys with baseline activity and zero rows since the pivot — one
 # conditional aggregation over one scan, exact BIGINT outputs
-# (n_baseline + last_seen_us), metadata.service exercises the map
-# label path.
+# (n_baseline + last_seen_us). The FATAL scope exercises the shared
+# node-predicate path ("absent among what?" == what search shows) and
+# keeps the result non-trivial at sf0.01 (319 keys) AND sf0.1 (13);
+# metadata.service exercises the map label path.
 _ABSENT_KW = dict(by=["source", "metadata.service"],
-                  pivot=datetime(2024, 1, 6))
+                  pivot=datetime(2024, 1, 7))
+
+
+def _absent_query() -> Query:
+    return Query(
+        start=datetime(2024, 1, 1), end=datetime(2024, 1, 8),
+        node=ComparisonNode("level", "FATAL", "eq"),
+    )
 
 
 def _q_absent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logzilla_spark.operators.anomaly import absent_keys
 
-    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
-    return absent_keys(_records(spark, sf_dir), q, **_ABSENT_KW)
+    return absent_keys(_records(spark, sf_dir), _absent_query(), **_ABSENT_KW)
 
 
 def _absent_keys_sql(pages: str | None = None) -> str:
     from logzilla_spark.operators.anomaly import absent_keys_sql
 
-    q = Query(start=datetime(2024, 1, 1), end=datetime(2024, 1, 8))
     return (
         f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
-        + absent_keys_sql("records", q, **_ABSENT_KW)
+        + absent_keys_sql("records", _absent_query(), **_ABSENT_KW)
         + "\n) SELECT * FROM q"
     )
 
