@@ -326,6 +326,23 @@ def _q_search_phrase_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q)
 
 
+# T76 regex line filter (Loki =~): a portable-subset alternation +
+# class pattern through the DSL, composed with a comparison under the
+# implicit AND; the twin renders regexp_matches on the same pattern
+# text, so the hash pins both the node's SQL rendering and the
+# cross-dialect match semantics.
+_REGEX_DSL_TEXT = (
+    'message=~"(disk|cache) [a-z]+" NOT level:ERROR '
+    "since:2024-01-01 until:2024-01-08 limit:1000"
+)
+
+
+def _q_search_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _records(spark, sf_dir)
+    q = parse_dsl_query(_REGEX_DSL_TEXT, select_columns=list(_SEARCH_COLS))
+    return search(rec, q)
+
+
 # T56 metric range queries: the dashboard surface (Loki query_range).
 # q_range_rate exercises the DSL front-end, per-label zero-filled grid
 # and the count/step IEEE division; q_range_unwrap_avg exercises the
@@ -1881,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_context"] = _q_search_context  # T52 context view
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
     q["q_search_phrase_dsl"] = _q_search_phrase_dsl  # T65 phrase terms in the DSL
+    q["q_search_regex"] = _q_search_regex  # T76 regex line filter (=~)
     q["q_search_sigterms"] = _q_search_sigterms  # T66 significant terms
     # T67 typeahead completion (scan tier; the committed tier is
     # pruning-tested in tests/test_complete.py)
@@ -2025,6 +2043,7 @@ GROUP BY 1""",
     sql["q_search_context"] = _search_context_sql(p)
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
     sql["q_search_phrase_dsl"] = _search_sql(parse_dsl_query(_PHRASE_DSL_TEXT), p)
+    sql["q_search_regex"] = _search_sql(parse_dsl_query(_REGEX_DSL_TEXT), p)
     sql["q_search_complete"] = oracle.complete_sql(p, "1", k=12)
     sql["q_search_sigterms"] = oracle.sigterms_sql(
         p,

@@ -98,6 +98,18 @@ def decode_node(obj: Any) -> QueryNode:
         if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
             raise BadInputError("slop: expected an int >= 0")
         return PhraseNode(obj["phrase"], slop)
+    if "regex" in obj:
+        # T76: {"field": "message", "regex": "(timeout|reset)"} — the
+        # JSON form of the DSL's field=~"re"
+        if set(obj) - {"field", "regex"}:
+            raise BadInputError(
+                f"unknown node key: {sorted(set(obj) - {'field', 'regex'})[0]!r}"
+            )
+        if "field" not in obj:
+            raise BadInputError("regex node missing key: 'field'")
+        from .operators.query import RegexNode
+
+        return RegexNode(obj["field"], obj["regex"])
     unknown = set(obj) - _COMPARISON_FIELDS
     if unknown:
         # DisallowUnknownFields analog (api/helper.go:26)

@@ -26,7 +26,7 @@ Grammar (EBNF; keywords are case-insensitive):
     term     := field op value
               | field IN '(' value (',' value)* ')'
               | value                           -- bare: message contains
-    op       := ':' | '=' | '!=' | '>=' | '<=' | '>' | '<' | '~' | '!~'
+    op       := ':' | '=' | '!=' | '>=' | '<=' | '>' | '<' | '~' | '!~' | '=~'
 
 - ``field`` is one of the whitelisted search fields (``id``, ``level``,
   ``timestamp``, ``message``, ``source``) or a ``metadata.key`` path
@@ -40,7 +40,11 @@ Grammar (EBNF; keywords are case-insensitive):
   ``?``→``_``), otherwise to equality.  ``=`` is always literal
   equality (no wildcard expansion).  ``~`` / ``!~`` are case-
   insensitive substring containment (ILIKE ``%value%``), with the same
-  wildcard expansion inside the value.
+  wildcard expansion inside the value.  ``=~`` is a true REGEX match
+  (Loki's matcher): the pattern must pass the dialect-portable subset
+  validator (operators/extract.py — no lookaround/backrefs/named
+  groups), runs with search semantics (anchor explicitly), and is
+  rejected for ``timestamp``; negate by composition (``NOT f=~"re"``).
 - A bare value term (no field) searches the message text:
   ``timeout`` ≡ ``message~timeout``.  A bare quoted string is message
   SUBSTRING containment: ``"disk full"``.
@@ -81,6 +85,7 @@ from .query import (
     Query,
     QueryNode,
     QueryValidationError,
+    RegexNode,
     SortField,
 )
 
@@ -164,7 +169,7 @@ def _lex(s: str) -> list[_Tok]:
 # operators first so '!=' wins over '!', '>=' over '>'.
 _FIELD_OP = re.compile(
     r"^(?P<field>id|level|timestamp|message|source|metadata\.[A-Za-z0-9_]+)"
-    r"(?P<op>!=|>=|<=|!~|:|=|>|<|~)"
+    r"(?P<op>!=|>=|<=|=~|!~|:|=|>|<|~)"
     r"(?P<rest>.*)$",
     re.DOTALL,
 )
@@ -191,10 +196,20 @@ def _wildcards(value: str) -> str:
 _WILD = re.compile(r"[*?]")
 
 
-def _comparison(fieldname: str, op: str, value: str, pos: int) -> ComparisonNode:
+def _comparison(fieldname: str, op: str, value: str, pos: int) -> QueryNode:
     val: object = value
     if fieldname == "timestamp" and op in (">", ">=", "<", "<=", "=", ":", "!="):
         val = _parse_ts(value, pos)
+    if op == "=~":
+        # Loki's regex matcher: the T76 node validates the pattern
+        # against the dialect-portable subset and reports positions
+        # relative to the PATTERN (the term position is ours)
+        node = RegexNode(fieldname, value)
+        try:
+            node._check()  # eager: a bad pattern is a parse error here
+        except QueryValidationError as e:
+            raise DslSyntaxError(str(e), pos) from None
+        return node
     if op == ":":
         if isinstance(val, str) and _WILD.search(val):
             return ComparisonNode(fieldname, _wildcards(val), "ilike")

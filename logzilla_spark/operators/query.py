@@ -189,6 +189,47 @@ class ComparisonNode(QueryNode):
 
 
 @dataclass
+class RegexNode(QueryNode):
+    """T76: regex line/field filter (Loki ``|~ "re"`` / ES
+    ``field:/re/``) in the sealed tree — the tier between ILIKE's
+    ``%``-globs and the phrase/proximity terms.
+
+    The pattern must pass the T69 dialect-portable validator
+    (operators/extract.py), so ONE pattern string evaluates
+    identically on Java regex (``Column.rlike``) and RE2 (DuckDB
+    ``regexp_matches``) — both engines use SEARCH semantics
+    (unanchored; anchor with ``^``/``$`` explicitly). Negation is
+    composition (``NotNode`` / DSL ``NOT`` — Loki's ``!~``)."""
+
+    field_name: str
+    pattern: str
+
+    def _check(self):
+        from .extract import _validate_portable_regex
+
+        if not self.field_name:
+            raise QueryValidationError("empty field name")
+        if not FIELD_PATTERN.match(self.field_name):
+            raise QueryValidationError(f"field not allowed: {self.field_name!r}")
+        if self.field_name == "timestamp":
+            # regex over a temporal value is never what anyone means
+            # (and rlike on a timestamp column is a cast hazard)
+            raise QueryValidationError("regex does not apply to timestamp")
+        if not isinstance(self.pattern, str):
+            raise QueryValidationError("regex: expected a pattern string")
+        _validate_portable_regex(self.pattern)  # raises with position
+
+    def to_column(self, field_resolver):
+        self._check()
+        return field_resolver(self.field_name).rlike(self.pattern)
+
+    def to_sql(self, field_sql):
+        self._check()
+        lit = self.pattern.replace("'", "''")
+        return f"regexp_matches({field_sql(self.field_name)}, '{lit}')"
+
+
+@dataclass
 class PhraseNode(QueryNode):
     """T65: quoted-phrase / proximity term in the sealed tree —
     ``"disk full"~N`` in the DSL. The T63/T64 scan semantics (query
