@@ -343,6 +343,32 @@ def _q_search_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q)
 
 
+# T77 ingest quota: first-5-per-source-hour in (timestamp, id) order,
+# tagged not dropped (never-drop contract); the deterministic total
+# order makes the full tagged frame hash-portable.
+_QUOTA_COLS = ["id", "timestamp", "level", "source", "message"]
+
+
+def _q_ingest_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.quota import ingest_quota
+
+    rec = _records(spark, sf_dir).select(*_QUOTA_COLS)
+    return ingest_quota(rec, 5)
+
+
+def _ingest_quota_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.quota import ingest_quota_sql
+
+    cols = ", ".join(c if c != "timestamp" else '"timestamp"'
+                     for c in _QUOTA_COLS)
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\n_r AS "
+        f"(SELECT {cols} FROM records),\nq AS (\n"
+        + ingest_quota_sql("_r", 5)
+        + "\n) SELECT * FROM q"
+    )
+
+
 # T56 metric range queries: the dashboard surface (Loki query_range).
 # q_range_rate exercises the DSL front-end, per-label zero-filled grid
 # and the count/step IEEE division; q_range_unwrap_avg exercises the
@@ -1899,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_dsl"] = _q_search_dsl  # T55 query-string DSL
     q["q_search_phrase_dsl"] = _q_search_phrase_dsl  # T65 phrase terms in the DSL
     q["q_search_regex"] = _q_search_regex  # T76 regex line filter (=~)
+    q["q_ingest_quota"] = _q_ingest_quota  # T77 per-key ingest quota
     q["q_search_sigterms"] = _q_search_sigterms  # T66 significant terms
     # T67 typeahead completion (scan tier; the committed tier is
     # pruning-tested in tests/test_complete.py)
@@ -2044,6 +2071,7 @@ GROUP BY 1""",
     sql["q_search_dsl"] = _search_sql(parse_dsl_query(_DSL_TEXT), p)
     sql["q_search_phrase_dsl"] = _search_sql(parse_dsl_query(_PHRASE_DSL_TEXT), p)
     sql["q_search_regex"] = _search_sql(parse_dsl_query(_REGEX_DSL_TEXT), p)
+    sql["q_ingest_quota"] = _ingest_quota_sql(p)
     sql["q_search_complete"] = oracle.complete_sql(p, "1", k=12)
     sql["q_search_sigterms"] = oracle.sigterms_sql(
         p,

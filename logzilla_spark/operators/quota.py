@@ -1,0 +1,128 @@
+"""Per-key ingest quotas: Loki/ES-class tenant rate limiting, exact.
+
+Every multi-tenant log engine caps what one tenant/source may ingest
+per unit time (Loki ``ingestion_rate_mb`` + per-stream limits, ES
+index throttling); the reference has no such guard — a single
+runaway ``source`` floods the store. This operator is that guard as
+an EXACT, deterministic batch rule: within each (key, window bucket),
+the FIRST ``quota`` rows in (timestamp, id) order are within quota,
+the rest are over — the same total order the search page and the
+exactly-once sinks already rely on, so the admitted set is a pure
+function of the data (replay-stable, oracle-hashable).
+
+Never-drop contract (the parse-chain discipline): rows are TAGGED
+``over_quota``, not removed — callers route the overflow to a
+dead-letter sink (route.py) or drop it explicitly.
+
+100 TB shape — the hot-tenant skew problem is the whole point: a
+naive ``row_number() OVER (PARTITION BY key, bucket)`` sends a
+runaway key-hour's entire volume to ONE reducer. Two phases bound it:
+
+1. **Partition-local pre-rank**: rank rows per (input partition, key,
+   bucket) and mark rank > quota as over-quota immediately. Sound
+   because the global first-``quota`` rows of a (key, bucket) include
+   at most ``quota`` rows from any one input partition (a superset
+   argument — the TakeOrdered trick), so a row ranked past ``quota``
+   locally can never be within the global quota. This window's
+   exchange is keyed on (spark_partition_id, key, bucket) — every
+   reducer group is bounded by ONE input partition's size, so the
+   pass is corpus-sized but skew-FREE by construction.
+2. **Global rank** over the survivors only: this (key, bucket)-keyed
+   window — the one a hot tenant COULD skew — receives at most
+   quota x n_partitions rows per (key, bucket) regardless of how hot
+   the key is; everything pre-marked bypasses it entirely (union of
+   disjoint tag sets).
+
+Both phases are codegen window/filter operators; the DuckDB twin
+implements the one-phase global rule directly (the pre-rank is
+provably a no-op on the result — pinned by the differential test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ingest_quota", "ingest_quota_sql", "quota_summary"]
+
+_BUCKETS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+
+
+def _bucket(time_column: str, window: str) -> Column:
+    if window not in _BUCKETS:
+        raise ValueError(f"window must be one of {sorted(_BUCKETS)}")
+    return F.date_trunc(window, F.col(time_column))
+
+
+def ingest_quota(
+    df: DataFrame,
+    quota: int,
+    key_col: str = "source",
+    window: str = "hour",
+    time_column: str = "timestamp",
+    id_col: str = "id",
+) -> DataFrame:
+    """Tag every row with ``over_quota`` (non-null boolean).
+
+    Within each (``key_col``, ``window`` bucket), rows ranked past
+    ``quota`` in (``time_column``, ``id_col``) ascending order are
+    over quota. Input columns pass through unchanged; one
+    ``over_quota`` column is appended.
+    """
+    if isinstance(quota, bool) or not isinstance(quota, int) or quota < 1:
+        raise ValueError("quota must be an integer >= 1")
+    b = _bucket(time_column, window).alias("_qb")
+    order = [F.col(time_column).asc(), F.col(id_col).asc()]
+    tagged = df.withColumn("_qb", b)
+
+    # phase 1: partition-local pre-rank (no shuffle; spark_partition_id
+    # keys the window to the CURRENT partitioning, whatever it is)
+    wl = Window.partitionBy(
+        F.spark_partition_id(), key_col, "_qb"
+    ).orderBy(*order)
+    local = tagged.withColumn("_lr", F.row_number().over(wl))
+    over_local = local.filter(F.col("_lr") > quota)
+    cand = local.filter(F.col("_lr") <= quota)
+
+    # phase 2: global rank over the bounded candidate set
+    wg = Window.partitionBy(key_col, "_qb").orderBy(*order)
+    ranked = cand.withColumn("_gr", F.row_number().over(wg))
+    out_cols = [*df.columns]
+    within = ranked.select(
+        *out_cols, (F.col("_gr") > quota).alias("over_quota")
+    )
+    over = over_local.select(*out_cols, F.lit(True).alias("over_quota"))
+    return within.unionByName(over)
+
+
+def ingest_quota_sql(
+    relation: str,
+    quota: int,
+    key_col: str = "source",
+    window: str = "hour",
+    time_column: str = '"timestamp"',
+    id_col: str = "id",
+) -> str:
+    """DuckDB twin — the one-phase global rule (the operator's
+    partition-local phase provably does not change the result)."""
+    if window not in _BUCKETS:
+        raise ValueError(f"window must be one of {sorted(_BUCKETS)}")
+    return f"""SELECT * EXCLUDE (_gr), _gr > {int(quota)} AS over_quota
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {key_col}, date_trunc('{window}', {time_column})
+    ORDER BY {time_column}, {id_col}
+  ) AS _gr
+  FROM {relation}
+)"""
+
+
+def quota_summary(tagged: DataFrame, key_col: str = "source") -> DataFrame:
+    """Per-key admitted/suppressed counts off the tagged frame — the
+    operational view ("who is being limited right now")."""
+    return tagged.groupBy(key_col).agg(
+        F.sum(F.when(~F.col("over_quota"), 1).otherwise(0))
+        .cast("bigint").alias("n_admitted"),
+        F.sum(F.when(F.col("over_quota"), 1).otherwise(0))
+        .cast("bigint").alias("n_over"),
+    )
