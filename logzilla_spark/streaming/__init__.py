@@ -7,6 +7,10 @@ from .alerts import (
     start_alert_stream,
     start_logfile_alert_stream,
 )
+from .quota import (
+    quota_batch,
+    start_quota_stream,
+)
 from .metrics import (
     read_metric_series,
     start_metrics_stream,
@@ -52,6 +56,8 @@ __all__ = [
     "start_absence_alert_stream",
     "start_alert_stream",
     "start_logfile_alert_stream",
+    "quota_batch",
+    "start_quota_stream",
     "read_templates",
     "start_templates_stream",
     "upsert_templates_batch",
