@@ -91,6 +91,7 @@ class PipelineConfig:
     parsers: list[dict[str, Any]] = field(default_factory=list)
     alerts: list[dict[str, Any]] = field(default_factory=list)
     recordings: list[dict[str, Any]] = field(default_factory=list)
+    quota: dict[str, Any] | None = None
     shuffle_partitions: int | None = None
 
 
@@ -123,7 +124,7 @@ def load_config(path: str) -> PipelineConfig:
     if "warehouse" not in pipe:
         raise ConfigError("pipeline.warehouse is required")
     known = {"pipeline", "source", "enrich", "parsers", "alerts",
-             "recordings", "session"}
+             "recordings", "quota", "session"}
     unknown = set(doc) - known
     if unknown:
         # DisallowUnknownFields analog — typos fail fast
@@ -143,8 +144,30 @@ def load_config(path: str) -> PipelineConfig:
         parsers=list(doc.get("parsers") or []),
         alerts=list(doc.get("alerts") or []),
         recordings=list(doc.get("recordings") or []),
+        quota=_check_quota(doc.get("quota")),
         shuffle_partitions=(doc.get("session") or {}).get("shuffle_partitions"),
     )
+
+
+def _check_quota(q):
+    """``[quota]`` section: the T77 runaway-tenant guard, applied in
+    the pipeline with over-quota records routed to the 'throttled'
+    sink (never-drop). Keys: quota (int >= 1, required), key
+    (default 'source'), window ('minute'/'hour'/'day')."""
+    if q is None:
+        return None
+    if not isinstance(q, dict):
+        raise ConfigError("quota: expected a table/object")
+    unknown = set(q) - {"quota", "key", "window"}
+    if unknown:
+        raise ConfigError(f"quota: unknown key {sorted(unknown)[0]!r}")
+    n = q.get("quota")
+    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
+        raise ConfigError("quota.quota: expected an integer >= 1")
+    if q.get("window", "hour") not in ("minute", "hour", "day"):
+        raise ConfigError("quota.window: one of minute/hour/day")
+    return {"quota": n, "key": q.get("key", "source"),
+            "window": q.get("window", "hour")}
 
 
 def _register_configured_parsers(entries: list[dict[str, Any]]) -> None:
@@ -207,6 +230,7 @@ def build_pipeline(spark: SparkSession, cfg: PipelineConfig) -> Pipeline:
         spark, cat,
         parse_impl=cfg.chain if cfg.chain else cfg.parse_impl,
         use_html=cfg.use_html,
+        quota=cfg.quota,
     )
     if cfg.dims_dir:
         pipe.set_dims(

@@ -75,8 +75,10 @@ def ingest_quota(
     order = [F.col(time_column).asc(), F.col(id_col).asc()]
     tagged = df.withColumn("_qb", b)
 
-    # phase 1: partition-local pre-rank (no shuffle; spark_partition_id
-    # keys the window to the CURRENT partitioning, whatever it is)
+    # phase 1: partition-local pre-rank — the window's exchange is
+    # keyed on (input partition id, key, bucket), so every reducer
+    # group is bounded by one input partition's size: corpus-sized
+    # but skew-free by construction (see module docstring)
     wl = Window.partitionBy(
         F.spark_partition_id(), key_col, "_qb"
     ).orderBy(*order)

@@ -138,16 +138,23 @@ class Pipeline:
 
     def __init__(self, spark: SparkSession, catalog: LocalCatalog,
                  parse_impl: "str | tuple[str, ...]" = "hybrid",
-                 use_html: bool = True):
+                 use_html: bool = True,
+                 quota: "dict | None" = None):
         """``parse_impl``: one of the built-in impl names ('arrow' /
         'native' / 'hybrid'), or a tuple of registered parser names —
         the config-driven per-source processor chain
-        (reference: config/config.go:45-50)."""
+        (reference: config/config.go:45-50).
+
+        ``quota`` ({"quota": N, "key": col, "window": unit}) enables
+        the T77 ingest guard: over-quota records are RE-ROUTED to the
+        'throttled' sink (never-drop) before aggregation, so a runaway
+        source can flood only its own dead-letter category."""
         self.spark = spark
         self.cat = catalog
         self.ckpts = CheckpointLog(catalog.warehouse)
         self.parse_impl = parse_impl
         self.use_html = use_html
+        self.quota = quota
         # routing domain: a parser chain emits one category per parser
         # plus the never-drop 'unparsed' tail; built-in impls emit the
         # fixed reference domain
@@ -156,6 +163,8 @@ class Pipeline:
             if isinstance(parse_impl, (tuple, list))
             else list(CATEGORIES)
         )
+        if quota is not None:
+            self.categories = [*self.categories, "throttled"]
 
     # -- ingestion helper (test/bench entry) ----------------------------
     def ingest_pages(self, pages: DataFrame) -> int:
@@ -203,6 +212,18 @@ class Pipeline:
                 self.cat.read(self.spark, "dim_lang"),
                 self.cat.read(self.spark, "dim_severity"),
             )
+        if self.quota is not None:
+            from ..operators.quota import ingest_quota
+
+            records = ingest_quota(
+                records, self.quota["quota"],
+                key_col=self.quota.get("key", "source"),
+                window=self.quota.get("window", "hour"),
+            ).withColumn(
+                "category",
+                F.when(F.col("over_quota"), F.lit("throttled"))
+                .otherwise(F.col("category")),
+            ).drop("over_quota")
         # single pass: parse+enrich execute exactly once inside the
         # partitionBy(category) routing write; no cache, no re-scan
         snaps = route_to_sinks_single_pass(
