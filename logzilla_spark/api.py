@@ -300,8 +300,11 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
     search_request — same query body (start/end/node; sort, limit and
     cursor are meaningless for facets and ignored), plus optional
     ``facets`` (field list, same whitelist as comparison nodes),
-    ``histogram`` (date_trunc unit) and ``top_k``. One scan, no hits
-    materialized (operators/query.search_facets)."""
+    ``histogram`` (date_trunc unit), ``top_k`` and ``extract`` (the
+    T69 parser stage — ``extracted.<name>`` then becomes a valid
+    facet field: top extracted paths/methods without any ingest
+    change). One scan, no hits materialized
+    (operators/query.search_facets)."""
     from .operators.query import DEFAULT_FACETS, FIELD_PATTERN, search_facets
 
     try:
@@ -319,11 +322,24 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
         fields = obj.pop("facets", list(DEFAULT_FACETS))
         unit = obj.pop("histogram", "hour")
         top_k = obj.pop("top_k", 10)
+        extract = obj.pop("extract", None)
+        if extract is not None:
+            extract = _decode_extract(extract)
         # the remainder is a plain search body (strict decode_query
         # rejects unknown keys, which is exactly right for /search)
         q = decode_query(json.dumps(obj))
+
+        def _facet_ok(f: str) -> bool:
+            if FIELD_PATTERN.match(f):
+                return True
+            return (
+                extract is not None
+                and f.startswith("extracted.")
+                and f[len("extracted."):] in extract.names
+            )
+
         if not isinstance(fields, list) or not fields or not all(
-            isinstance(f, str) and FIELD_PATTERN.match(f) for f in fields
+            isinstance(f, str) and _facet_ok(f) for f in fields
         ):
             raise BadInputError(
                 "facets: expected a non-empty list of whitelisted fields"
@@ -336,8 +352,16 @@ def facets_request(records: DataFrame, body: str | bytes) -> dict:
             1 <= top_k <= 1000
         ):
             raise BadInputError("top_k: expected an int in [1, 1000]")
+        from .operators.query import default_field_resolver
+
+        resolver = (
+            extract.resolver(default_field_resolver)
+            if extract is not None
+            else default_field_resolver
+        )
         rows = search_facets(
-            records, q, facet_fields=fields, histogram=unit, top_k=top_k
+            records, q, facet_fields=fields, histogram=unit, top_k=top_k,
+            field_resolver=resolver,
         ).collect()
     except QueryValidationError as e:
         return {"success": False, "message": str(e), "data": None, "metadata": None}

@@ -342,3 +342,28 @@ def test_search_page_bad_extract_enveloped(records_sf0001):
     }
     resp = search_request(records_sf0001, json.dumps(body))
     assert not resp["success"] and "only" in resp["message"]
+
+
+def test_facets_on_extracted_field(records_sf0001):
+    from logzilla_spark.api import facets_request
+
+    body = {
+        "start": "2024-01-01T00:00:00",
+        "end": "2024-01-08T00:00:00",
+        "extract": {"pattern": "<method> /<path>"},
+        "facets": ["extracted.method", "level"],
+        "top_k": 5,
+    }
+    resp = facets_request(records_sf0001, json.dumps(body))
+    assert resp["success"], resp["message"]
+    by_facet = {}
+    for r in resp["data"]:
+        by_facet.setdefault(r["facet"], {})[r["value"]] = r["n"]
+    methods = by_facet["extracted.method"]
+    assert {"GET", "POST", "PUT", ""} <= set(methods)
+    assert "" in methods  # non-access lines facet as the empty label
+    assert "_histogram" in by_facet and "level" in by_facet
+    # without an extraction the same field is rejected
+    del body["extract"]
+    resp2 = facets_request(records_sf0001, json.dumps(body))
+    assert not resp2["success"] and "whitelisted" in resp2["message"]
