@@ -1864,3 +1864,72 @@ def lm_perplexity(
         .otherwise(F.lit("middle"))
         .alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# committed tokenizer (T80): the merge table as a versioned artifact
+# --------------------------------------------------------------------------
+
+BPE_MERGES_TABLE = "__bpe_merges"
+
+
+def commit_bpe_model(
+    corpus: DataFrame,
+    catalog,
+    n_merges: int = DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+    min_freq: int = MIN_PAIR_FREQ,
+    batch_size: int = 8,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Train on ``corpus`` and COMMIT the merge table as the
+    snapshot-versioned catalog table ``__bpe_merges`` — the tokenizer
+    becomes a governed artifact like the ANN index (T22) or the
+    near-dup registry (T73): every training run is a snapshot, the
+    snapshot summary records the training parameters (provenance),
+    and TIME TRAVEL re-encodes any corpus with the EXACT tokenizer an
+    earlier run used — the reproducibility contract an ML pipeline
+    needs when a tokenizer is retrained mid-project. Returns the
+    snapshot id (pin it in run manifests)."""
+    merges_df = bpe_train(
+        corpus, n_merges, text_col=text_col, min_freq=min_freq,
+        batch_size=batch_size, checkpoint_dir=checkpoint_dir,
+    )
+    n_actual = merges_df.count()
+    return catalog.overwrite(
+        merges_df,
+        BPE_MERGES_TABLE,
+        summary={
+            "kind": "bpe_merges", "n_merges": n_actual,
+            "requested_merges": int(n_merges), "min_freq": int(min_freq),
+            "batch_size": int(batch_size),
+        },
+    )
+
+
+def load_bpe_merges(
+    catalog, spark, snapshot_id: int | None = None
+) -> list[tuple[str, str]]:
+    """The committed merge table (head, or any historical snapshot) as
+    ``bpe_apply``'s driver-side rank-ordered artifact."""
+    rows = (
+        catalog.read(spark, BPE_MERGES_TABLE, snapshot_id)
+        .orderBy("step")
+        .collect()  # tokenizer tables are tiny by definition
+    )
+    return [(r.lhs, r.rhs) for r in rows]
+
+
+def bpe_apply_from_catalog(
+    df: DataFrame,
+    catalog,
+    snapshot_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Encode with the COMMITTED tokenizer (head or a pinned
+    snapshot) — bit-identical to ``bpe_apply`` with the same merge
+    list by construction (one loader, one encoder)."""
+    merges = load_bpe_merges(catalog, df.sparkSession, snapshot_id)
+    return bpe_apply(df, merges, id_col=id_col, text_col=text_col, **kwargs)

@@ -1266,3 +1266,76 @@ def test_spread_gate_modes(spark, tmp_path):
         assert n_exchanges(dedup._spread(many)) == 0
     finally:
         spark.conf.set("spark.logzilla.spread", "auto")
+
+
+class TestCommittedTokenizer:
+    """T80: the merge table as a snapshot-versioned catalog artifact."""
+
+    def _docs(self, spark, extra=()):
+        import pandas as pd
+
+        texts = [
+            "low low lower lowest", "new newer newest", "low new low new",
+            "wide wider widest", *extra,
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                columns=["doc_id", "text"],
+            ),
+            schema="doc_id long, text string",
+        )
+
+    def test_commit_load_roundtrip_and_served_equals_inline(
+        self, spark, tmp_path
+    ):
+        from logzilla_spark.operators import textstats as T
+        from logzilla_spark.sources.catalog import LocalCatalog
+
+        cat = LocalCatalog(str(tmp_path / "wh"))
+        docs = self._docs(spark)
+        sid = T.commit_bpe_model(docs, cat, n_merges=6, min_freq=2)
+        merges = T.load_bpe_merges(cat, spark)
+        inline = T.bpe_train(docs, 6, min_freq=2, batch_size=8)
+        want = [(r.lhs, r.rhs) for r in inline.orderBy("step").collect()]
+        assert merges == want and merges
+        got = (
+            T.bpe_apply_from_catalog(docs, cat)
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        direct = (
+            T.bpe_apply(docs, merges)
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, direct)
+        s = cat.snapshot_summary(T.BPE_MERGES_TABLE, sid)
+        assert s["kind"] == "bpe_merges" and s["n_merges"] == len(merges)
+        assert s["min_freq"] == 2 and s["batch_size"] == 8
+
+    def test_time_travel_pins_the_old_tokenizer(self, spark, tmp_path):
+        from logzilla_spark.operators import textstats as T
+        from logzilla_spark.sources.catalog import LocalCatalog
+
+        cat = LocalCatalog(str(tmp_path / "wh"))
+        docs_v1 = self._docs(spark)
+        sid1 = T.commit_bpe_model(docs_v1, cat, n_merges=4, min_freq=2)
+        m1 = T.load_bpe_merges(cat, spark)
+        # retrain on a grown corpus -> head moves
+        docs_v2 = self._docs(spark, extra=("deep deeper deepest",) * 3)
+        T.commit_bpe_model(docs_v2, cat, n_merges=8, min_freq=2)
+        assert T.load_bpe_merges(cat, spark) != m1
+        # a pinned run re-encodes with EXACTLY the old tokenizer
+        assert T.load_bpe_merges(cat, spark, snapshot_id=sid1) == m1
+        enc_old = (
+            T.bpe_apply_from_catalog(docs_v1, cat, snapshot_id=sid1)
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        direct = (
+            T.bpe_apply(docs_v1, m1)
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(enc_old, direct)
