@@ -770,6 +770,14 @@ def _apply_binary(records, left_df, spec, outer_q, *, step, by):
     offset = spec.get("offset", 0)
     if isinstance(offset, str):
         offset = parse_step(offset)
+    step_s = parse_step(step)
+    if isinstance(offset, int) and not isinstance(offset, bool) \
+            and offset % step_s != 0:
+        # a misaligned offset would join zero cells — "no data" with
+        # no diagnostic; fail loudly instead
+        raise BadInputError(
+            f"binary.offset must be a multiple of step ({step_s}s)"
+        )
     right = spec.get("right")
     if not isinstance(right, dict):
         raise BadInputError("binary.right: expected an object")

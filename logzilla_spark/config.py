@@ -166,6 +166,11 @@ def _check_quota(q):
         raise ConfigError("quota.quota: expected an integer >= 1")
     if q.get("window", "hour") not in ("minute", "hour", "day"):
         raise ConfigError("quota.window: one of minute/hour/day")
+    key = q.get("key", "source")
+    import re as _re
+
+    if not isinstance(key, str) or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        raise ConfigError("quota.key: expected a column name")
     return {"quota": n, "key": q.get("key", "source"),
             "window": q.get("window", "hour")}
 

@@ -584,30 +584,63 @@ def build_neardup_index(
     return {"features": sid_f, "bands": sid_b}
 
 
+def _update_applied(catalog, table: str, batch_ref: str) -> bool:
+    """Whether ``table``'s HEAD snapshot already carries this update's
+    ``batch_ref`` — the idempotence check for the sequential-updater
+    contract (one maintainer advances the index; a retry after a crash
+    between the two appends must skip the half that landed)."""
+    sid = catalog.last_snapshot_id(table)
+    if sid is None:
+        return False
+    return catalog.snapshot_summary(table, sid).get("batch_ref") == batch_ref
+
+
 def update_neardup_index(
     new_docs: DataFrame,
     catalog,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_ref: str | None = None,
 ) -> dict:
     """APPEND newly-accepted docs' features + bands (after their
     ingest batch passed :func:`neardup_filter_against_index`, its
     survivors join the reference corpus for the NEXT batch). Appends
     are batch-clustered by band_hash; ``catalog.compact(...,
     cluster_by=['band_hash'])`` re-clusters a fragmented registry
-    without breaking readers."""
+    without breaking readers.
+
+    ``batch_ref`` (recommended: the ingest batch's id) makes the
+    two-table update CRASH-SAFE for a sequential updater: each append
+    records the ref in its snapshot summary, and a retry skips any
+    half whose head already carries it — a crash between the appends
+    (features landed, bands not: docs unreachable as candidates)
+    heals instead of duplicating feature rows (which would multiply
+    pairs through the candidate join). Without a ref, a blind retry
+    duplicates both appends — the pre-T73 behavior, kept for ad-hoc
+    use."""
     feat = persist_tracked(_minhash_features(new_docs, id_col, text_col))
-    sid_f = catalog.append(
-        feat.select("id", "sig", F.col("_sh").alias("sh")),
-        NEARDUP_FEATURES_TABLE,
-        summary={"kind": "neardup_features", "id_col": id_col},
-    )
-    sid_b = catalog.append(
-        minhash_band_hashes(feat.select("id", "sig")),
-        NEARDUP_BANDS_TABLE,
-        cluster_by=["band_hash"],
-        summary={"kind": "neardup_bands", "id_col": id_col},
-    )
+    tag = {} if batch_ref is None else {"batch_ref": batch_ref}
+    if batch_ref is not None and _update_applied(
+        catalog, NEARDUP_FEATURES_TABLE, batch_ref
+    ):
+        sid_f = catalog.last_snapshot_id(NEARDUP_FEATURES_TABLE)
+    else:
+        sid_f = catalog.append(
+            feat.select("id", "sig", F.col("_sh").alias("sh")),
+            NEARDUP_FEATURES_TABLE,
+            summary={"kind": "neardup_features", "id_col": id_col, **tag},
+        )
+    if batch_ref is not None and _update_applied(
+        catalog, NEARDUP_BANDS_TABLE, batch_ref
+    ):
+        sid_b = catalog.last_snapshot_id(NEARDUP_BANDS_TABLE)
+    else:
+        sid_b = catalog.append(
+            minhash_band_hashes(feat.select("id", "sig")),
+            NEARDUP_BANDS_TABLE,
+            cluster_by=["band_hash"],
+            summary={"kind": "neardup_bands", "id_col": id_col, **tag},
+        )
     return {"features": sid_f, "bands": sid_b}
 
 

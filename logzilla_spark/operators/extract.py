@@ -217,6 +217,11 @@ def _validate_portable_regex(pattern: str) -> int:
                     # Java nests classes ([a[b]] is a union there, a
                     # literal [ in RE2) — reject the divergence
                     raise err("nested [ in class", j)
+                elif pattern[j] == "&" and j + 1 < n and pattern[j + 1] == "&":
+                    # Java set intersection ([a&&b]); RE2 reads two
+                    # literal ampersands — reject the divergence
+                    # (a single & is a literal in both)
+                    raise err("&& in class (Java-only intersection)", j)
                 else:
                     j += 1
             if j >= n:

@@ -18,20 +18,23 @@ dead-letter sink (route.py) or drop it explicitly.
 naive ``row_number() OVER (PARTITION BY key, bucket)`` sends a
 runaway key-hour's entire volume to ONE reducer. Two phases bound it:
 
-1. **Partition-local pre-rank**: rank rows per (input partition, key,
-   bucket) and mark rank > quota as over-quota immediately. Sound
-   because the global first-``quota`` rows of a (key, bucket) include
-   at most ``quota`` rows from any one input partition (a superset
+1. **Salted pre-rank**: rank rows per (salt, key, bucket), where
+   salt = hash(id) mod ``N_SALTS`` — a DETERMINISTIC function of the
+   row, so the split survives stage retries and branch recomputation
+   (spark_partition_id would not: a retried upstream stage can assign
+   rows to different partitions, and this operator's two output
+   branches each re-evaluate the lineage). Rank > quota is over-quota
+   immediately: the global first-``quota`` rows of a (key, bucket)
+   include at most ``quota`` rows from any one salt (a superset
    argument — the TakeOrdered trick), so a row ranked past ``quota``
-   locally can never be within the global quota. This window's
-   exchange is keyed on (spark_partition_id, key, bucket) — every
-   reducer group is bounded by ONE input partition's size, so the
-   pass is corpus-sized but skew-FREE by construction.
+   within its salt can never be within the global quota. The exchange
+   spreads every hot (key, bucket) across N_SALTS reducer groups —
+   corpus-sized but skew-DIVIDED by construction.
 2. **Global rank** over the survivors only: this (key, bucket)-keyed
    window — the one a hot tenant COULD skew — receives at most
-   quota x n_partitions rows per (key, bucket) regardless of how hot
-   the key is; everything pre-marked bypasses it entirely (union of
-   disjoint tag sets).
+   quota x N_SALTS rows per (key, bucket) regardless of how hot the
+   key is; everything pre-marked bypasses it entirely (union of
+   disjoint, deterministically-assigned tag sets).
 
 Both phases are codegen window/filter operators; the DuckDB twin
 implements the one-phase global rule directly (the pre-rank is
@@ -46,6 +49,10 @@ from pyspark.sql import functions as F
 __all__ = ["ingest_quota", "ingest_quota_sql", "quota_summary"]
 
 _BUCKETS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+
+# pre-rank salt fan-out: the phase-2 bound is quota x N_SALTS rows
+# per (key, bucket); 64 matches a wide executor's core count
+N_SALTS = 64
 
 
 def _bucket(time_column: str, window: str) -> Column:
@@ -75,12 +82,12 @@ def ingest_quota(
     order = [F.col(time_column).asc(), F.col(id_col).asc()]
     tagged = df.withColumn("_qb", b)
 
-    # phase 1: partition-local pre-rank — the window's exchange is
-    # keyed on (input partition id, key, bucket), so every reducer
-    # group is bounded by one input partition's size: corpus-sized
-    # but skew-free by construction (see module docstring)
+    # phase 1: salted pre-rank — the salt is a deterministic function
+    # of the ROW (not of the physical partitioning), so the two output
+    # branches and any stage retry recompute the identical split
+    # (see module docstring)
     wl = Window.partitionBy(
-        F.spark_partition_id(), key_col, "_qb"
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SALTS)), key_col, "_qb"
     ).orderBy(*order)
     local = tagged.withColumn("_lr", F.row_number().over(wl))
     over_local = local.filter(F.col("_lr") > quota)

@@ -367,3 +367,11 @@ def test_facets_on_extracted_field(records_sf0001):
     del body["extract"]
     resp2 = facets_request(records_sf0001, json.dumps(body))
     assert not resp2["success"] and "whitelisted" in resp2["message"]
+
+
+def test_class_intersection_rejected():
+    # Java set intersection [a&&b] has no RE2 equivalent
+    with pytest.raises(QueryValidationError, match="intersection"):
+        Extraction.regexp(r"[ab&&cd](x)", ["x"])
+    # a single & stays a literal class member in both dialects
+    assert Extraction.regexp(r"([a&b]+)", ["x"]).names == ("x",)

@@ -99,3 +99,48 @@ def test_rebuild_replaces_atomically(spark, cat, corpus, delta):
     # old snapshot still readable (time travel intact)
     hist = cat.snapshot_ids(dedup.NEARDUP_BANDS_TABLE)
     assert len(hist) >= 2
+
+
+def test_update_batch_ref_makes_retry_idempotent(spark, cat, corpus):
+    dedup.build_neardup_index(corpus, cat)
+    batch = _mk(spark, [(500 + j, " ".join(f"n{j}t{i}" for i in range(30)))
+                        for j in range(3)])
+    dedup.update_neardup_index(batch, cat, batch_ref="b1")
+    nf = cat.read(spark, dedup.NEARDUP_FEATURES_TABLE).count()
+    nb = cat.read(spark, dedup.NEARDUP_BANDS_TABLE).count()
+    # full retry: both halves skipped
+    sids = dedup.update_neardup_index(batch, cat, batch_ref="b1")
+    assert cat.read(spark, dedup.NEARDUP_FEATURES_TABLE).count() == nf
+    assert cat.read(spark, dedup.NEARDUP_BANDS_TABLE).count() == nb
+    assert sids["features"] == cat.last_snapshot_id(dedup.NEARDUP_FEATURES_TABLE)
+
+
+def test_update_crash_between_appends_heals(spark, cat, corpus):
+    """Simulate features-landed/bands-missing: append the features
+    half manually under the ref, then run the full update — the
+    features append is skipped, the bands half is applied once."""
+    from pyspark.sql import functions as F
+
+    from logzilla_spark.operators.dedup import (
+        _minhash_features,
+        minhash_band_hashes,
+    )
+
+    dedup.build_neardup_index(corpus, cat)
+    nb0 = cat.read(spark, dedup.NEARDUP_BANDS_TABLE).count()
+    batch = _mk(spark, [(600, " ".join(f"c{i}" for i in range(30)))])
+    feat = _minhash_features(batch)
+    cat.append(
+        feat.select("id", "sig", F.col("_sh").alias("sh")),
+        dedup.NEARDUP_FEATURES_TABLE,
+        summary={"kind": "neardup_features", "batch_ref": "crash1"},
+    )
+    nf = cat.read(spark, dedup.NEARDUP_FEATURES_TABLE).count()
+    dedup.update_neardup_index(batch, cat, batch_ref="crash1")
+    assert cat.read(spark, dedup.NEARDUP_FEATURES_TABLE).count() == nf
+    assert cat.read(spark, dedup.NEARDUP_BANDS_TABLE).count() == \
+        nb0 + dedup.LSH_BANDS
+    # the healed doc is reachable as a candidate
+    probe = _mk(spark, [(700, " ".join(f"c{i}" for i in range(30)))])
+    pairs = dedup.neardup_pairs_against_index(probe, cat, spark).toPandas()
+    assert 600 in set(pairs.doc_old)

@@ -180,3 +180,24 @@ def test_quota_config_validation(tmp_path):
         _load(base + "[quota]\nquota = 5\nbogus = 1\n")
     cfg = _load(base + '[quota]\nquota = 7\nkey = "source"\n')
     assert cfg.quota == {"quota": 7, "key": "source", "window": "hour"}
+
+
+def test_salt_is_deterministic_per_row(spark):
+    """The pre-rank split is a function of the ROW (hash of id), not
+    of physical partitioning: the same frame under wildly different
+    partitionings yields the identical tag assignment — the stage-
+    retry / branch-recompute safety the operator documents."""
+    rows = [(f"x{i:03d}", T0 + dt.timedelta(seconds=i % 7), "s", "m")
+            for i in range(300)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "timestamp", "source", "message"]),
+        schema="id string, timestamp timestamp, source string, message string",
+    )
+    outs = []
+    for variant in (df.coalesce(1), df.repartition(13), df.repartition(64, "id")):
+        outs.append(
+            ingest_quota(variant, 10).toPandas()
+            .sort_values("id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])

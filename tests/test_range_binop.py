@@ -233,3 +233,15 @@ def test_api_vector_composes_after_binary(records_sf0001):
     assert per_bucket and max(per_bucket.values()) <= 2
     vs = [v for s in resp["data"] for _, v in s["values"]]
     assert all(0 < v <= 1 for v in vs)
+
+
+def test_api_misaligned_offset_is_client_error(records_sf0001):
+    body = {
+        "start": "2024-01-01T00:00:00",
+        "end": "2024-01-02T00:00:00",
+        "step": 3600,
+        "by": ["source"],
+        "binary": {"op": "sub", "offset": "90m", "right": {}},
+    }
+    resp = range_request(records_sf0001, json.dumps(body))
+    assert not resp["success"] and "multiple of step" in resp["message"]
