@@ -613,7 +613,7 @@ def _matrix_envelope(df: DataFrame, rows: list) -> dict:
     }
 
 
-_RECORDED_FIELDS = {"rule", "start", "end", "vector"}
+_RECORDED_FIELDS = {"rule", "start", "end", "vector", "binary"}
 
 
 def _apply_vector(df: "DataFrame", vec, label_mapper=None) -> "DataFrame":
@@ -708,6 +708,41 @@ def recorded_range_request(recordings, spark, body: str | bytes) -> dict:
             df = df.filter(
                 F.col("bucket") <= _epoch_seconds(_parse_ts(obj["end"], "end"))
             )
+        if obj.get("binary") is not None:
+            # T70 between COMMITTED recordings: the error-ratio /
+            # week-over-week panel divided entirely at read time —
+            # cells-scale join, zero corpus scan. right must name a
+            # rule recorded with the SAME label set; offset (seconds
+            # or duration) must be a multiple of the rules' shared
+            # step (buckets are step-aligned ints — a misaligned
+            # offset cannot join).
+            from .operators.range_query import parse_step, vector_binop
+
+            spec = obj["binary"]
+            if not isinstance(spec, dict):
+                raise BadInputError("binary: expected an object")
+            bunknown = set(spec) - {"op", "offset", "right"}
+            if bunknown:
+                raise BadInputError(
+                    f"binary: unknown field {sorted(bunknown)[0]!r}"
+                )
+            right = spec.get("right")
+            if not (isinstance(right, dict) and set(right) == {"rule"}
+                    and isinstance(right.get("rule"), str)):
+                raise BadInputError(
+                    'binary.right: expected {"rule": "<name>"} on the'
+                    " recorded path"
+                )
+            boffset = spec.get("offset", 0)
+            if isinstance(boffset, str):
+                boffset = parse_step(boffset)
+            try:
+                rdf = read_recording(spark, recordings, right["rule"])
+            except SnapshotError:
+                raise BadInputError(
+                    f"unknown recording rule {right['rule']!r}"
+                ) from None
+            df = vector_binop(df, rdf, spec.get("op"), offset=boffset)
         if obj.get("vector") is not None:
             # recorded labels are served verbatim: record fine, regroup
             # coarse at read time — still zero corpus scan

@@ -357,3 +357,37 @@ def test_extract_rule_from_config(tmp_path):
     assert rules[0].extract is not None
     assert rules[0].extract.names == ("ms",)
     assert rules[0].extract_where == (("extracted.ms", ">", 0),)
+
+
+def test_serve_binary_between_recordings(spark, tmp_path):
+    """T70 on the recorded path: errors / total divided entirely from
+    the committed tables — cells-scale, zero corpus scan."""
+    import json
+
+    from logzilla_spark.api import query_range_request
+
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    rec = _records(spark, range(6))
+    end = T0 + dt.timedelta(hours=6)
+    errs = RecordingRule(name="errs", q="level:ERROR", step="1h",
+                         by=("level",))
+    # identical label SHAPE (by=level) so the sides join one-to-one
+    total = RecordingRule(name="total", step="1h", by=("level",))
+    record_rule_window(spark, cat, rec, errs, T0, end)
+    record_rule_window(spark, cat, rec, total, T0, end)
+    body = json.dumps({
+        "rule": "errs",
+        "binary": {"op": "div", "right": {"rule": "total"}},
+    })
+    resp = query_range_request(rec, cat, body)
+    assert resp["success"], resp["message"]
+    vs = [v for s in resp["data"] for _, v in s["values"]]
+    assert vs and all(v == 1.0 for v in vs)  # ERROR series / itself
+    # unknown right rule and malformed spec are client errors
+    bad = json.dumps({"rule": "errs",
+                      "binary": {"op": "div", "right": {"rule": "nope"}}})
+    r2 = query_range_request(rec, cat, bad)
+    assert not r2["success"] and "unknown recording rule" in r2["message"]
+    bad2 = json.dumps({"rule": "errs", "binary": {"op": "div", "right": {}}})
+    r3 = query_range_request(rec, cat, bad2)
+    assert not r3["success"] and "binary.right" in r3["message"]
