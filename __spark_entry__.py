@@ -343,6 +343,31 @@ def _q_search_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(rec, q)
 
 
+# T81 sliding (PromQL range-selector) windows: rate(x[6h]) evaluated
+# hourly — overlapping windows composed from the tumbling cells, with
+# the pre-start lookback (a window ending in hour 1 sees the prior
+# 5 hours); exact BIGINT window sums, one division by the RANGE.
+_SLIDING_KW = dict(agg="rate", step=3600, range_=21600, by=["level"])
+
+
+def _q_range_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logzilla_spark.operators.range_query import range_query_sliding
+
+    q = Query(start=datetime(2024, 1, 2), end=datetime(2024, 1, 7))
+    return range_query_sliding(_records(spark, sf_dir), q, **_SLIDING_KW)
+
+
+def _range_sliding_sql(pages: str | None = None) -> str:
+    from logzilla_spark.operators.range_query import range_query_sliding_sql
+
+    q = Query(start=datetime(2024, 1, 2), end=datetime(2024, 1, 7))
+    return (
+        f"WITH {oracle.records_cte(pages or _P01)},\nq AS (\n"
+        + range_query_sliding_sql("records", q, **_SLIDING_KW)
+        + "\n) SELECT * FROM q"
+    )
+
+
 # T77 ingest quota: first-5-per-source-hour in (timestamp, id) order,
 # tagged not dropped (never-drop contract); the deterministic total
 # order makes the full tagged frame hash-portable.
@@ -1926,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_search_phrase_dsl"] = _q_search_phrase_dsl  # T65 phrase terms in the DSL
     q["q_search_regex"] = _q_search_regex  # T76 regex line filter (=~)
     q["q_ingest_quota"] = _q_ingest_quota  # T77 per-key ingest quota
+    q["q_range_sliding"] = _q_range_sliding  # T81 PromQL range selector
     q["q_search_sigterms"] = _q_search_sigterms  # T66 significant terms
     # T67 typeahead completion (scan tier; the committed tier is
     # pruning-tested in tests/test_complete.py)
@@ -2072,6 +2098,7 @@ GROUP BY 1""",
     sql["q_search_phrase_dsl"] = _search_sql(parse_dsl_query(_PHRASE_DSL_TEXT), p)
     sql["q_search_regex"] = _search_sql(parse_dsl_query(_REGEX_DSL_TEXT), p)
     sql["q_ingest_quota"] = _ingest_quota_sql(p)
+    sql["q_range_sliding"] = _range_sliding_sql(p)
     sql["q_search_complete"] = oracle.complete_sql(p, "1", k=12)
     sql["q_search_sigterms"] = oracle.sigterms_sql(
         p,

@@ -901,6 +901,7 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         if "step" not in obj:
             raise BadInputError("step: Field is required.")
         step = obj.pop("step")
+        rng = obj.pop("range", None)
         agg = obj.pop("agg", "count_over_time")
         by = obj.pop("by", [])
         unwrap = obj.pop("unwrap", None)
@@ -944,10 +945,24 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
         # rejects unknown keys); range_query itself rejects cursors
         # and requires end
         q = decode_query(json.dumps(obj))
-        df = range_query(
-            records, q, agg=agg, step=step, by=by, unwrap=unwrap, fill=fill,
-            quantile=quantile, extract=extract, extract_where=extract_where,
-        )
+        if rng is not None:
+            # PromQL range selector: agg(x[range]) every step —
+            # overlapping windows over the tumbling cells
+            from .operators.range_query import range_query_sliding
+
+            if quantile is not None:
+                raise BadInputError("range: not defined for quantiles")
+            df = range_query_sliding(
+                records, q, agg=agg, step=step, range_=rng, by=by,
+                unwrap=unwrap, fill=fill, extract=extract,
+                extract_where=extract_where,
+            )
+        else:
+            df = range_query(
+                records, q, agg=agg, step=step, by=by, unwrap=unwrap,
+                fill=fill, quantile=quantile, extract=extract,
+                extract_where=extract_where,
+            )
         if binary is not None:
             # evaluation order: range -> binary -> vector (PromQL's
             # sum by (..) (a / b) shape — the vector stage regroups or

@@ -761,3 +761,206 @@ _r AS (
   ) AS _rk FROM _m
 )
 SELECT {sel} FROM _r WHERE _rk <= {int(k)}"""
+
+
+# -- sliding (PromQL range-selector) windows ---------------------------
+#
+# The tumbling buckets above are Loki's step==range fast path; PromQL's
+# general form is rate(x[5m]) evaluated every step — OVERLAPPING
+# windows (range > step). Recomputing each point from raw rows would
+# scan the corpus once per overlap factor; instead the additive aggs
+# compose from the tumbling CELLS: evaluate step-granular cells once
+# (one corpus scan), zero-fill each observed series onto the dense
+# step grid, and slide a k-cell window sum over it (k = range/step) —
+# a cells-scale window, never corpus-scale. Exact BIGINT sums; rate
+# divides by the RANGE length (PromQL's denominator), one IEEE op.
+
+# aggs whose window value is a SUM of cell values (the composable set;
+# min/max/avg/quantile/first/last need other merge shapes)
+SLIDING_AGGS = {
+    "count_over_time": ("count_over_time", False),
+    "rate": ("count_over_time", True),
+    "bytes_over_time": ("bytes_over_time", False),
+    "bytes_rate": ("bytes_over_time", True),
+    "sum_over_time": ("sum_over_time", False),
+}
+
+
+def _sliding_check(agg: str, step, range_) -> tuple[int, int, int]:
+    step = parse_step(step)
+    range_ = parse_step(range_)
+    if agg not in SLIDING_AGGS:
+        raise QueryValidationError(
+            f"sliding range: agg must be additive, one of"
+            f" {sorted(SLIDING_AGGS)}"
+        )
+    if range_ < step or range_ % step:
+        raise QueryValidationError(
+            "sliding range: must be a multiple of step (and >= step)"
+        )
+    return step, range_, range_ // step
+
+
+def _extended(query: Query, ext_s: int) -> Query:
+    """The scan window reaching back ``ext_s`` seconds before the
+    (normalized) start — a window ending at the first requested bucket
+    looks back across the extension, exactly PromQL's lookback."""
+    s, e = query.start, query.end
+    if e is not None and e < s:
+        s, e = e, s
+    return Query(start=s - timedelta(seconds=ext_s), end=e, node=query.node)
+
+
+def range_query_sliding(
+    df: DataFrame,
+    query: Query,
+    *,
+    agg: str = "rate",
+    step: int = 3600,
+    range_: int = 21600,
+    by: Sequence[str] = (),
+    unwrap: str | None = None,
+    fill: bool = False,
+    extract=None,
+    extract_where: Sequence[tuple[str, str, object]] = (),
+    time_column: str = "timestamp",
+    field_resolver=default_field_resolver,
+) -> DataFrame:
+    """``agg(x[range_])`` evaluated every ``step`` — overlapping
+    windows. Output matrix as :func:`range_query`; a bucket's value
+    covers (bucket − range_, bucket + step − range_ .. bucket + step],
+    i.e. the ``range_``-long window ENDING at the bucket's close.
+
+    ``fill=False`` (default) emits only buckets whose window saw at
+    least one observed cell (PromQL: no sample in range → no point);
+    ``fill=True`` densifies with zeros (rate 0.0) like the tumbling
+    path."""
+    from pyspark.sql import Window
+
+    step, range_, k = _sliding_check(agg, step, range_)
+    base, rate_like = SLIDING_AGGS[agg]
+    _s, _e, lo, hi = _validate(
+        query, base, step, by, unwrap, False, None, extract
+    )
+    cells = range_query(
+        df, _extended(query, range_ - step), agg=base, step=step, by=by,
+        unwrap=unwrap, fill=False, extract=extract,
+        extract_where=extract_where, time_column=time_column,
+        field_resolver=field_resolver,
+    )
+    label_names = [_label_name(f) for f in by]
+    # dense per-series grid over the EXTENDED span, observed flag kept
+    # (bucket cast to BIGINT: the cells' bucket is long, and python
+    # ints under 2^31 would otherwise make sequence() an int32 grid)
+    grid_col = F.explode(
+        F.sequence(
+            F.lit(lo - (k - 1) * step).cast("bigint"),
+            F.lit(hi).cast("bigint"),
+            F.lit(step).cast("bigint"),
+        )
+    ).alias("bucket")
+    if label_names:
+        grid = cells.select(*label_names).distinct().select(
+            *label_names, grid_col
+        )
+        dense = grid.join(cells, [*label_names, "bucket"], "left")
+    else:
+        dense = cells.sparkSession.range(1).select(grid_col).join(
+            cells, ["bucket"], "left"
+        )
+    dense = dense.select(
+        *label_names, "bucket",
+        F.coalesce("v", F.lit(0)).cast("bigint").alias("_cv"),
+        F.col("v").isNotNull().cast("int").alias("_obs"),
+    )
+    w = (
+        Window.partitionBy(*label_names)
+        .orderBy("bucket")
+        .rowsBetween(-(k - 1), 0)
+    )
+    slid = dense.select(
+        *label_names, "bucket",
+        F.sum("_cv").over(w).cast("bigint").alias("_sv"),
+        F.sum("_obs").over(w).cast("bigint").alias("_so"),
+    ).filter(F.col("bucket") >= lo)
+    if not fill:
+        slid = slid.filter(F.col("_so") > 0)
+    v = (
+        (F.col("_sv").cast("double") / F.lit(float(range_))).alias("v")
+        if rate_like
+        else F.col("_sv").alias("v")
+    )
+    return slid.select(*label_names, "bucket", v)
+
+
+def range_query_sliding_sql(
+    relation: str,
+    query: Query,
+    *,
+    agg: str = "rate",
+    step: int = 3600,
+    range_: int = 21600,
+    by: Sequence[str] = (),
+    unwrap: str | None = None,
+    fill: bool = False,
+    extract=None,
+    extract_where: Sequence[tuple[str, str, object]] = (),
+    time_column: str = '"timestamp"',
+    field_sql=default_field_sql,
+) -> str:
+    """DuckDB twin of :func:`range_query_sliding` — identical grid,
+    identical window frame, identical division."""
+    step, range_, k = _sliding_check(agg, step, range_)
+    base, rate_like = SLIDING_AGGS[agg]
+    _s, _e, lo, hi = _validate(
+        query, base, step, by, unwrap, False, None, extract
+    )
+    inner = range_query_sql(
+        relation, _extended(query, range_ - step), agg=base, step=step,
+        by=by, unwrap=unwrap, fill=False, extract=extract,
+        extract_where=extract_where, time_column=time_column,
+        field_sql=field_sql,
+    )
+    label_names = [_label_name(f) for f in by]
+    lbls = ", ".join(label_names)
+    if label_names:
+        grid = (
+            f"SELECT {lbls}, unnest(generate_series("
+            f"{lo - (k - 1) * step}, {hi}, {step})) AS bucket"
+            f" FROM (SELECT DISTINCT {lbls} FROM _cells)"
+        )
+        on = " AND ".join(
+            [f"g.{c} = c.{c}" for c in label_names] + ["g.bucket = c.bucket"]
+        )
+        gsel = ", ".join([f"g.{c}" for c in label_names] + ["g.bucket"])
+    else:
+        grid = (
+            f"SELECT unnest(generate_series({lo - (k - 1) * step}, {hi},"
+            f" {step})) AS bucket"
+        )
+        on = "g.bucket = c.bucket"
+        gsel = "g.bucket"
+    part = f"PARTITION BY {lbls} " if label_names else ""
+    vexpr = (
+        f"CAST(_sv AS DOUBLE) / {float(range_)!r}" if rate_like else "_sv"
+    )
+    so_filter = "" if fill else "\nWHERE _so > 0"
+    sel = ", ".join([*label_names, "bucket", f"{vexpr} AS v"])
+    return f"""WITH _cells AS (
+{inner}
+),
+_dense AS (
+  SELECT {gsel}, CAST(coalesce(c.v, 0) AS BIGINT) AS _cv,
+         CAST(c.v IS NOT NULL AS INT) AS _obs
+  FROM ({grid}) g LEFT JOIN _cells c ON {on}
+),
+_slid AS (
+  SELECT {', '.join([*label_names, 'bucket'])},
+         CAST(sum(_cv) OVER ({part}ORDER BY bucket
+              ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS _sv,
+         CAST(sum(_obs) OVER ({part}ORDER BY bucket
+              ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS _so
+  FROM _dense
+)
+SELECT {sel} FROM _slid
+WHERE bucket >= {lo}{so_filter.replace(chr(10) + 'WHERE', ' AND') if not fill else ''}"""

@@ -315,3 +315,131 @@ def test_live_endpoint(records_sf0001):
         assert len(out["data"][0]["values"]) == 3
     finally:
         srv.shutdown()
+
+
+# -- T81 sliding (PromQL range-selector) windows -----------------------
+
+
+class TestSliding:
+    def test_window_is_sum_of_k_cells_with_lookback(self, toy):
+        from logzilla_spark.operators.range_query import (
+            range_query,
+            range_query_sliding,
+        )
+
+        q = _q(start=T0 + dt.timedelta(hours=2), end=T0 + dt.timedelta(hours=5))
+        # reference cells over the SAME scan window the sliding query
+        # uses: lookback-extended start, same end (the end clips the
+        # last bucket's cell — the query range governs, as on the
+        # tumbling path)
+        cells = (
+            range_query(
+                toy,
+                _q(start=q.start - dt.timedelta(hours=1), end=q.end),
+                agg="count_over_time", step=3600, by=["level"],
+            )
+            .toPandas().set_index(["level", "bucket"]).v
+        )
+        got = range_query_sliding(
+            toy, q, agg="count_over_time", step=3600, range_=7200,
+            by=["level"],
+        ).toPandas()
+        for r in got.itertuples():
+            want = cells.get((r.level, r.bucket), 0) + cells.get(
+                (r.level, r.bucket - 3600), 0
+            )
+            assert r.v == want, (r.level, r.bucket)
+        # the FIRST requested bucket already looks back before start
+        first = int(got.bucket.min())
+        from logzilla_spark.operators.range_query import _epoch_seconds
+
+        assert first == _epoch_seconds(q.start)
+
+    def test_rate_divides_by_range_and_fill(self, toy):
+        from logzilla_spark.operators.range_query import range_query_sliding
+
+        q = _q()
+        dense = range_query_sliding(
+            toy, q, agg="rate", step=1800, range_=7200, by=["level"],
+            fill=True,
+        ).toPandas()
+        sparse = range_query_sliding(
+            toy, q, agg="rate", step=1800, range_=7200, by=["level"],
+        ).toPandas()
+        assert len(dense) >= len(sparse)
+        # rate = window count / RANGE seconds
+        assert all(float(v * 7200).is_integer() for v in dense.v)
+        # fill=False drops only windows with zero observed cells
+        merged = dense.merge(
+            sparse, on=["level", "bucket"], how="left", indicator=True
+        )
+        dropped = merged[merged._merge == "left_only"]
+        assert (dropped.v_x == 0).all()
+
+    def test_validation(self, toy):
+        from logzilla_spark.operators.range_query import range_query_sliding
+
+        with pytest.raises(QueryValidationError, match="multiple of step"):
+            range_query_sliding(toy, _q(), step=3600, range_=5400)
+        with pytest.raises(QueryValidationError, match="additive"):
+            range_query_sliding(
+                toy, _q(), agg="min_over_time", step=3600, range_=7200,
+                unwrap="metadata.size",
+            )
+
+    def test_twin_parity_and_degenerate_range_equals_tumbling(
+        self, toy, tmp_path
+    ):
+        import duckdb
+
+        from logzilla_spark.operators.range_query import (
+            range_query,
+            range_query_sliding,
+            range_query_sliding_sql,
+        )
+
+        pq = str(tmp_path / "toy.parquet")
+        toy.coalesce(1).write.parquet(pq)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW r AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        kw = dict(agg="bytes_over_time", step=3600, range_=10800, by=["source"])
+        got = (
+            range_query_sliding(toy, _q(), **kw)
+            .toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+        )
+        want = (
+            con.execute(range_query_sliding_sql("r", _q(), **kw)).df()
+            .sort_values(["source", "bucket"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # range == step degenerates to the tumbling matrix exactly
+        a = (
+            range_query_sliding(
+                toy, _q(), agg="count_over_time", step=3600, range_=3600,
+                by=["level"],
+            )
+            .toPandas().sort_values(["level", "bucket"]).reset_index(drop=True)
+        )
+        b = (
+            range_query(toy, _q(), agg="count_over_time", step=3600, by=["level"])
+            .toPandas().sort_values(["level", "bucket"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_api_range_field(self, records_sf0001):
+        body = {
+            "q": "level in (ERROR, FATAL)"
+                 " since:2024-01-02 until:2024-01-07",
+            "step": "1h",
+            "range": "6h",
+            "agg": "rate",
+            "by": ["level"],
+        }
+        resp = range_request(records_sf0001, json.dumps(body))
+        assert resp["success"], resp["message"]
+        assert resp["data"]
+        bad = dict(body, range="90m")
+        resp2 = range_request(records_sf0001, json.dumps(bad))
+        assert not resp2["success"] and "multiple of step" in resp2["message"]
