@@ -58,6 +58,8 @@ __all__ = [
     "MAX_BUCKETS",
     "VECTOR_AGGS",
     "range_query",
+    "range_query_sliding",
+    "range_query_sliding_sql",
     "range_query_sql",
     "vector_agg",
     "vector_agg_sql",
