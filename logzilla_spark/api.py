@@ -863,7 +863,10 @@ def range_request(records: DataFrame, body: str | bytes) -> dict:
     """``POST /api/logs/query_range``: the dashboard sibling of
     search_request (Loki's query_range) — same query body (q/node,
     start/end; sort, limit and cursor are hits-page parameters and
-    rejected/ignored per operators/range_query.py), plus ``step``
+    rejected/ignored per operators/range_query.py), plus ``step``,
+    ``range`` (PromQL range selector: ``agg(x[range])`` evaluated
+    every step — overlapping windows; additive aggs only, must be a
+    multiple of step)
     (seconds or ``30s``/``5m``/``1h``/``1d``), ``agg``, ``by`` (label
     fields, comparison-node whitelist), ``unwrap`` (numeric field for
     the *_over_time value aggs), ``fill`` (zero-fill the grid) and
