@@ -70,6 +70,10 @@ __all__ = [
 PREFIX = "extracted."
 MAX_PATTERN_LEN = 512
 MAX_NAMES = 16
+# {m,n} bound cap: keeps eager validation aligned with Java's runtime
+# behaviour (huge counts compile but explode the NFA) and bounds the
+# worst-case work a single query regex can demand of an executor.
+MAX_REPEAT = 1000
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,31}$")
 
@@ -184,10 +188,19 @@ def _validate_portable_regex(pattern: str) -> int:
     groups = 0
     depth = 0
     atom = False  # a quantifier may follow the previous token
+    # Catastrophic-backtracking guard: Java evaluates this subset with
+    # exponential backtracking while RE2 is linear, so a pattern like
+    # (a+)+ diverges in *runtime*, not just syntax.  Track, per open
+    # group, whether its body contains an unbounded repetition; reject
+    # an unbounded quantifier applied to such a group.
+    unbounded = [False]  # frame 0 = top level, one frame per open group
+    closed_group_unbounded: bool | None = None  # set only right after )
     i = 0
     n = len(pattern)
     while i < n:
         c = pattern[i]
+        prev_group = closed_group_unbounded
+        closed_group_unbounded = None
         if c == "\\":
             if i + 1 >= n:
                 raise err("dangling backslash", i)
@@ -237,16 +250,27 @@ def _validate_portable_regex(pattern: str) -> int:
                 groups += 1
                 i += 1
             depth += 1
+            unbounded.append(False)
             atom = False
         elif c == ")":
             if depth == 0:
                 raise err("unbalanced )", i)
             depth -= 1
+            body_unbounded = unbounded.pop()
+            unbounded[-1] = unbounded[-1] or body_unbounded
+            closed_group_unbounded = body_unbounded
             i += 1
             atom = True
         elif c in "*+?":
             if not atom:
                 raise err(f"quantifier {c} with nothing to repeat", i)
+            if c in "*+":
+                if prev_group:
+                    raise err(
+                        "unbounded quantifier over a group that itself "
+                        "repeats (catastrophic backtracking)", i,
+                    )
+                unbounded[-1] = True
             i += 1
             if i < n and pattern[i] == "?":  # lazy
                 i += 1
@@ -254,9 +278,26 @@ def _validate_portable_regex(pattern: str) -> int:
         elif c == "{":
             if not atom:
                 raise err("quantifier {} with nothing to repeat", i)
-            m = re.match(r"\{\d+(,\d*)?\}", pattern[i:])
+            m = re.match(r"\{(\d+)(,(\d*))?\}", pattern[i:])
             if not m:
                 raise err("malformed {} quantifier", i)
+            lo = int(m.group(1))
+            hi_txt = m.group(3)
+            open_ended = m.group(2) is not None and hi_txt == ""
+            hi = lo if m.group(2) is None else (None if open_ended else int(hi_txt))
+            if hi is not None and hi < lo:
+                # Java throws PatternSyntaxException at *runtime* for
+                # {5,2}; surface it as a validation error instead
+                raise err(f"inverted {{{lo},{hi}}} quantifier", i)
+            if lo > MAX_REPEAT or (hi is not None and hi > MAX_REPEAT):
+                raise err(f"repetition count above {MAX_REPEAT}", i)
+            if open_ended:
+                if prev_group:
+                    raise err(
+                        "unbounded quantifier over a group that itself "
+                        "repeats (catastrophic backtracking)", i,
+                    )
+                unbounded[-1] = True
             i += m.end()
             if i < n and pattern[i] == "?":  # lazy
                 i += 1

@@ -78,6 +78,12 @@ def test_pattern_non_ident_angle_is_literal():
         (r"(?:GET|POST) /(\w+)", ["seg"]),
         (r"err=([^ ]+)", ["e"]),
         (r"a{2,3}?(b+)$", ["b"]),
+        # bounded outer over unbounded inner is fine (classic IP shape)
+        (r"(?:\d+\.){3}(\d+)", ["last"]),
+        # unbounded outer over a *non-repeating* group is fine
+        (r"(?:ab)+(c)", ["c"]),
+        # bounded-over-bounded nesting is fine
+        (r"(a{2,3}){2}", ["a"]),
     ],
 )
 def test_regexp_accepts_portable_subset(pattern, names):
@@ -99,11 +105,40 @@ def test_regexp_accepts_portable_subset(pattern, names):
         (r"a$b(x)", ["x", "y"], "1 capturing groups but 2 names"),
         (r"col\(1\)*", ["x"], "0 capturing groups but 1 names"),
         (r"{bad}(x)", ["x"], "nothing to repeat"),
+        # inverted interval: Java throws PatternSyntaxException at
+        # RUNTIME for these — the validator must catch them eagerly
+        (r"a{5,2}(x)", ["x"], "inverted"),
+        (r"(x){9,3}", ["x"], "inverted"),
+        # repetition-count cap
+        (r"a{1001}(x)", ["x"], "repetition count above"),
+        (r"(x){2,5000}", ["x"], "repetition count above"),
+        # catastrophic backtracking: unbounded quantifier over a group
+        # whose body itself repeats unboundedly — Java backtracks
+        # exponentially where RE2 is linear
+        (r"(a+)+", ["x"], "catastrophic"),
+        (r"(a*)*b", ["x"], "catastrophic"),
+        (r"(?:\w+)+(x)", ["x"], "catastrophic"),
+        (r"(a+){2,}", ["x"], "catastrophic"),
+        # ...including through an intermediate bounded group
+        (r"(?:(a+){3})*", ["x"], "catastrophic"),
     ],
 )
 def test_regexp_rejections(pattern, names, msg):
     with pytest.raises(QueryValidationError, match=msg):
         Extraction.regexp(pattern, names)
+
+
+def test_inverted_interval_caught_before_java():
+    """ADVICE r4: 'a{5,2}' passed eager validation but threw
+    java.util.regex.PatternSyntaxException at execution time (and
+    'invalid repetition size' in DuckDB) — a 500 where the contract
+    promises a 400 QueryValidationError."""
+    import re as _re
+
+    with pytest.raises(_re.error):
+        _re.compile(r"a{5,2}")  # proves the pattern is runtime-fatal
+    with pytest.raises(QueryValidationError, match="inverted"):
+        Extraction.regexp(r"a{5,2}(x)", ["x"])
 
 
 def test_regexp_requires_escaping_risky_punct():
