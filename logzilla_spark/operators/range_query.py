@@ -841,8 +841,11 @@ def range_query_sliding(
 
     step, range_, k = _sliding_check(agg, step, range_)
     base, rate_like = SLIDING_AGGS[agg]
+    # the caller's fill flows through _validate so sliding enforces the
+    # same "fill is not defined for unwrap aggs" rule as tumbling (a
+    # filled 0 would be indistinguishable from a real 0-valued sample)
     _s, _e, lo, hi = _validate(
-        query, base, step, by, unwrap, False, None, extract
+        query, base, step, by, unwrap, fill, None, extract
     )
     cells = range_query(
         df, _extended(query, range_ - step), agg=base, step=step, by=by,
@@ -914,8 +917,11 @@ def range_query_sliding_sql(
     identical window frame, identical division."""
     step, range_, k = _sliding_check(agg, step, range_)
     base, rate_like = SLIDING_AGGS[agg]
+    # the caller's fill flows through _validate so sliding enforces the
+    # same "fill is not defined for unwrap aggs" rule as tumbling (a
+    # filled 0 would be indistinguishable from a real 0-valued sample)
     _s, _e, lo, hi = _validate(
-        query, base, step, by, unwrap, False, None, extract
+        query, base, step, by, unwrap, fill, None, extract
     )
     inner = range_query_sql(
         relation, _extended(query, range_ - step), agg=base, step=step,

@@ -387,6 +387,31 @@ class TestSliding:
                 unwrap="metadata.size",
             )
 
+    def test_sliding_fill_rejected_for_unwrap_aggs(self, toy):
+        """ADVICE r4: sliding sum_over_time with fill=True was accepted
+        (fill=False was hardcoded into _validate), emitting zero-valued
+        samples indistinguishable from data — the exact case the
+        tumbling path rejects. Both paths must enforce the rule."""
+        from logzilla_spark.operators.range_query import (
+            range_query_sliding,
+            range_query_sliding_sql,
+        )
+
+        with pytest.raises(QueryValidationError, match="fill is not defined"):
+            range_query_sliding(
+                toy, _q(), agg="sum_over_time", step=3600, range_=7200,
+                unwrap="metadata.size", fill=True,
+            )
+        with pytest.raises(QueryValidationError, match="fill is not defined"):
+            range_query_sliding_sql(
+                "r", _q(), agg="sum_over_time", step=3600, range_=7200,
+                unwrap="metadata.size", fill=True,
+            )
+        # fill=True stays legal for count-style sliding aggs
+        range_query_sliding(
+            toy, _q(), agg="rate", step=3600, range_=7200, fill=True
+        )
+
     def test_twin_parity_and_degenerate_range_equals_tumbling(
         self, toy, tmp_path
     ):
