@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import json
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -844,13 +844,21 @@ def _apply_binary(records, left_df, spec, outer_q, *, step, by):
     rextract_where = [tuple(t) for t in rextract_where]
     if "step" in r:
         raise BadInputError("binary.right.step: the outer step applies")
-    # start/end default to the outer resolved range (offset handles
-    # time shifting; an explicit right q/start wins)
+    # start/end default to the outer resolved range SHIFTED BACK by
+    # offset — PromQL's offset modifier extends the data lookback, so a
+    # week-over-week panel (offset >= range) still finds its shifted
+    # buckets.  Defaulting to the unshifted outer range made the right
+    # side empty/truncated with no diagnostic whenever offset > 0 (an
+    # explicit right q/start wins and is not adjusted).
     if "q" not in r:
+        shift = timedelta(
+            seconds=offset
+        ) if isinstance(offset, int) and not isinstance(offset, bool) else \
+            timedelta(0)
         if "start" not in r and outer_q.start is not None:
-            r["start"] = outer_q.start.isoformat()
+            r["start"] = (outer_q.start - shift).isoformat()
         if "end" not in r and outer_q.end is not None:
-            r["end"] = outer_q.end.isoformat()
+            r["end"] = (outer_q.end - shift).isoformat()
     rq = decode_query(json.dumps(r))
     rdf = range_query(
         records, rq, agg=ragg, step=step, by=rby, unwrap=runwrap, fill=rfill,

@@ -235,6 +235,46 @@ def test_api_vector_composes_after_binary(records_sf0001):
     assert all(0 < v <= 1 for v in vs)
 
 
+def test_api_defaulted_right_range_extends_by_offset(spark):
+    """ADVICE r4: a day-over-day panel with offset >= range returned an
+    empty result — the defaulted right start/end did not extend the
+    lookback, so the shifted right matrix missed the outer grid
+    entirely.  PromQL's offset modifier extends the data lookback; the
+    defaulted right range must be (start-offset, end-offset)."""
+    rows = []
+    for day, n in ((1, 10), (2, 4)):  # day 1: 10 events, day 2: 4
+        for i in range(n):
+            rows.append(
+                {
+                    "id": f"d{day}#{i}",
+                    "timestamp": dt.datetime(2024, 1, day, 6 + i % 12),
+                    "level": "INFO",
+                    "source": "svc0",
+                    "message": f"m{i}",
+                }
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="id string, timestamp timestamp, level string, "
+        "source string, message string",
+    )
+    body = {
+        # outer window = day 2 ONLY; offset equals the whole range, so
+        # the right side's data lives entirely before the outer window
+        "start": "2024-01-02T00:00:00",
+        "end": "2024-01-03T00:00:00",
+        "step": "1d",
+        "by": ["source"],
+        "binary": {"op": "sub", "offset": "1d", "right": {}},
+    }
+    resp = range_request(df, json.dumps(body))
+    assert resp["success"], resp["message"]
+    pts = [(b, v) for s in resp["data"] for b, v in s["values"]]
+    # before the fix: [] (silent no-data); after: day2 - day1 = 4 - 10
+    day2 = int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp())
+    assert pts == [(day2, -6)], pts
+
+
 def test_api_misaligned_offset_is_client_error(records_sf0001):
     body = {
         "start": "2024-01-01T00:00:00",
