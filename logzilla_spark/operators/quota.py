@@ -68,6 +68,7 @@ def ingest_quota(
     window: str = "hour",
     time_column: str = "timestamp",
     id_col: str = "id",
+    spent: DataFrame | None = None,
 ) -> DataFrame:
     """Tag every row with ``over_quota`` (non-null boolean).
 
@@ -75,6 +76,15 @@ def ingest_quota(
     ``quota`` in (``time_column``, ``id_col``) ascending order are
     over quota. Input columns pass through unchanged; one
     ``over_quota`` column is appended.
+
+    ``spent`` (optional) charges this frame against budget that EARLIER
+    runs already admitted for the same windows: a frame with columns
+    ``(key string, bucket timestamp, n_admitted bigint)`` — the
+    pipeline's committed per-(key, window) admission counts. A row of
+    rank ``r`` is then over quota iff ``spent + r > quota``, so a
+    window that spans N incremental runs admits ``quota`` rows TOTAL,
+    not N x quota (earlier runs hold their budget — FIFO, the same
+    semantics as the streaming quota's committed spend).
     """
     if isinstance(quota, bool) or not isinstance(quota, int) or quota < 1:
         raise ValueError("quota must be an integer >= 1")
@@ -85,7 +95,9 @@ def ingest_quota(
     # phase 1: salted pre-rank — the salt is a deterministic function
     # of the ROW (not of the physical partitioning), so the two output
     # branches and any stage retry recompute the identical split
-    # (see module docstring)
+    # (see module docstring). With prior spend the bound still holds:
+    # the admission threshold quota - spent is <= quota, so local rank
+    # past quota is over quota a fortiori.
     wl = Window.partitionBy(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SALTS)), key_col, "_qb"
     ).orderBy(*order)
@@ -96,9 +108,23 @@ def ingest_quota(
     # phase 2: global rank over the bounded candidate set
     wg = Window.partitionBy(key_col, "_qb").orderBy(*order)
     ranked = cand.withColumn("_gr", F.row_number().over(wg))
+    if spent is not None:
+        # spend is metadata-scale (touched key-buckets), records are
+        # corpus-scale: broadcast the small side
+        spend = spent.groupBy(
+            F.col("key").alias("_sk"), F.col("bucket").alias("_sb")
+        ).agg(F.sum("n_admitted").cast("bigint").alias("_spent"))
+        ranked = ranked.join(
+            F.broadcast(spend),
+            (F.col(key_col).cast("string") == F.col("_sk"))
+            & (F.col("_qb") == F.col("_sb")),
+            "left",
+        ).withColumn("_spent", F.coalesce("_spent", F.lit(0)))
+    else:
+        ranked = ranked.withColumn("_spent", F.lit(0).cast("bigint"))
     out_cols = [*df.columns]
     within = ranked.select(
-        *out_cols, (F.col("_gr") > quota).alias("over_quota")
+        *out_cols, (F.col("_spent") + F.col("_gr") > quota).alias("over_quota")
     )
     over = over_local.select(*out_cols, F.lit(True).alias("over_quota"))
     return within.unionByName(over)

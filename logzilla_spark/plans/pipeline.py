@@ -45,6 +45,11 @@ from ..sources.catalog import LocalCatalog
 
 PAGES_TABLE = "pages"
 METRICS_TABLE = "metrics"
+# committed per-(key, window-bucket) admitted counts for the T79
+# config-declared quota — the cross-run spend ledger (same pattern as
+# streaming/quota.py's stream_quota_counts): without it, a (key,
+# window) spanning N incremental runs would admit N x quota rows
+QUOTA_COUNTS_TABLE = "pipeline_quota_counts"
 
 
 class CheckpointLog:
@@ -170,6 +175,40 @@ class Pipeline:
     def ingest_pages(self, pages: DataFrame) -> int:
         return self.cat.append(pages, PAGES_TABLE)
 
+    def _commit_quota_spend(self, snaps: dict[str, int], tag: dict) -> None:
+        """Append this run's admitted per-(key, bucket) counts to the
+        spend ledger.
+
+        Reads the counts back from the files the routing write just
+        committed (the non-throttled sinks' newest append group) — the
+        same zero-extra-Spark-jobs trick as the lineage counters, so
+        the single-pass parse/enrich discipline is preserved (the
+        alternative, re-aggregating the tagged frame, would re-run the
+        whole parse chain for a metadata-scale result).
+        """
+        from ..operators.quota import _bucket
+
+        key = self.quota.get("key", "source")
+        window = self.quota.get("window", "hour")
+        files = [
+            f
+            for c, sid in snaps.items()
+            if c != "throttled"
+            for f in self.cat._groups(sink_name(c), sid)[-1]["files"]
+        ]
+        if not files:
+            return
+        admitted = self.spark.read.parquet(*files)
+        delta = (
+            admitted.select(
+                F.col(key).cast("string").alias("key"),
+                _bucket("timestamp", window).alias("bucket"),
+            )
+            .groupBy("key", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
+        )
+        self.cat.append(delta, QUOTA_COUNTS_TABLE, summary=dict(tag))
+
     def set_dims(self, dim_lang: DataFrame, dim_severity: DataFrame) -> None:
         self.cat.overwrite(dim_lang, "dim_lang")
         self.cat.overwrite(dim_severity, "dim_severity")
@@ -190,6 +229,8 @@ class Pipeline:
             rolled += _rollback_beyond(self.cat, sink_name(c), ckpt)
             rolled += _rollback_beyond(self.cat, f"agg_{c}", ckpt)
         rolled += _rollback_beyond(self.cat, METRICS_TABLE, ckpt)
+        if self.quota is not None:
+            rolled += _rollback_beyond(self.cat, QUOTA_COUNTS_TABLE, ckpt)
 
         head = self.cat.last_snapshot_id(PAGES_TABLE)
         delta = self.cat.read_incremental(self.spark, PAGES_TABLE, ckpt)
@@ -215,10 +256,20 @@ class Pipeline:
         if self.quota is not None:
             from ..operators.quota import ingest_quota
 
+            # charge this delta against what earlier runs already
+            # admitted per (key, bucket) — after the rollback above the
+            # ledger holds exactly the checkpointed spend
+            spent = (
+                self.cat.read(self.spark, QUOTA_COUNTS_TABLE)
+                if self.cat.exists(QUOTA_COUNTS_TABLE)
+                and self.cat.last_snapshot_id(QUOTA_COUNTS_TABLE) is not None
+                else None
+            )
             records = ingest_quota(
                 records, self.quota["quota"],
                 key_col=self.quota.get("key", "source"),
                 window=self.quota.get("window", "hour"),
+                spent=spent,
             ).withColumn(
                 "category",
                 F.when(F.col("over_quota"), F.lit("throttled"))
@@ -234,6 +285,9 @@ class Pipeline:
         rows_in = delta.count()
         if fail_after_stage == "route":
             raise RuntimeError("injected failure after route")
+
+        if self.quota is not None:
+            self._commit_quota_spend(snaps, tag)
 
         # aggregates reflect TOTAL sink state -> overwrite (idempotent)
         from ..sources.catalog import SnapshotError

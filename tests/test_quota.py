@@ -4,6 +4,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from logzilla_spark.operators.quota import (
     ingest_quota,
@@ -159,6 +160,131 @@ def test_pipeline_routes_overflow_to_throttled(spark, tmp_path):
     assert total == rec.count()
     # aggregation covers the throttled sink like any category
     assert cat.read(spark, "agg_throttled").count() > 0
+
+
+def test_pipeline_quota_spend_persists_across_runs(spark, tmp_path):
+    """ADVICE r4: the config-declared pipeline quota ranked only the
+    current run's delta, so a (key, window) spanning N incremental
+    runs admitted N x quota rows. The spend ledger
+    (pipeline_quota_counts) must bound TOTAL admissions per (key,
+    bucket) at quota across runs."""
+    from logzilla_spark.plans.pipeline import (
+        QUOTA_COUNTS_TABLE,
+        Pipeline,
+    )
+    from logzilla_spark.sources.catalog import LocalCatalog, SnapshotError
+    from logzilla_spark.testdata import ensure_pages
+
+    from .conftest import SF001
+
+    QUOTA = 2
+    cat = LocalCatalog(str(tmp_path / "wh"))
+    pipe = Pipeline(
+        spark, cat, parse_impl="native",
+        quota={"quota": QUOTA, "window": "day"},
+    )
+    d = ensure_pages(SF001)
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    rest = pages.filter(F.xxhash64("url") % 2 != 0)
+    pipe.ingest_pages(half)
+    pipe.run(run_id="r1")
+    pipe.ingest_pages(rest)
+    pipe.run(run_id="r2")
+
+    def _read(c):
+        try:
+            return cat.read(spark, sink_name(c))
+        except SnapshotError:
+            return None
+
+    from logzilla_spark.operators.route import sink_name
+
+    admitted = None
+    total = 0
+    for c in pipe.categories:
+        df = _read(c)
+        if df is None:
+            continue
+        total += df.count()
+        if c != "throttled":
+            sel = df.select("id", "source", "timestamp")
+            admitted = sel if admitted is None else admitted.unionByName(sel)
+    # never-drop: every parsed record landed in exactly one sink
+    from logzilla_spark.operators.parse import parse_records
+
+    rec = parse_records(pages, impl="native")
+    assert total == rec.count()
+    # the bound: per (source, hour) admissions across BOTH runs <= quota
+    per_bucket = (
+        admitted.groupBy(
+            "source", F.date_trunc("day", "timestamp").alias("b")
+        )
+        .count()
+        .collect()
+    )
+    assert per_bucket and max(r["count"] for r in per_bucket) <= QUOTA
+    # without the ledger a split bucket admits up to 2x quota — prove at
+    # least one bucket was split across the runs (the regression bites)
+    h1 = parse_records(half, impl="native").select(
+        "source", F.date_trunc("day", "timestamp").alias("b")
+    ).distinct()
+    h2 = parse_records(rest, impl="native").select(
+        "source", F.date_trunc("day", "timestamp").alias("b")
+    ).distinct()
+    assert h1.join(h2, ["source", "b"]).count() > 0
+    # the ledger equals the admitted counts (replay-auditable)
+    ledger = (
+        cat.read(spark, QUOTA_COUNTS_TABLE)
+        .groupBy("key", "bucket")
+        .agg(F.sum("n_admitted").alias("n"))
+        .collect()
+    )
+    want = {(r["source"], r["b"]): r["count"] for r in per_bucket}
+    got = {(r["key"], r["bucket"]): r["n"] for r in ledger}
+    assert got == want
+
+
+def test_pipeline_quota_crash_resume_is_idempotent(spark, tmp_path):
+    """Crash after the spend-ledger append but before checkpoint: the
+    resume protocol must roll the ledger back with the sinks, or the
+    replayed run double-charges its own spend."""
+    from logzilla_spark.plans.pipeline import Pipeline
+    from logzilla_spark.sources.catalog import LocalCatalog, SnapshotError
+    from logzilla_spark.operators.route import sink_name
+    from logzilla_spark.testdata import ensure_pages
+
+    from .conftest import SF001
+
+    d = ensure_pages(SF001)
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    rest = pages.filter(F.xxhash64("url") % 2 != 0)
+
+    def _run(name, crash):
+        cat = LocalCatalog(str(tmp_path / name))
+        pipe = Pipeline(
+            spark, cat, parse_impl="native",
+            quota={"quota": 2, "window": "day"},
+        )
+        pipe.ingest_pages(half)
+        pipe.run(run_id="r1")
+        pipe.ingest_pages(rest)
+        if crash:
+            with pytest.raises(RuntimeError, match="injected"):
+                pipe.run(run_id="r2a", fail_after_stage="aggregate")
+        pipe.run(run_id="r2")
+        state = {}
+        for c in pipe.categories:
+            try:
+                state[c] = sorted(
+                    r.id for r in cat.read(spark, sink_name(c)).collect()
+                )
+            except SnapshotError:
+                state[c] = []
+        return state
+
+    assert _run("crash", True) == _run("clean", False)
 
 
 def test_quota_config_validation(tmp_path):
