@@ -1545,16 +1545,22 @@ def _dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(
             _emb(s, d), _probes(_emb(s, d))
         ),
-        # rows-only (no oracle twin): k-means-trained centroids are
-        # float means whose summation order is Spark's — not
-        # bit-portable to DuckDB (similarity.ivf_train_kmeans). Recall
-        # vs the exact baseline is quantified in BENCH/ANN_RECALL.md.
+        # hash-gated since r5: fixed-point centroid means make the
+        # Lloyd loop bit-portable (similarity.ivf_train_kmeans), so
+        # the trained path has a full value oracle
+        # (oracle_dataops.cosine_topk_ivf_trained_sql). Recall vs the
+        # exact baseline is quantified in BENCH/ANN_RECALL.md.
         "q_sim_topk_ivf_trained": lambda s, d: similarity.cosine_topk_ivf_trained(
             _emb(s, d), _probes(_emb(s, d))
         ),
         # product quantization: ADC top-k over PQ codes (seeded
         # codebooks -> bit-exact twin; similarity.pq_topk)
         "q_sim_topk_pq": lambda s, d: similarity.pq_topk(
+            _emb(s, d), _probes(_emb(s, d))
+        ),
+        # trained PQ codebooks (per-subspace fixed-point k-means) —
+        # hash-gated like the trained IVF path
+        "q_sim_topk_pq_trained": lambda s, d: similarity.pq_topk_trained(
             _emb(s, d), _probes(_emb(s, d))
         ),
         # IVF x PQ: prune-then-compress, the full-scale ANN shape
@@ -1718,7 +1724,13 @@ def _dataops_oracle_sql(media: str | None = None) -> dict[str, str]:
         "q_sim_topk_bruteforce": oracle_dataops.cosine_topk_sql(emb, probe_mod=PROBE_MOD),
         "q_sim_topk_lsh": oracle_dataops.cosine_topk_lsh_sql(emb, probe_mod=PROBE_MOD),
         "q_sim_topk_ivf": oracle_dataops.cosine_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
+        "q_sim_topk_ivf_trained": oracle_dataops.cosine_topk_ivf_trained_sql(
+            emb, probe_mod=PROBE_MOD
+        ),
         "q_sim_topk_pq": oracle_dataops.pq_topk_sql(emb, probe_mod=PROBE_MOD),
+        "q_sim_topk_pq_trained": oracle_dataops.pq_topk_trained_sql(
+            emb, probe_mod=PROBE_MOD
+        ),
         "q_sim_topk_ivfpq": oracle_dataops.pq_topk_ivf_sql(emb, probe_mod=PROBE_MOD),
         # served-from-persisted-index path: bit-identical to ivfpq by
         # design, so it shares the twin (see _ann_served)

@@ -186,6 +186,33 @@ def embedding_neardup_lsh(
 IVF_CELLS = 16
 IVF_NPROBE = 2
 
+# fixed-point scale for k-means centroid means (ivf_train_kmeans /
+# pq_train_kmeans): components quantize to floor(v * 2^24) BIGINTs so
+# the mean is a pure function of exact integers — order-independent,
+# hence bit-portable to the DuckDB twin (see ivf_train_kmeans)
+IVF_FP_BITS = 24
+_FP_ONE = float(1 << IVF_FP_BITS)
+
+
+def _fp_quantize(v_col: str):
+    """floor(v * 2^IVF_FP_BITS) as BIGINT — both steps exact (the
+    multiply is an exponent shift on a float-to-double-widened value,
+    floor has no half-rounding ambiguity), so the integer is identical
+    in Spark and DuckDB for the same input bits."""
+    return F.expr(f"cast(floor({v_col} * {_FP_ONE!r}) as bigint)")
+
+
+def _fp_mean(fv_col: str):
+    """Quantized mean of fixed-point components: floor(sum/n) back at
+    float scale. sum is an exact BIGINT (order-independent); the one
+    double division and floor are IEEE-deterministic; the final
+    division by 2^IVF_FP_BITS is an exact exponent shift."""
+    n = F.count(F.lit(1))
+    return (
+        F.floor(F.sum(fv_col).cast("double") / n).cast("double")
+        / F.lit(_FP_ONE)
+    )
+
 
 def ivf_seeds(
     emb: DataFrame,
@@ -194,12 +221,12 @@ def ivf_seeds(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(cell, seed): the ``n_cells`` lowest-id vectors as cell
-    centroids — a deterministic coarse quantizer. Real IVF trains
-    k-means centroids; trained float centroids are not bit-portable
-    (summation order), so the quantizer is SEEDED instead, which keeps
-    the IVF plan shape (assign -> invert -> probe nprobe cells) exact
-    and oracle-checkable. Swap in trained centroids at deployment by
-    passing any (cell, seed) frame to the functions below.
+    centroids — a deterministic coarse quantizer with zero training
+    cost, and the k-means init used by :func:`ivf_train_kmeans` (whose
+    fixed-point means make the TRAINED quantizer bit-portable too).
+    Both keep the IVF plan shape (assign -> invert -> probe nprobe
+    cells) exact and oracle-checkable; swap any (cell, seed) frame
+    into the functions below.
 
     The global orderBy+limit runs on k rows only (single tiny task);
     the row_number window is over the k-row result, not the corpus.
@@ -328,12 +355,20 @@ def ivf_train_kmeans(
     Deterministic by construction: init = ivf_seeds (lowest-id
     vectors), a FIXED iteration count (no data-dependent convergence
     test), deterministic tie-breaks in the assignment, and per-cell
-    means computed by (cell, dimension)-keyed aggregation. Float sums
-    still depend on Spark's partial-aggregation order, so trained
-    centroids are NOT bit-portable to the DuckDB twin — this is the
-    documented reason the seeded quantizer remains the oracle-checked
-    path (ivf_seeds docstring); the trained query is registered
-    rows-only and graded by the recall report.
+    means computed in FIXED-POINT: each component is quantized to
+    ``floor(v * 2^IVF_FP_BITS)`` (an exact operation — the multiply is
+    an exponent shift, floor has no rounding-mode ambiguity), summed
+    as BIGINT (associative/commutative — order-INDEPENDENT, unlike a
+    float sum under Spark's partial aggregation), and the quantized
+    mean ``floor(sum/n) / 2^IVF_FP_BITS`` is a pure function of exact
+    integers. Training is therefore bit-portable across engines and
+    the trained query is HASH-gated against the DuckDB twin
+    (oracle_dataops.cosine_topk_ivf_trained_sql); recall is graded in
+    BENCH/ANN_RECALL.md. Quantization error per component is
+    < 2^-IVF_FP_BITS — orders of magnitude below the centroid noise
+    floor of k-means itself. Exactness bound: |sum| < 2^53 needs
+    fewer than 2^(53-IVF_FP_BITS) ~ 536M vectors per cell (components
+    are O(1)); size cells accordingly.
 
     Scale shape: each iteration is ivf_assign's one-row-per-vector
     shuffle plus a (cell, pos) mean over the exploded corpus —
@@ -366,8 +401,8 @@ def ivf_train_kmeans(
         assigned = ivf_assign(vecs, seeds, "vec_id", "embedding")
         dims = assigned.select(
             "cell", F.posexplode("embedding").alias("pos", "v")
-        )
-        means = dims.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+        ).select("cell", "pos", _fp_quantize("v").alias("fv"))
+        means = dims.groupBy("cell", "pos").agg(_fp_mean("fv").alias("m"))
         new_seeds = means.groupBy("cell").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
@@ -394,9 +429,10 @@ def cosine_topk_ivf_trained(
 ) -> DataFrame:
     """cosine_topk_ivf with k-means-trained centroids instead of the
     seeded quantizer — same plan shape (assign -> invert -> probe
-    nprobe cells), better cell geometry. Rows-only correctness (the
-    trained floats are not oracle-portable — see ivf_train_kmeans);
-    recall vs the exact baseline is quantified in BENCH/ANN_RECALL.md.
+    nprobe cells), better cell geometry. Hash-gated: fixed-point
+    training (ivf_train_kmeans) makes the whole query bit-portable to
+    oracle_dataops.cosine_topk_ivf_trained_sql; recall vs the exact
+    baseline is quantified in BENCH/ANN_RECALL.md.
     """
     seeds = ivf_train_kmeans(emb, n_cells, n_iters, id_col, vec_col)
     corpus = ivf_assign(emb, seeds, id_col, vec_col).select(
@@ -755,9 +791,10 @@ def pq_train_kmeans(
     aggregations — no per-subspace jobs). Drop-in for
     :func:`pq_codebooks_seeded`'s output; same determinism contract as
     :func:`ivf_train_kmeans` (seeded init, fixed iterations, (d, code)
-    tie-breaks) and the same caveat: float means are not bit-portable
-    across engines, so trained codebooks are graded by the recall
-    report, not the hash oracle.
+    tie-breaks) and the same FIXED-POINT means (exact BIGINT sums,
+    quantized division — see ivf_train_kmeans), so trained codebooks
+    are bit-portable and HASH-gated against the DuckDB twin
+    (oracle_dataops.pq_topk_trained_sql) as well as recall-graded.
 
     Scale shape per iteration: corpus x m rows join the broadcast
     (m x ksub)-row codebook, the argmin min_by completes map-side (one
@@ -790,7 +827,9 @@ def pq_train_kmeans(
         )
         means = assigned.select(
             "sub", "code", F.posexplode("sv").alias("pos", "v")
-        ).groupBy("sub", "code", "pos").agg(F.avg("v").alias("m"))
+        ).select(
+            "sub", "code", "pos", _fp_quantize("v").alias("fv")
+        ).groupBy("sub", "code", "pos").agg(_fp_mean("fv").alias("m"))
         new_cb = means.groupBy("sub", "code").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
@@ -818,8 +857,9 @@ def pq_topk_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """pq_topk with k-means-trained codebooks (recall path; see
-    pq_train_kmeans for why it is recall-graded, not hash-graded)."""
+    """pq_topk with k-means-trained codebooks — hash-gated against
+    oracle_dataops.pq_topk_trained_sql (fixed-point training, see
+    pq_train_kmeans) and recall-graded in BENCH/ANN_RECALL.md."""
     codebooks = pq_train_kmeans(emb, m, ksub, dim, n_iters, id_col, vec_col)
     codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "codes"

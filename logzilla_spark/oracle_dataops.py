@@ -1261,6 +1261,198 @@ SELECT probe_id, neighbor_id, adc,
 FROM scored QUALIFY rank <= {int(k)}"""
 
 
+def _fp_mean_sql(fv: str) -> str:
+    """Twin of similarity._fp_mean: quantized mean of fixed-point
+    BIGINT components — exact sum, one IEEE double division, floor,
+    exact exponent-shift rescale. Bit-identical to Spark because every
+    non-exact step is a single deterministic IEEE operation."""
+    fp = float(1 << similarity.IVF_FP_BITS)
+    return (
+        f"CAST(floor(CAST(sum({fv}) AS DOUBLE) / count(*)) AS DOUBLE)"
+        f" / {fp!r}"
+    )
+
+
+def _fp_quantize_sql(v: str) -> str:
+    """Twin of similarity._fp_quantize: floor(v * 2^IVF_FP_BITS)."""
+    fp = float(1 << similarity.IVF_FP_BITS)
+    return f"CAST(floor(CAST({v} AS DOUBLE) * {fp!r}) AS BIGINT)"
+
+
+def _ivf_kmeans_ctes(dim: int, n_cells: int, n_iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd loop as CTE text: returns (ctes_sql, final_name).
+
+    Mirrors similarity.ivf_train_kmeans iteration for iteration: init
+    = the seeded quantizer, per-iteration nearest-cell assignment
+    (cos DESC, cell ASC == Spark's max_by over (cos, -cell)),
+    fixed-point per-(cell, dimension) means, empty cells keep the
+    previous centroid (left-join coalesce). A fixed iteration count is
+    what makes the unroll legal."""
+    ctes = [
+        f"""seeds0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell,
+         CAST(embedding AS DOUBLE[]) AS seed
+  FROM (SELECT id, embedding FROM e ORDER BY id LIMIT {int(n_cells)})
+)""",
+        f"kdims AS (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS i)",
+    ]
+    for t in range(int(n_iters)):
+        cos_a = _cosine_sql("e.embedding", "s.seed", dim)
+        ctes.append(f"""kassign{t} AS (
+  SELECT id, embedding, cell FROM (
+    SELECT e.id, e.embedding, s.cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {cos_a} DESC, s.cell) AS rn
+    FROM e CROSS JOIN seeds{t} s) WHERE rn = 1
+)""")
+        ctes.append(f"""kmeans{t} AS (
+  SELECT cell, i, {_fp_mean_sql('fv')} AS m FROM (
+    SELECT a.cell, d.i, {_fp_quantize_sql('a.embedding[d.i]')} AS fv
+    FROM kassign{t} a CROSS JOIN kdims d)
+  GROUP BY cell, i
+)""")
+        ctes.append(f"""knews{t} AS (
+  SELECT cell, list(m ORDER BY i) AS seed FROM kmeans{t} GROUP BY cell
+)""")
+        ctes.append(f"""seeds{t + 1} AS (
+  SELECT s.cell, coalesce(n.seed, s.seed) AS seed
+  FROM seeds{t} s LEFT JOIN knews{t} n USING (cell)
+)""")
+    return ",\n".join(ctes), f"seeds{int(n_iters)}"
+
+
+def cosine_topk_ivf_trained_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+    n_cells: int = similarity.IVF_CELLS,
+    nprobe: int = similarity.IVF_NPROBE,
+    n_iters: int = similarity.IVF_TRAIN_ITERS,
+) -> str:
+    """Twin of similarity.cosine_topk_ivf_trained: the unrolled
+    fixed-point Lloyd loop (_ivf_kmeans_ctes), then exactly
+    cosine_topk_ivf_sql's serve shape over the trained centroids."""
+    train, seeds = _ivf_kmeans_ctes(dim, n_cells, n_iters)
+    cos_assign = _cosine_sql("e.embedding", "s.seed", dim)
+    cos_probe = _cosine_sql("p.embedding", "s.seed", dim)
+    cos = _cosine_sql("pc.pe", "a.embedding", dim)
+    return f"""WITH e AS (SELECT vec_id AS id, embedding FROM {_rel(emb_path)}),
+{train},
+assign AS (
+  SELECT id, embedding, cell FROM (
+    SELECT e.id, e.embedding, s.cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {cos_assign} DESC, s.cell) AS rn
+    FROM e CROSS JOIN {seeds} s) WHERE rn = 1
+),
+p AS (SELECT id, embedding FROM e WHERE id % {probe_mod} = 0),
+pc AS (
+  SELECT id AS probe_id, embedding AS pe, cell FROM (
+    SELECT p.id, p.embedding, s.cell,
+           row_number() OVER (PARTITION BY p.id
+                              ORDER BY {cos_probe} DESC, s.cell) AS rn
+    FROM p CROSS JOIN {seeds} s) WHERE rn <= {int(nprobe)}
+)
+SELECT pc.probe_id, a.id AS neighbor_id, {cos} AS cosine,
+       CAST(row_number() OVER (PARTITION BY pc.probe_id
+                               ORDER BY {cos} DESC, a.id) AS INT) AS rank
+FROM pc JOIN assign a USING (cell)
+WHERE pc.probe_id != a.id
+QUALIFY rank <= {int(k)}"""
+
+
+def pq_topk_trained_sql(
+    emb_path: str,
+    k: int = similarity.DEFAULT_K,
+    probe_mod: int = 100,
+    dim: int = similarity.EMB_DIM,
+    m: int = similarity.PQ_M,
+    ksub: int = similarity.PQ_KSUB,
+    n_iters: int = similarity.PQ_TRAIN_ITERS,
+) -> str:
+    """Twin of similarity.pq_topk_trained: per-subspace fixed-point
+    Lloyd k-means (the ``sub`` column keys every aggregation, exactly
+    like the Spark trainer), then pq_topk_sql's encode + pinned ADC
+    fold over the trained codebooks."""
+    dsub = dim // m
+    enc_d = _l2sq_sql("sv.sv", "cb.codeword", dsub)
+    lut_d = _l2sq_sql("psv.sv", "cb.codeword", dsub)
+    ctes = [
+        f"e AS (SELECT vec_id, embedding FROM {_rel(emb_path)})",
+        f"subs AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS sub)",
+        f"""cb0 AS (
+  SELECT s.sub, b.code,
+         CAST(list_slice(b.embedding, s.sub * {dsub} + 1,
+                         s.sub * {dsub} + {dsub}) AS DOUBLE[]) AS codeword
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+               embedding
+        FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {int(ksub)})) b
+  CROSS JOIN subs s
+)""",
+        f"""sv AS (
+  SELECT e.vec_id, s.sub,
+         list_slice(e.embedding, s.sub * {dsub} + 1, s.sub * {dsub} + {dsub}) AS sv
+  FROM e CROSS JOIN subs s
+)""",
+        f"pdims AS (SELECT CAST(unnest(range(1, {dsub + 1})) AS INT) AS i)",
+    ]
+    for t in range(int(n_iters)):
+        d_t = _l2sq_sql("sv.sv", "cb.codeword", dsub)
+        ctes.append(f"""passign{t} AS (
+  SELECT sub, code, sv FROM (
+    SELECT sv.vec_id, sv.sub, cb.code, sv.sv,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {d_t} ASC, cb.code) AS rn
+    FROM sv JOIN cb{t} cb USING (sub)) WHERE rn = 1
+)""")
+        ctes.append(f"""pmeans{t} AS (
+  SELECT sub, code, i, {_fp_mean_sql('fv')} AS m FROM (
+    SELECT a.sub, a.code, d.i, {_fp_quantize_sql('a.sv[d.i]')} AS fv
+    FROM passign{t} a CROSS JOIN pdims d)
+  GROUP BY sub, code, i
+)""")
+        ctes.append(f"""pnews{t} AS (
+  SELECT sub, code, list(m ORDER BY i) AS codeword
+  FROM pmeans{t} GROUP BY sub, code
+)""")
+        ctes.append(f"""cb{t + 1} AS (
+  SELECT c.sub, c.code, coalesce(n.codeword, c.codeword) AS codeword
+  FROM cb{t} c LEFT JOIN pnews{t} n USING (sub, code)
+)""")
+    cbf = f"cb{int(n_iters)}"
+    return "WITH " + ",\n".join(ctes) + f""",
+cb AS (SELECT * FROM {cbf}),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {enc_d} ASC, cb.code) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1
+),
+psv AS (
+  SELECT vec_id AS probe_id, sub, sv FROM sv WHERE vec_id % {probe_mod} = 0
+),
+lut AS (
+  SELECT psv.probe_id, psv.sub, cb.code, {lut_d} AS pd
+  FROM psv JOIN cb USING (sub)
+),
+scored AS (
+  SELECT l.probe_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(struct_pack(sub := c.sub, pd := l.pd))),
+                          x -> x.pd)),
+           (acc, v) -> acc + v) AS adc
+  FROM enc c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE l.probe_id != c.vec_id
+  GROUP BY l.probe_id, c.vec_id
+)
+SELECT probe_id, neighbor_id, adc,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= {int(k)}"""
+
+
 def bpe_pair_counts_sql(docs_path: str, min_freq: int = MIN_PAIR_FREQ) -> str:
     """Twin of textstats.bpe_pair_counts: word-frequency table once,
     char pairs + end-of-word boundary pair enumerated per distinct

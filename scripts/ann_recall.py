@@ -68,11 +68,16 @@ def main() -> None:
         rows.append((name, r, time.time() - t, note))
         print(f"{name}: recall@{k}={r:.4f}")
 
-    add(
-        "sign-LSH multiprobe (hamming<=1)",
-        similarity.cosine_topk_lsh(emb, probes, k=k),
-        f"{similarity.N_PLANES} planes, probe bucket + {similarity.N_PLANES} flips",
-    )
+    # plane-count sweep: fewer planes -> coarser buckets -> more
+    # candidates per probe -> higher recall (at linear candidate cost);
+    # the tuning lever users should reach for before adding planes
+    for n_planes in (4, 6, similarity.N_PLANES):
+        add(
+            f"sign-LSH multiprobe planes={n_planes}",
+            similarity.cosine_topk_lsh(emb, probes, k=k, n_planes=n_planes),
+            f"{n_planes} planes, probe bucket + {n_planes} flips"
+            + (" (default)" if n_planes == similarity.N_PLANES else ""),
+        )
     for nprobe in (1, 2, 4):
         add(
             f"IVF seeded nprobe={nprobe}",
@@ -197,13 +202,25 @@ def main() -> None:
         "prune-then-compress at full scale.",
         "",
         "Reading: the seeded quantizer (lowest-id vectors as centroids) is "
-        "the oracle-checked plan shape; k-means training (deterministic "
-        "Lloyd, fixed iterations) adapts cells to the data and is the "
-        "recall path — `q_sim_topk_ivf_trained`, rows-only correctness "
-        "since trained float centroids are not bit-portable across "
-        "engines. Raising nprobe trades candidate volume for recall "
+        "the zero-training plan shape; k-means training (deterministic "
+        "Lloyd, fixed iterations, FIXED-POINT centroid means) adapts "
+        "cells to the data and — since r5 — is hash-gated against its "
+        "own DuckDB twin (`q_sim_topk_ivf_trained`, "
+        "`q_sim_topk_pq_trained`), so both quantizers carry full value "
+        "oracles. Raising nprobe trades candidate volume for recall "
         "linearly in probed cells; the LSH multiprobe path is "
         "data-independent and serves as the no-training baseline.",
+        "",
+        "Guidance — `cosine_topk_lsh` on real data: sign-LSH recall is "
+        "driven by plane count (see the sweep rows: fewer planes = "
+        "coarser buckets = more candidates = higher recall at linear "
+        "cost). Near-uniform embeddings like this synthetic corpus are "
+        "its adversarial case — cosines concentrate, so few planes "
+        "agree with the true neighbors. Prefer IVF (seeded, or trained "
+        "for the recall uplift above) as the default ANN serving path; "
+        "reach for sign-LSH only when its shuffle-free bucketing is the "
+        "point (e.g. the near-dup pair generator, which has its own "
+        "oracle-checked threshold semantics).",
         "",
     ]
     import pathlib

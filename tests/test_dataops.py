@@ -633,6 +633,39 @@ def test_cosine_topk_ivf_assignment_and_recall(spark):
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
 
 
+def test_kmeans_training_is_partitioning_invariant(spark):
+    """r5 hash-gate property: fixed-point centroid means are BIGINT
+    sums, so training is independent of Spark's partial-aggregation
+    order — identical double bits under any input partitioning (a
+    float F.avg loses this, which is what kept the trained paths
+    rows-only through r4)."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def seeds_of(df):
+        got = similarity.ivf_train_kmeans(df, n_cells=4, n_iters=3).collect()
+        return sorted((r.cell, tuple(r.seed)) for r in got)
+
+    want = seeds_of(base.coalesce(1))
+    for parts in (3, 11):
+        assert seeds_of(base.repartition(parts)) == want
+
+    def cb_of(df):
+        got = similarity.pq_train_kmeans(
+            df, m=4, ksub=4, dim=dim, n_iters=3
+        ).collect()
+        return sorted((r.sub, r.code, tuple(r.codeword)) for r in got)
+
+    want_cb = cb_of(base.coalesce(1))
+    assert cb_of(base.repartition(5)) == want_cb
+
+
 def test_neardup_keep_best_planted(spark):
     """Keep-best curation: per cluster the HIGHEST-score member
     survives, ties break to the LOWEST id; singletons always kept."""
