@@ -14,14 +14,16 @@ Real vs stubbed, explicitly:
 - REAL codec branches for the formats a pure stdlib can decode:
   payloads that actually ARE images/audio take a true decode path —
   PIL when importable, else the from-scratch PNG codec
-  (``functions/png.py``) for images, and the PCM-WAV RIFF codec
-  (``functions/wav.py``) for audio. Decoded truth beats metadata on
-  these branches (tests/test_png_codec.py, tests/test_wav_codec.py).
-- STUBBED: every other codec (JPEG, MP3, video containers — no
-  PIL/libsndfile/ffmpeg in this container): clearly-marked
-  deterministic byte math with the UDF signature, batch shape and
-  output schema a real decoder would use; the oracle fixtures stay on
-  this branch so the DuckDB twins recompute them bit-for-bit.
+  (``functions/png.py``) or baseline-JPEG codec (``functions/jpeg.py``)
+  for images, and the PCM-WAV RIFF codec (``functions/wav.py``) for
+  audio. Decoded truth beats metadata on these branches
+  (tests/test_png_codec.py, test_jpeg_codec.py, test_wav_codec.py).
+- STUBBED: every other codec (MP3, video containers, progressive/
+  exotic JPEG — no PIL/libsndfile/ffmpeg in this container):
+  clearly-marked deterministic byte math with the UDF signature,
+  batch shape and output schema a real decoder would use; the oracle
+  fixtures stay on this branch so the DuckDB twins recompute them
+  bit-for-bit.
 
 Scale notes: mapInPandas streams Arrow batches — payload bytes never
 materialize on the driver and never shuffle (all outputs are narrow
@@ -40,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from logzilla_spark.functions import png
+from logzilla_spark.functions import jpeg, png
 from logzilla_spark.functions.hashing import P31
 
 MEDIA_STATS_SCHEMA = (
@@ -124,12 +126,14 @@ def media_stats(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(stats, schema=MEDIA_STATS_SCHEMA)
 
 
-def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+def _decode_pixels(
+    payload: bytes,
+) -> tuple[int, int, int, bytes, str] | None:
     """Real decode dispatch: PIL when importable (the full-format
-    production path), the pure-stdlib PNG codec otherwise. Returns
-    (width, height, channels, raw pixel bytes) or None when the
-    payload is not a decodable image (callers fall back to the
-    deterministic byte stub)."""
+    production path), the pure-stdlib PNG and baseline-JPEG codecs
+    otherwise. Returns (width, height, channels, raw pixel bytes,
+    decoder name) or None when the payload is not a decodable image
+    (callers fall back to the deterministic byte stub)."""
     try:  # pragma: no cover - PIL absent in this sandbox
         import io
 
@@ -139,47 +143,42 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
         if img.mode not in ("L", "RGB"):
             img = img.convert("RGB")
         px = img.tobytes()
-        return img.width, img.height, (1 if img.mode == "L" else 3), px
+        return img.width, img.height, (1 if img.mode == "L" else 3), px, "pil"
     except ImportError:
         pass
     except Exception:
         return None
-    if not png.is_png(payload):
+    if png.is_png(payload):
+        codec, name = png.decode_png, "png-pure"
+    elif jpeg.is_jpeg(payload):
+        codec, name = jpeg.decode_jpeg, "jpeg-pure"
+    else:
         return None
     try:
-        return png.decode_png(payload)
+        return (*codec(payload), name)
     except ValueError:  # outside the codec's supported subset
         return None
-
-
-def _has_pil() -> bool:
-    try:  # pragma: no cover - PIL absent in this sandbox
-        import PIL.Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
 
 
 def decode_image_features(media: DataFrame) -> DataFrame:
     """Per-image features with a REAL decode branch.
 
     Payloads that are decodable images (PIL when installed; the
-    pure-stdlib PNG codec in ``functions/png.py`` otherwise) are
-    actually decoded: width/height are the DECODED dimensions and
-    mean_byte_milli = floor(1000 * sum(pixel bytes) / n_pixel_bytes)
-    over the raw pixels — decoder column 'pil' / 'png-pure'. Anything
+    pure-stdlib PNG codec in ``functions/png.py`` or the baseline-JPEG
+    codec in ``functions/jpeg.py`` otherwise) are actually decoded:
+    width/height are the DECODED dimensions and mean_byte_milli =
+    floor(1000 * sum(pixel bytes) / n_pixel_bytes) over the raw
+    pixels — decoder column 'pil' / 'png-pure' / 'jpeg-pure'. Anything
     else (the ASCII oracle fixtures, corrupt bytes, formats outside
-    the codec subset) keeps the deterministic byte stub: meta
+    the codec subsets) keeps the deterministic byte stub: meta
     dimensions, mean over RAW payload bytes, decoder
     'stub-deterministic' — so the DuckDB twin keeps recomputing the
-    stub rows bit-for-bit while the codec branch is covered by PNG
-    fixture tests.
+    stub rows bit-for-bit while the codec branches are covered by
+    PNG/JPEG fixture tests.
     """
     imgs = media.filter("kind = 'image'").select(
         "media_id", "payload", "meta.width", "meta.height"
     )
-    decoder_name = "pil" if _has_pil() else "png-pure"
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -193,7 +192,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 rows["media_id"].append(mid)
                 decoded = None if payload is None else _decode_pixels(payload)
                 if decoded is not None:
-                    dw, dh, _ch, px = decoded
+                    dw, dh, _ch, px, dec = decoded
                     rows["width"].append(dw)
                     rows["height"].append(dh)
                     rows["byte_len"].append(len(payload))
@@ -203,7 +202,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                         else (1000 * int(np.frombuffer(px, np.uint8).sum(dtype=np.int64)))
                         // len(px)
                     )
-                    rows["decoder"].append(decoder_name)
+                    rows["decoder"].append(dec)
                     continue
                 # deterministic byte stub: NULL meta stays NULL (the
                 # fixture meta struct is sparse by kind), NULL/empty
@@ -372,16 +371,16 @@ def _resize_geometry(w: int, h: int, max_dim: int) -> tuple[int, int]:
 def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
     """Resize for image assets, with a REAL resample branch.
 
-    Decodable payloads (PIL if installed, else the pure-stdlib PNG
-    codec) are actually decoded, nearest-neighbor resampled to the
-    capped geometry (computed from the DECODED dimensions) and
-    re-encoded as PNG; resized_len/resized_checksum are over the real
-    re-encoded bytes (decoder 'pil' / 'png-pure'). Everything else
-    keeps the deterministic byte stub — geometry from meta, "resized
-    payload" = body prefix proportional to the pixel-count change —
-    so the DuckDB twin's rows stay bit-identical (the oracle fixtures
-    are ASCII payloads) while the codec branch is covered by PNG
-    fixture tests.
+    Decodable payloads (PIL if installed, else the pure-stdlib PNG or
+    baseline-JPEG codecs) are actually decoded, nearest-neighbor
+    resampled to the capped geometry (computed from the DECODED
+    dimensions) and re-encoded as PNG; resized_len/resized_checksum
+    are over the real re-encoded bytes (decoder 'pil' / 'png-pure' /
+    'jpeg-pure'). Everything else keeps the deterministic byte stub —
+    geometry from meta, "resized payload" = body prefix proportional
+    to the pixel-count change — so the DuckDB twin's rows stay
+    bit-identical (the oracle fixtures are ASCII payloads) while the
+    codec branches are covered by PNG/JPEG fixture tests.
 
     NULL geometry/payload yield NULL outputs (row kept — the twin's
     NULL folds); images already within max_dim pass through at
@@ -390,7 +389,6 @@ def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
     imgs = media.filter("kind = 'image'").select(
         "media_id", "payload", "meta.width", "meta.height"
     )
-    decoder_name = "pil" if _has_pil() else "png-pure"
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -405,9 +403,13 @@ def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
                 rows["media_id"].append(mid)
                 decoded = None if payload is None else _decode_pixels(payload)
                 if decoded is not None:
-                    dw0, dh0, ch, px = decoded
+                    dw0, dh0, ch, px, dec = decoded
                     dw, dh = _resize_geometry(dw0, dh0, max_dim)
                     out_px = png.resize_nearest(dw0, dh0, ch, px, dw, dh)
+                    # resized output is always PNG (lossless re-encode:
+                    # the resample, not a second lossy compression, is
+                    # the operation under test) regardless of the
+                    # source codec
                     out_bytes = png.encode_png(dw, dh, out_px, ch)
                     rows["width"].append(dw0)
                     rows["height"].append(dh0)
@@ -415,7 +417,7 @@ def resize_images(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
                     rows["dst_height"].append(dh)
                     rows["resized_len"].append(len(out_bytes))
                     rows["resized_checksum"].append(_byte_sum(out_bytes))
-                    rows["decoder"].append(decoder_name)
+                    rows["decoder"].append(dec)
                     continue
                 rows["decoder"].append("stub-deterministic")
                 if payload is None or pd.isna(w) or pd.isna(h):
