@@ -1016,6 +1016,35 @@ def test_bpe_train_batched_matches_python_reference(spark):
     assert classic == _py_bpe_train(texts, 12)
 
 
+def test_bpe_train_batch32_matches_python_reference(spark):
+    """r4 verdict #7: the batched trainer's differential must hold at
+    batch_size >= 32 — which needs a corpus rich enough to yield 64+
+    merges (the toy above saturates near 12)."""
+    import itertools
+
+    words = [
+        "".join(p) + s
+        for p, s in zip(
+            itertools.product("abcdef", "lmnopq", "rstuvw"),
+            itertools.cycle(["ing", "ed", "tion", "ness", "able"]),
+        )
+    ][:120]
+    texts = [
+        " ".join(words[i::7]) + " " + " ".join(words[:10])
+        for i in range(7)
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.freq)
+        for r in textstats.bpe_train(df, n_merges=64, batch_size=32).collect()
+    ]
+    want = _py_bpe_train(texts, 64, batch_size=32)
+    assert got == want
+    assert len(got) == 64  # the corpus really supports 64 merges
+
+
 def test_bpe_train_min_freq_stops_early(spark):
     """All-distinct symbols -> first merge table entry exists only at
     min_freq=1; the default threshold stops before emitting singletons."""
