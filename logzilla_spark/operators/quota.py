@@ -51,8 +51,20 @@ __all__ = ["ingest_quota", "ingest_quota_sql", "quota_summary"]
 _BUCKETS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
 
 # pre-rank salt fan-out: the phase-2 bound is quota x N_SALTS rows
-# per (key, bucket); 64 matches a wide executor's core count
+# per (key, bucket); 64 matches a wide executor's core count. Override
+# per deployment with the conf below (e.g. 4 on a 4-core edge node —
+# the correctness bound holds at ANY value >= 1) or per call via the
+# ``n_salts`` parameter.
 N_SALTS = 64
+N_SALTS_CONF = "spark.logzilla.quota.nSalts"
+
+
+def _resolve_salts(df: DataFrame, n_salts: int | None) -> int:
+    if n_salts is None:
+        n_salts = int(df.sparkSession.conf.get(N_SALTS_CONF, str(N_SALTS)))
+    if isinstance(n_salts, bool) or not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError("n_salts must be an integer >= 1")
+    return n_salts
 
 
 def _bucket(time_column: str, window: str) -> Column:
@@ -69,6 +81,7 @@ def ingest_quota(
     time_column: str = "timestamp",
     id_col: str = "id",
     spent: DataFrame | None = None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Tag every row with ``over_quota`` (non-null boolean).
 
@@ -85,6 +98,11 @@ def ingest_quota(
     window that spans N incremental runs admits ``quota`` rows TOTAL,
     not N x quota (earlier runs hold their budget — FIFO, the same
     semantics as the streaming quota's committed spend).
+
+    ``n_salts`` overrides the pre-rank fan-out (default: the
+    ``spark.logzilla.quota.nSalts`` conf, else N_SALTS) — the result
+    is identical at any value (pinned by the differential tests); only
+    the skew-division width changes.
     """
     if isinstance(quota, bool) or not isinstance(quota, int) or quota < 1:
         raise ValueError("quota must be an integer >= 1")
@@ -98,8 +116,9 @@ def ingest_quota(
     # (see module docstring). With prior spend the bound still holds:
     # the admission threshold quota - spent is <= quota, so local rank
     # past quota is over quota a fortiori.
+    n_salts = _resolve_salts(df, n_salts)
     wl = Window.partitionBy(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SALTS)), key_col, "_qb"
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)), key_col, "_qb"
     ).orderBy(*order)
     local = tagged.withColumn("_lr", F.row_number().over(wl))
     over_local = local.filter(F.col("_lr") > quota)

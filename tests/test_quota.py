@@ -75,6 +75,33 @@ def test_prebound_phase_is_transparent(toy):
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_salt_fanout_is_result_transparent_and_conf_driven(toy):
+    """VERDICT r4 nit: N_SALTS as a constant forced 64-way pre-rank
+    groups on small deployments. The width is now a parameter / conf;
+    the admitted set must be identical at any value."""
+    from logzilla_spark.operators.quota import N_SALTS_CONF
+
+    want = ingest_quota(toy, 3).toPandas().sort_values("id").reset_index(drop=True)
+    for n in (1, 4, 128):
+        got = (
+            ingest_quota(toy, 3, n_salts=n)
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    spark = toy.sparkSession
+    spark.conf.set(N_SALTS_CONF, "4")
+    try:
+        got = (
+            ingest_quota(toy, 3)
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        spark.conf.unset(N_SALTS_CONF)
+    with pytest.raises(ValueError, match="n_salts"):
+        ingest_quota(toy, 3, n_salts=0)
+
+
 def test_twin_parity(toy, tmp_path):
     import duckdb
 
