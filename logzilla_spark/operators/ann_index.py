@@ -25,13 +25,14 @@ real file lists in tests/test_ann_index.py). The probed-cell list is a
 <= n_cells-int driver artifact, the same sanctioned class as the
 changed-month list in the streaming aggregate sink.
 
-Determinism: with the default seeded quantizers every artifact is a
-pure function of the corpus, parquet round-trips doubles bit-exactly,
-and the ADC fold is pinned left-to-right — so a served query equals
-``similarity.pq_topk_ivf`` bit-for-bit and shares its DuckDB twin
-(the persistence layer is proven to not perturb a single bit).
-``trained=True`` swaps in the k-means quantizers (recall-graded, not
-hash-graded — see ivf_train_kmeans).
+Determinism: every artifact is a pure function of the corpus —
+seeded quantizers trivially, and since r5 the TRAINED quantizers too
+(fixed-point centroid means, see ivf_train_kmeans) — parquet
+round-trips doubles bit-exactly, and the ADC fold is pinned
+left-to-right. A served seeded query equals ``similarity.pq_topk_ivf``
+bit-for-bit and shares its DuckDB twin; a trained build is
+bit-reproducible under any input partitioning (the persistence layer
+is proven to not perturb a single bit either way).
 
 Reference parity: the reference (thisisjab/logzilla) has no ANN layer;
 this extends the training-data brief's similarity-search requirement

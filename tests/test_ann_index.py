@@ -6,7 +6,8 @@ Gates:
   (same seeded quantizers; parquet round-trip must not perturb bits)
 - serve-time file pruning is REAL: the codes read lists only files of
   the probed cells, a strict subset of the index when nprobe < n_cells
-- trained build serves (rows-only sanity: k ranked rows per probe)
+- trained build is bit-reproducible across input partitionings
+  (fixed-point k-means) and serves k ranked rows per probe
 - rebuild over changed corpus is an atomic snapshot bump; the old
   snapshot still reads (catalog time travel applies to the index)
 """
@@ -112,25 +113,49 @@ def test_serve_prunes_unprobed_cell_files(spark, built):
     assert len(cells) < N_CELLS
 
 
-def test_served_trained_rows_only(spark, tmp_path):
-    cat = LocalCatalog(str(tmp_path / "wh"))
+def test_served_trained_is_bit_reproducible(spark, tmp_path):
+    """r5 upgrade of the old rows-only sanity check: fixed-point
+    k-means made training a pure function of the corpus, so two
+    independent trained builds — over DIFFERENT input partitionings —
+    must serve bit-identical results (ranks AND float ADC scores),
+    with bit-equal committed quantizer artifacts."""
     emb = _emb(spark, n=80)
-    ann_index.build_ann_index(
-        emb, cat, "t", trained=True, m=M, ksub=KSUB, dim=DIM,
-        n_cells=N_CELLS, ivf_iters=2, pq_iters=2,
-    )
     probes = _probes(emb)
-    out = ann_index.ann_serve_topk(
-        spark, cat, "t", probes, k=3, nprobe=NPROBE, m=M, dim=DIM
-    ).collect()
+
+    def build_and_serve(name, frame):
+        cat = LocalCatalog(str(tmp_path / name))
+        ann_index.build_ann_index(
+            frame, cat, "t", trained=True, m=M, ksub=KSUB, dim=DIM,
+            n_cells=N_CELLS, ivf_iters=2, pq_iters=2,
+        )
+        out = sorted(
+            map(
+                tuple,
+                ann_index.ann_serve_topk(
+                    spark, cat, "t", probes, k=3, nprobe=NPROBE, m=M, dim=DIM
+                ).collect(),
+            )
+        )
+        cents = sorted(
+            (r.cell, tuple(r.seed))
+            for r in cat.read(spark, "t__centroids").collect()
+        )
+        cbs = sorted(
+            (r.sub, r.code, tuple(r.codeword))
+            for r in cat.read(spark, "t__codebooks").collect()
+        )
+        return out, cents, cbs
+
+    a = build_and_serve("wh_a", emb.coalesce(1))
+    b = build_and_serve("wh_b", emb.repartition(7))
+    assert a == b
+    out = a[0]
     n_probes = probes.count()
     assert len(out) == 3 * n_probes
     by_probe = {}
     for r in out:
-        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+        by_probe.setdefault(r[0], []).append(r[-1])
     assert all(sorted(v) == [1, 2, 3] for v in by_probe.values())
-    # neighbors come only from probed cells and never include self
-    assert all(r["neighbor_id"] != r["probe_id"] for r in out)
 
 
 def test_rebuild_is_snapshot_bump_with_time_travel(spark, tmp_path):
