@@ -35,12 +35,20 @@ CLOSURE_GATE_ONLY = {"q_dedup_clusters"}
 
 
 def canon_cell(v) -> str:
+    import datetime
     import math
 
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
     if isinstance(v, float):
         return repr(v)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # Spark-written parquet (the directory corpora at scaling SFs)
+        # annotates timestamps isAdjustedToUTC, so DuckDB surfaces
+        # TIMESTAMPTZ where the single-file fixtures read naive — the
+        # same instant under the pinned-UTC session. Compare instants,
+        # not renderings.
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     return str(v)
 
 
