@@ -70,31 +70,14 @@ def test_jpeg_decoder_is_deterministic():
     assert jpeg.encode_jpeg(20, 12, px, 3) == data
 
 
-def _set_sampling(data: bytes, h: int, v: int) -> bytes:
-    """Rewrite component-0 sampling factors in SOF0 (to exercise the
-    subsampled-decode paths without a subsampling encoder)."""
-    pos = 2
-    out = bytearray(data)
-    while pos + 4 <= len(data):
-        marker = data[pos + 1]
-        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        if marker == 0xC0:
-            out[pos + 11] = (h << 4) | v
-            return bytes(out)
-        pos += 2 + seglen
-    raise AssertionError("no SOF0")
-
-
 def test_jpeg_subsampled_chroma_decodes():
     """4:2:0 — luma sampled 2x2: geometry survives and chroma
-    upsampling keeps a flat image flat."""
+    upsampling keeps a flat image flat. Uses a hand-rolled genuine
+    4:2:0 stream (the codec's encoder is 4:4:4-only by design)."""
     w, h = 32, 16
     px = bytes(
         b for _ in range(w * h) for b in (200, 60, 90)
     )  # one flat RGB color
-    # encode 4:4:4, then re-tag component 0 as 2x2 and re-encode the
-    # scan is NOT valid — so build a real 4:2:0 stream instead: encode
-    # each plane at its own resolution by hand
     data = _encode_420(w, h, px)
     dw, dh, ch, dpx = jpeg.decode_jpeg(data)
     assert (dw, dh, ch) == (w, h, 3)
