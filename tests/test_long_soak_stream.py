@@ -102,22 +102,41 @@ def _docs(records):
     )
 
 
-def test_long_soak_all_surfaces_converge_under_maintenance(spark, tmp_path):
+def _stage_epoch_files(spark, tmp_path, n_epochs, hold_back=0):
+    """Split the sf0.001 pages corpus into ``n_epochs`` single-file
+    parquet epochs. The first ``n_epochs - hold_back`` land in the
+    watched dir; the rest are returned as (src, dst) moves for the
+    caller to release later (the restart scenario)."""
     d = ensure_pages(SF001)
     pages = spark.read.parquet(f"{d}/pages.parquet")
     in_dir = str(tmp_path / "pages_in")
     os.makedirs(in_dir)
-    for i in range(N_EPOCHS):
-        part = pages.filter(F.pmod(F.xxhash64("url"), F.lit(N_EPOCHS)) == i)
+    held = []
+    for i in range(n_epochs):
+        part = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_epochs)) == i)
         tmp = str(tmp_path / f"tmp{i}")
         part.coalesce(1).write.parquet(tmp)
-        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        shutil.move(os.path.join(tmp, src), os.path.join(in_dir, f"e{i:03d}.parquet"))
+        src = os.path.join(
+            tmp, [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        )
+        # strictly-increasing mtimes pin the file source's trigger
+        # order: same-millisecond listings tie and the epoch ORDER
+        # becomes nondeterministic — which changes order-sensitive
+        # surfaces (near-dup first-claim-wins, quota FIFO) between
+        # otherwise-identical runs
+        os.utime(src, (1_700_000_000 + i, 1_700_000_000 + i))
+        dst = os.path.join(in_dir, f"e{i:03d}.parquet")
+        if i < n_epochs - hold_back:
+            shutil.move(src, dst)
+        else:
+            held.append((src, dst))
+    return in_dir, held
 
-    wh = str(tmp_path / "wh")
-    cat = LocalCatalog(wh)
-    maint_reports: list[dict] = []
-    epochs_seen: list[int] = []
+
+def _make_epoch(cat, maint_every, maint_reports, epochs_seen):
+    """The composed per-trigger sink: every committed surface + the
+    interleaved maintenance cycle, shared by the soak and restart
+    tests."""
 
     def _epoch(batch, batch_id: int) -> None:
         if batch.isEmpty():
@@ -163,7 +182,7 @@ def test_long_soak_all_surfaces_converge_under_maintenance(spark, tmp_path):
             )                                                     # T59
         finally:
             records.unpersist(blocking=False)
-        if (batch_id + 1) % MAINT_EVERY == 0:
+        if (batch_id + 1) % maint_every == 0:
             maint_reports.append(
                 maintenance_cycle(
                     s, cat, RECORDS_TABLE, min_files=2,
@@ -178,14 +197,30 @@ def test_long_soak_all_surfaces_converge_under_maintenance(spark, tmp_path):
                 )
             )
 
+    return _epoch
+
+
+def _run_stream(spark, in_dir, ckpt_dir, epoch_fn, timeout=1200):
     q = (
         stream_pages(spark, in_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(_epoch)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .writeStream.foreachBatch(epoch_fn)
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=1200)
+    q.awaitTermination(timeout=timeout)
+
+
+def test_long_soak_all_surfaces_converge_under_maintenance(spark, tmp_path):
+    in_dir, _ = _stage_epoch_files(spark, tmp_path, N_EPOCHS)
+    wh = str(tmp_path / "wh")
+    cat = LocalCatalog(wh)
+    maint_reports: list[dict] = []
+    epochs_seen: list[int] = []
+    _run_stream(
+        spark, in_dir, str(tmp_path / "ckpt"),
+        _make_epoch(cat, MAINT_EVERY, maint_reports, epochs_seen),
+    )
 
     assert len(epochs_seen) >= N_EPOCHS, epochs_seen
     assert len(maint_reports) >= 2 * (N_EPOCHS // MAINT_EVERY)
@@ -332,3 +367,89 @@ def test_long_soak_all_surfaces_converge_under_maintenance(spark, tmp_path):
     assert got_rec == want_rec and got_rec
 
     batch_rec.unpersist(blocking=False)
+
+
+def _surface_state(spark, cat):
+    """Canonical committed-surface state for warehouse equality."""
+    out = {}
+    out["records"] = sorted(
+        r.id for r in cat.read(spark, RECORDS_TABLE).select("id").collect()
+    )
+    out["agg"] = sorted(
+        (str(r.window_start), r.category, r.level, r.n)
+        for r in cat.read(spark, "stream_agg").collect()
+    )
+    out["alerts"] = sorted(
+        (r.rule_name, str(r.window_start), r.category, r.level)
+        for r in cat.read(spark, "stream_alerts").collect()
+    )
+    out["kept"] = sorted(
+        r.doc_id for r in cat.read(spark, KEPT_TABLE).collect()
+    )
+    out["quota_admitted"] = sorted(
+        r.id
+        for r in cat.read(spark, QUOTA_TAGGED)
+        .filter(~F.col("over_quota")).select("id").collect()
+    )
+    out["hist"] = sorted(map(tuple, read_hist_quantiles(spark, cat).collect()))
+    out["templates"] = sorted(
+        (r["template"], r["n_tokens"], r["n"])
+        for r in read_templates(spark, cat).collect()
+    )
+    out["recording"] = sorted(
+        map(tuple, read_recording(spark, cat, REC_RULE.name).collect())
+    )
+    return out
+
+
+def test_soak_restart_from_checkpoint_converges(spark, tmp_path):
+    """Kill the composed stream mid-soak and RESTART it from its
+    checkpoint: the interrupted warehouse must end byte-equal (per
+    surface) to an uninterrupted twin over the same epochs — the
+    exactly-once capstone across ALL committed surfaces at once.
+
+    The restart continues batch ids from the checkpoint, and every
+    surface's committed map refuses anything at-or-below its high
+    water mark, so the two halves stitch with no gap and no double
+    count even though maintenance ran between them."""
+    n = 8
+    # interrupted run: epochs 0-3 visible, 4-7 held back
+    in_dir, held = _stage_epoch_files(spark, tmp_path, n, hold_back=4)
+    wh = str(tmp_path / "wh")
+    cat = LocalCatalog(wh)
+    reports: list[dict] = []
+    seen: list[int] = []
+    epoch_fn = _make_epoch(cat, 3, reports, seen)
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream(spark, in_dir, ckpt, epoch_fn, timeout=600)
+    assert len(seen) == 4
+    mid_records = cat.read(spark, RECORDS_TABLE).count()
+    # ...the "crash": the query object is gone; release the rest of
+    # the input and restart against the SAME checkpoint + warehouse
+    import shutil as _sh
+
+    for src, dst in held:
+        _sh.move(src, dst)
+    _run_stream(spark, in_dir, ckpt, epoch_fn, timeout=600)
+    assert len(seen) == 8 and sorted(seen) == list(range(8)), seen
+    assert cat.read(spark, RECORDS_TABLE).count() > mid_records
+
+    # uninterrupted twin: identical epoch files, one continuous run
+    twin_dir = str(tmp_path / "twin_in")
+    os.makedirs(twin_dir)
+    for f in sorted(os.listdir(in_dir)):
+        dst = os.path.join(twin_dir, f)
+        _sh.copy(os.path.join(in_dir, f), dst)
+        st = os.stat(os.path.join(in_dir, f))
+        os.utime(dst, (st.st_mtime, st.st_mtime))  # keep the epoch order
+    cat2 = LocalCatalog(str(tmp_path / "wh_twin"))
+    _run_stream(
+        spark, twin_dir, str(tmp_path / "ckpt_twin"),
+        _make_epoch(cat2, 3, [], []), timeout=600,
+    )
+
+    got = _surface_state(spark, cat)
+    want = _surface_state(spark, cat2)
+    for k in want:
+        assert got[k] == want[k], f"surface {k} diverged after restart"
+    assert got["records"] and got["agg"]
