@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from logzilla_spark.functions.caching import persist_tracked
 from logzilla_spark.functions.hashing import hyperplanes
-from logzilla_spark.operators.dedup import COSINE_THRESHOLD, cosine_expr
+from logzilla_spark.operators.dedup import COSINE_THRESHOLD, cosine_expr, dot_expr
 
 N_PLANES = 8
 EMB_DIM = 64
@@ -47,14 +47,29 @@ def _plane_literal(plane: list[int]) -> str:
 
 
 def bucket_expr(vec_col: str, n_planes: int = N_PLANES, dim: int = EMB_DIM) -> str:
-    """Sign-LSH bucket id: bit j set iff dot(vec, hyperplane_j) >= 0."""
+    """Sign-LSH bucket id: bit j set iff dot(vec, hyperplane_j) >= 0.
+
+    Each plane dot takes the dot_expr discipline (dedup.py): the
+    semantic form is the pinned left-to-right fold; a codegen-unrolled
+    sum with the plane's ±1 literals inlined runs whenever the vector
+    is exactly ``dim`` wide (guarded — same bits by construction, the
+    fold branch covers any other width)."""
     hps = hyperplanes(n_planes, dim)
     terms = []
     for j, hp in enumerate(hps):
-        dot = (
+        fold = (
             f"aggregate(zip_with({vec_col}, {_plane_literal(hp)}, "
             "(p, q) -> cast(p as double) * cast(q as double)), "
             "cast(0 as double), (acc, v) -> acc + v)"
+        )
+        unrolled = " + ".join(
+            f"cast(element_at({vec_col}, {i}) as double) * "
+            f"cast({hp[i - 1]} as double)"
+            for i in range(1, int(dim) + 1)
+        )
+        dot = (
+            f"IF(size({vec_col}) = {int(dim)}, "
+            f"(cast(0 as double) + {unrolled}), {fold})"
         )
         terms.append(f"IF({dot} >= 0, {1 << j}L, 0L)")
     return " + ".join(terms)
@@ -99,15 +114,22 @@ def cosine_topk(
     The probe side is broadcast; the corpus side is scanned once with
     no shuffle. Self-matches (same id) are excluded.
     """
+    # Self-dots hoisted OUT of the O(probes x corpus) pair loop: each
+    # side's norm term is computed once per ROW (identical expression
+    # tree -> identical IEEE bits vs the per-pair form, which
+    # re-evaluated both self-dots for every pair).
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe")
-    )
+    ).withColumn("_pd2", F.expr(dot_expr("_pe", "_pe")))
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ce")
-    )
+    ).withColumn("_cd2", F.expr(dot_expr("_ce", "_ce")))
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .withColumn(
+            "cosine",
+            F.expr(f"try_divide({dot_expr('_pe', '_ce')}, sqrt(_pd2 * _cd2))"),
+        )
         .select("probe_id", "neighbor_id", "cosine")
     )
     return _topk(scored, k)
@@ -129,26 +151,33 @@ def cosine_topk_lsh(
     probe×(1+n_planes) multiprobe key set is broadcast and hash-joined
     against it. Exact cosine is computed for candidates only.
     """
+    # Self-dots hoisted out of the candidate loop (the cosine_topk
+    # note): per-row norm terms, identical bits by construction.
     cb = signlsh_buckets(emb, id_col, vec_col, n_planes, dim).select(
         F.col("id").alias("neighbor_id"),
         F.col("embedding").alias("_ce"),
         "bucket",
-    )
+    ).withColumn("_cd2", F.expr(dot_expr("_ce", "_ce", dim)))
     pb = signlsh_buckets(probes, id_col, vec_col, n_planes, dim).select(
         F.col("id").alias("probe_id"),
         F.col("embedding").alias("_pe"),
         F.col("bucket").alias("_pbucket"),
-    )
+    ).withColumn("_pd2", F.expr(dot_expr("_pe", "_pe", dim)))
     flips = "array(" + ", ".join(
         ["_pbucket"] + [f"_pbucket ^ {1 << j}L" for j in range(n_planes)]
     ) + ")"
     probe_keys = pb.select(
-        "probe_id", "_pe", F.explode(F.expr(flips)).alias("bucket")
+        "probe_id", "_pe", "_pd2", F.explode(F.expr(flips)).alias("bucket")
     )
     scored = (
         cb.join(F.broadcast(probe_keys), "bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"try_divide({dot_expr('_pe', '_ce', dim)}, sqrt(_pd2 * _cd2))"
+            ),
+        )
         .select("probe_id", "neighbor_id", "cosine")
         .distinct()
     )
@@ -167,13 +196,28 @@ def embedding_neardup_lsh(
     path for ``dedup.embedding_neardup_pairs`` (which is its recall
     oracle at CI scale). One shuffle on bucket id, exact cosine verify
     inside buckets only."""
-    b = signlsh_buckets(emb, id_col, vec_col, n_planes, dim)
-    a = b.select(F.col("id").alias("vec_a"), F.col("embedding").alias("_ea"), "bucket")
-    c = b.select(F.col("id").alias("vec_b"), F.col("embedding").alias("_eb"), "bucket")
+    # Self-dots hoisted out of the per-bucket pair loop (the
+    # cosine_topk note): one norm term per row, identical bits.
+    b = signlsh_buckets(emb, id_col, vec_col, n_planes, dim).withColumn(
+        "_d2", F.expr(dot_expr("embedding", "embedding", dim))
+    )
+    a = b.select(
+        F.col("id").alias("vec_a"), F.col("embedding").alias("_ea"),
+        F.col("_d2").alias("_da"), "bucket",
+    )
+    c = b.select(
+        F.col("id").alias("vec_b"), F.col("embedding").alias("_eb"),
+        F.col("_d2").alias("_db"), "bucket",
+    )
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.expr(cosine_expr("_ea", "_eb")))
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"try_divide({dot_expr('_ea', '_eb', dim)}, sqrt(_da * _db))"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .distinct()
@@ -212,6 +256,16 @@ def _fp_mean(fv_col: str):
         F.floor(F.sum(fv_col).cast("double") / n).cast("double")
         / F.lit(_FP_ONE)
     )
+
+
+# Rejected this round (measured): fusing the posexplode -> per-pos
+# mean -> regroup pipeline into ONE per-group aggregation with
+# 2 x dim statically-widened sum/count aggregates. Bit-identical, one
+# less shuffle per Lloyd iteration — but a 129-aggregate
+# HashAggregate loses codegen efficiency and measured SLOWER at sf1.0
+# (IVF train 6.9s -> 9.7s steady-state, 32 cores). The exploded form
+# stays; its per-iteration shuffles carry only k x dim key rows after
+# map-side partials.
 
 
 def ivf_seeds(
@@ -253,10 +307,23 @@ def ivf_assign(
     partial aggregation completes map-side: the only shuffle carries
     ONE row per vector. No corpus-sized broadcast, no window over the
     corpus."""
+    # Vector self-dot hoisted out of the k-candidate loop; seed
+    # self-dots computed once per seed row (identical bits — the
+    # cosine_topk note).
     a = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"))
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("_cos", F.expr(cosine_expr("embedding", "seed")))
+        .withColumn("_ed2", F.expr(dot_expr("embedding", "embedding")))
+        .crossJoin(
+            F.broadcast(
+                seeds.withColumn("_sd2", F.expr(dot_expr("seed", "seed")))
+            )
+        )
+        .withColumn(
+            "_cos",
+            F.expr(
+                f"try_divide({dot_expr('embedding', 'seed')}, sqrt(_ed2 * _sd2))"
+            ),
+        )
     )
     picked = a.groupBy("id").agg(
         F.max_by(
@@ -283,10 +350,20 @@ def probe_nearest_cells(
     broadcast; the row_number window partitions by probe, so it runs
     over the (tiny) probe side only — shared by every IVF-family
     query path and the persisted-index server (operators.ann_index)."""
+    # Probe self-dot hoisted out of the k-candidate loop (identical
+    # bits — the cosine_topk note).
     pc = (
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pe"))
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("_cos", F.expr(cosine_expr("_pe", "seed")))
+        .withColumn("_pd2", F.expr(dot_expr("_pe", "_pe")))
+        .crossJoin(
+            F.broadcast(
+                seeds.withColumn("_sd2", F.expr(dot_expr("seed", "seed")))
+            )
+        )
+        .withColumn(
+            "_cos",
+            F.expr(f"try_divide({dot_expr('_pe', 'seed')}, sqrt(_pd2 * _sd2))"),
+        )
     )
     wp = Window.partitionBy("probe_id").orderBy(
         F.col("_cos").desc(), F.col("cell").asc()
@@ -323,12 +400,17 @@ def cosine_topk_ivf(
         F.col("id").alias("neighbor_id"),
         F.col("embedding").alias("_ce"),
         "cell",
-    )
-    probe_cells = probe_nearest_cells(probes, seeds, nprobe, id_col, vec_col)
+    ).withColumn("_cd2", F.expr(dot_expr("_ce", "_ce")))
+    probe_cells = probe_nearest_cells(
+        probes, seeds, nprobe, id_col, vec_col
+    ).withColumn("_pd2", F.expr(dot_expr("_pe", "_pe")))
     scored = (
         corpus.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .withColumn(
+            "cosine",
+            F.expr(f"try_divide({dot_expr('_pe', '_ce')}, sqrt(_pd2 * _cd2))"),
+        )
         .select("probe_id", "neighbor_id", "cosine")
     )
     return _topk(scored, k)
@@ -439,12 +521,17 @@ def cosine_topk_ivf_trained(
         F.col("id").alias("neighbor_id"),
         F.col("embedding").alias("_ce"),
         "cell",
-    )
-    probe_cells = probe_nearest_cells(probes, seeds, nprobe, id_col, vec_col)
+    ).withColumn("_cd2", F.expr(dot_expr("_ce", "_ce")))
+    probe_cells = probe_nearest_cells(
+        probes, seeds, nprobe, id_col, vec_col
+    ).withColumn("_pd2", F.expr(dot_expr("_pe", "_pe")))
     scored = (
         corpus.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_expr("_pe", "_ce")))
+        .withColumn(
+            "cosine",
+            F.expr(f"try_divide({dot_expr('_pe', '_ce')}, sqrt(_pd2 * _cd2))"),
+        )
         .select("probe_id", "neighbor_id", "cosine")
     )
     return _topk(scored, k)
@@ -491,11 +578,25 @@ def semdedup(
     bit-for-bit in the DuckDB twin.
     """
     seeds = ivf_seeds(emb, n_cells, id_col, vec_col)
+    # Self-dot hoisted and CARRIED through the persisted assignment
+    # (_d2): the pairwise stage below then pays one unrolled dot per
+    # pair instead of three folds — identical bits (cosine_topk note).
     assigned = (
         ivf_assign(emb, seeds, id_col, vec_col)
-        .join(F.broadcast(seeds), "cell")
-        .withColumn("centroid_cos", F.expr(cosine_expr("embedding", "seed")))
-        .select("id", "embedding", "cell", "centroid_cos")
+        .withColumn("_d2", F.expr(dot_expr("embedding", "embedding")))
+        .join(
+            F.broadcast(
+                seeds.withColumn("_sd2", F.expr(dot_expr("seed", "seed")))
+            ),
+            "cell",
+        )
+        .withColumn(
+            "centroid_cos",
+            F.expr(
+                f"try_divide({dot_expr('embedding', 'seed')}, sqrt(_d2 * _sd2))"
+            ),
+        )
+        .select("id", "embedding", "cell", "centroid_cos", "_d2")
     )
     # Four consumers (cell sizes, both pair sides, the final flag join)
     # would each recompute the assignment's crossJoin + max_by shuffle
@@ -510,16 +611,21 @@ def semdedup(
     )
     x = small.select(
         F.col("id").alias("_xid"), F.col("embedding").alias("_xe"),
-        F.col("centroid_cos").alias("_xc"), "cell",
+        F.col("centroid_cos").alias("_xc"), F.col("_d2").alias("_xd2"), "cell",
     )
     y = small.select(
         F.col("id").alias("_yid"), F.col("embedding").alias("_ye"),
-        F.col("centroid_cos").alias("_yc"), "cell",
+        F.col("centroid_cos").alias("_yc"), F.col("_d2").alias("_yd2"), "cell",
     )
     dropped = (
         x.join(y, "cell")
         .filter(F.col("_xid") != F.col("_yid"))
-        .filter(F.expr(cosine_expr("_xe", "_ye")) >= threshold)
+        .filter(
+            F.expr(
+                f"try_divide({dot_expr('_xe', '_ye')}, sqrt(_xd2 * _yd2))"
+            )
+            >= threshold
+        )
         .filter(
             (F.col("_yc") < F.col("_xc"))
             | ((F.col("_yc") == F.col("_xc")) & (F.col("_yid") < F.col("_xid")))
@@ -557,15 +663,32 @@ PQ_M = 8       # subspaces (dim 64 -> 8-dim subvectors)
 PQ_KSUB = 16   # codewords per subspace (codes fit 4 bits; stored int)
 
 
-def l2sq_expr(a_col: str, b_col: str) -> str:
+def l2sq_expr(a_col: str, b_col: str, dim: int | None = None) -> str:
     """Pinned-order squared-L2 fold — bit-identical in DuckDB (the
     same discipline as ``dedup.cosine_expr``: zip_with then a
-    left-to-right aggregate, all doubles)."""
-    return (
+    left-to-right aggregate, all doubles).
+
+    ``dim`` enables the dot_expr-style codegen-unrolled fast path
+    (guarded on exact array width; identical bits — see
+    dedup.dot_expr). PQ callers pass the subvector width dim // m."""
+    fold = (
         f"aggregate(zip_with({a_col}, {b_col}, (p, q) -> "
         "(cast(p as double) - cast(q as double)) * "
         "(cast(p as double) - cast(q as double))), "
         "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    if dim is None:
+        return fold
+    terms = " + ".join(
+        f"(cast(element_at({a_col}, {i}) as double) - "
+        f"cast(element_at({b_col}, {i}) as double)) * "
+        f"(cast(element_at({a_col}, {i}) as double) - "
+        f"cast(element_at({b_col}, {i}) as double))"
+        for i in range(1, int(dim) + 1)
+    )
+    return (
+        f"IF(size({a_col}) = {int(dim)} AND size({b_col}) = {int(dim)}, "
+        f"(cast(0 as double) + {terms}), {fold})"
     )
 
 
@@ -625,7 +748,7 @@ def pq_encode(
         F.explode(F.expr(_subvectors(vec_col, m, dim))).alias("_s"),
     ).select("vec_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
     scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
-        "_d", F.expr(l2sq_expr("sv", "codeword"))
+        "_d", F.expr(l2sq_expr("sv", "codeword", dim // m))
     )
     picked = scored.groupBy("vec_id", "sub").agg(
         F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code")
@@ -644,6 +767,23 @@ ADC_EXPR = (
     "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, c + 1)), "
     "cast(0 as double), (acc, v) -> acc + v)"
 )
+
+
+def adc_expr(m: int | None = PQ_M) -> str:
+    """ADC score with the dot_expr-style codegen fast path: when both
+    arrays are exactly ``m`` wide the m lookups are unrolled into a
+    left-associative sum (identical bits — same order, same 0.0 seed);
+    any other width takes the interpreted fold (ADC_EXPR)."""
+    if m is None:
+        return ADC_EXPR
+    terms = " + ".join(
+        f"element_at(element_at(luts, {i}), element_at(codes, {i}) + 1)"
+        for i in range(1, int(m) + 1)
+    )
+    return (
+        f"IF(size(codes) = {int(m)} AND size(luts) = {int(m)}, "
+        f"(cast(0 as double) + {terms}), {ADC_EXPR})"
+    )
 
 
 def pq_probe_luts(
@@ -666,7 +806,7 @@ def pq_probe_luts(
     ).select("probe_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
     lut_sub = (
         psv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword")))
+        .withColumn("_pd", F.expr(l2sq_expr("sv", "codeword", dim // m)))
         .groupBy("probe_id", "sub")
         .agg(
             F.expr(
@@ -681,11 +821,11 @@ def pq_probe_luts(
     )
 
 
-def adc_topk(pairs: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+def adc_topk(pairs: DataFrame, k: int = DEFAULT_K, m: int = PQ_M) -> DataFrame:
     """Rank candidate pairs carrying (probe_id, neighbor_id, codes,
     luts) by the ADC fold: smallest summed partial L2^2 wins (adc ASC,
     id ASC tiebreak). The window runs over candidates only."""
-    scored = pairs.withColumn("adc", F.expr(ADC_EXPR)).select(
+    scored = pairs.withColumn("adc", F.expr(adc_expr(m))).select(
         "probe_id", "neighbor_id", "adc"
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -816,7 +956,7 @@ def pq_train_kmeans(
     for _ in range(int(n_iters)):
         assigned = (
             sv.join(F.broadcast(cb), "sub")
-            .withColumn("_d", F.expr(l2sq_expr("sv", "codeword")))
+            .withColumn("_d", F.expr(l2sq_expr("sv", "codeword", dim // m)))
             .groupBy("vec_id", "sub")
             .agg(
                 F.min_by(
