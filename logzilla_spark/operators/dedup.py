@@ -214,7 +214,44 @@ def _minhash_features(
                 f"transform({_shingles_expr('_n')}, s -> pmod({md5_long_expr('s')}, {P31}))"
             ),
         )
-        .select("id", sig.alias("sig"), F.expr("array_distinct(_hs)").alias("_sh"))
+        # _sh as array<int>: every hashed shingle is pmod(·, P31) <
+        # 2^31, so the int cast is exact — half the bytes through the
+        # verify-stage shuffles and the feature cache (guide §2.3
+        # "narrower types"). array_intersect/size on int arrays give
+        # the identical inter_n/union_n, so output bits are unchanged.
+        .select(
+            "id",
+            sig.alias("sig"),
+            F.expr("cast(array_distinct(_hs) as array<int>)").alias("_sh"),
+        )
+    )
+
+
+def _est_expr(sa: str, sb: str, n_hashes: int = N_MINHASH) -> str:
+    """Signature agreement fraction — codegen-unrolled fast path.
+
+    Semantics: the sequential fold ``size(filter(zip_with(sa, sb,
+    (x,y) -> x = y), v -> v)) / n`` — a higher-order function chain
+    Spark evaluates INTERPRETED (CodegenFallback), ~10 us per pair,
+    which dominated the est prefilter at millions of candidate pairs
+    (the dot_expr lesson applied to signatures; guide §4.1). When both
+    signatures are exactly ``n_hashes`` wide (always, by construction,
+    for non-NULL text) an unrolled integer sum of IF(=) terms runs
+    instead: the same match count, the same cast-to-double, the same
+    division — identical bits. NULL signatures (NULL-text docs) fail
+    the width guard and take the fold branch, whose NULL propagates to
+    est_sim and fails any >= threshold filter exactly as before."""
+    fold = (
+        f"cast(size(filter(zip_with({sa}, {sb}, (x, y) -> x = y), v -> v)) "
+        f"as double) / {n_hashes}.0"
+    )
+    terms = " + ".join(
+        f"IF(element_at({sa}, {i}) = element_at({sb}, {i}), 1, 0)"
+        for i in range(1, n_hashes + 1)
+    )
+    return (
+        f"IF(size({sa}) = {n_hashes} AND size({sb}) = {n_hashes}, "
+        f"cast(({terms}) as double) / {n_hashes}.0, {fold})"
     )
 
 
@@ -383,20 +420,25 @@ def minhash_lsh_pairs(
     #     slower than joining the 5k-row sig table after distinct.
     # Filter-verify funnels only pay off when the filter is selective;
     # here the honest hot path is the verify itself.
+    # (r6, measured and REJECTED: a staged attach — narrow sig frames
+    # first, est gate, then the heavy _sh arrays for survivors only
+    # (guide §8 "decide with small rows") — ran 21.4 -> 30 s in an
+    # ABBA pair at 50k docs / 19.3M candidates. At batch scale every
+    # attach join is a BroadcastHashJoin, so the arrays never shuffle
+    # per-pair and staging only doubled the broadcast-relation builds;
+    # the single fat join per side is the right local shape, and at
+    # fleet scale AQE turns the same two joins into shuffle joins
+    # keyed by doc id. scripts/abba_minhash_r06.py reproduces.)
     fa = feat.select(
         F.col("id").alias("doc_a"), F.col("sig").alias("_sa"), F.col("_sh").alias("_ga")
     )
     fb = feat.select(
         F.col("id").alias("doc_b"), F.col("sig").alias("_sb"), F.col("_sh").alias("_gb")
     )
-    est = F.expr(
-        "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
-        f"/ {N_MINHASH}.0"
-    )
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
-        .withColumn("est_sim", est)
+        .withColumn("est_sim", F.expr(_est_expr("_sa", "_sb")))
         # filter-verify funnel: the exact shingle intersection below
         # only runs on pairs surviving the signature prefilter
         .filter(F.col("est_sim") >= min_est)
@@ -490,6 +532,12 @@ def _pairs_between(
         F.col("id").alias("doc_old"),
     )
     cand = bd.join(bc, ["_bi", "_bh"]).select("doc_new", "doc_old").distinct()
+    # single fat attach per side + unrolled est — the
+    # minhash_lsh_pairs r6 shape (see its verify comment for the
+    # measured rejection of staged attachment). A corpus-era committed
+    # ``sh`` column that is still array<bigint> coerces the int delta
+    # side up in array_intersect — identical values, so serving stays
+    # bit-transparent across index eras.
     fa = fd.select(
         F.col("id").alias("doc_new"), F.col("sig").alias("_sa"),
         F.col("_sh").alias("_ga"),
@@ -498,14 +546,10 @@ def _pairs_between(
         F.col("id").alias("doc_old"), F.col("sig").alias("_sb"),
         F.col("_sh").alias("_gb"),
     )
-    est = F.expr(
-        "cast(size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) as double) "
-        f"/ {N_MINHASH}.0"
-    )
     return (
         cand.join(fa, "doc_new")
         .join(fb, "doc_old")
-        .withColumn("est_sim", est)
+        .withColumn("est_sim", F.expr(_est_expr("_sa", "_sb")))
         .filter(F.col("est_sim") >= min_est)
         .withColumn("inter_n", F.expr("size(array_intersect(_ga, _gb))"))
         .withColumn("union_n", F.expr("size(_ga) + size(_gb) - inter_n"))
