@@ -124,13 +124,16 @@ def main() -> None:
         os.path.join(OUT, "embeddings.parquet"),
         row_group_size=2000,
     )
-    pq.write_table(
-        pa.Table.from_pandas(
-            gen_events(100_000 * mult, 1500 * mult), preserve_index=False
-        ),
-        os.path.join(OUT, "events.parquet"),
-        row_group_size=50_000,
+    ev = pa.Table.from_pandas(
+        gen_events(100_000 * mult, 1500 * mult), preserve_index=False
     )
+    # Spark cannot read TIMESTAMP(NANOS); the driver tables are micros
+    ev = ev.set_column(
+        ev.schema.get_field_index("ts"),
+        "ts",
+        ev.column("ts").cast(pa.timestamp("us"), safe=False),
+    )
+    pq.write_table(ev, os.path.join(OUT, "events.parquet"), row_group_size=50_000)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem"):
         dst = os.path.join(OUT, f"{t}.parquet")
