@@ -2001,20 +2001,31 @@ def _rotation_ordered(
     import json
     import os
 
+    import re as _re
+
     root = os.path.dirname(os.path.abspath(__file__))
-    last_round: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    last_round: dict[str, int] = {}
+
+    def _round_no(path: str) -> int:
+        # numeric, not lexicographic: 'r100' sorts after 'r99' (a
+        # filename sort would rotate stale entries from round 100 on)
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 0
+
+    for path in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         for name in rows:
-            last_round[name] = os.path.basename(path)
+            last_round[name] = _round_no(path)
     pos = {name: i for i, name in enumerate(q)}
     ordered = sorted(
         q,
-        key=lambda n: (n in last_round, last_round.get(n, ""), pos[n]),
+        key=lambda n: (n in last_round, last_round.get(n, 0), pos[n]),
     )
     return {name: q[name] for name in ordered}
 

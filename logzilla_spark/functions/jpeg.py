@@ -200,6 +200,7 @@ class _BitReader:
         self.pos = pos
         self._acc = 0
         self._n = 0
+        self._pad = 0  # zero bytes synthesized after an in-scan marker
 
     def align(self) -> None:
         self._acc = 0
@@ -216,7 +217,16 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 # a real marker inside the scan — treat trailing reads
-                # as zero bits (some encoders rely on the final pad)
+                # as zero bits (some encoders rely on the final pad),
+                # but only the final <8 pad bits are legitimate: a
+                # decoder still hungry after one synthesized byte is
+                # reading a TRUNCATED entropy stream (e.g. cut scan
+                # data with a trailing EOI) and must raise so callers
+                # fall back to the deterministic stub instead of
+                # fabricating flat blocks.
+                if self._pad >= 1:
+                    raise ValueError("truncated entropy-coded segment")
+                self._pad += 1
                 self.pos -= 1
                 b = 0
                 self._acc = (self._acc << 8) | b

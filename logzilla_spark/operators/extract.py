@@ -74,6 +74,12 @@ MAX_NAMES = 16
 # behaviour (huge counts compile but explode the NFA) and bounds the
 # worst-case work a single query regex can demand of an executor.
 MAX_REPEAT = 1000
+# Much lower cap when the counted group's body itself repeats
+# unboundedly: (a+){1,1000} backtracks with polynomial degree ~hi in
+# Java (the runtime divergence the unbounded-over-unbounded rule
+# rejects outright), while small exponents — (?:\d+\.){3}, the IP
+# shape — are harmless.
+MAX_REPEAT_OVER_UNBOUNDED = 10
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,31}$")
 
@@ -298,6 +304,23 @@ def _validate_portable_regex(pattern: str) -> int:
                         "repeats (catastrophic backtracking)", i,
                     )
                 unbounded[-1] = True
+            elif (
+                hi is not None
+                and hi > MAX_REPEAT_OVER_UNBOUNDED
+                and prev_group
+            ):
+                # a bounded-but-LARGE count over a group whose body
+                # repeats unboundedly — (a+){1,1000} — triggers
+                # degree-hi polynomial Java backtracking, the same
+                # runtime divergence the unbounded branch rejects.
+                # Small counts stay legal: (?:\d+\.){3} is the
+                # everyday IP-extractor shape and its backtracking is
+                # bounded by the tiny exponent.
+                raise err(
+                    f"counted repetition above {MAX_REPEAT_OVER_UNBOUNDED} "
+                    "over a group that itself repeats (catastrophic "
+                    "backtracking)", i,
+                )
             i += m.end()
             if i < n and pattern[i] == "?":  # lazy
                 i += 1
